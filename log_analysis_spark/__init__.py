@@ -1,0 +1,27 @@
+"""log_analysis_spark — a PySpark-native log/transcript analysis engine.
+
+A from-scratch re-expression of the capabilities of the reference engine
+(StandardRunbook/log_analysis, a Rust Aho-Corasick template matcher +
+ClickHouse ingest service) on idiomatic Spark:
+
+- template compilation (fragment extraction + specificity weights) on the
+  driver, shipped to executors as a broadcast variable
+  (reference: /root/reference/src/log_matcher.rs:307-458),
+- vectorized fragment-vote matching as an Arrow-batched pandas UDF
+  (reference hot path: /root/reference/src/log_matcher.rs:180-266),
+- broadcast-join enrichment, rule-based fan-out routing, and per-sink
+  groupBy aggregates (reference: src/bin/log-ingest-service.rs,
+  src/clickhouse_client.rs),
+- offline template induction replacing the reference's LLM path
+  (masking + signature clustering + per-cluster pattern learning via
+  applyInPandas; reference: src/pattern_learner.rs,
+  src/smart_template_generator.rs),
+- training-data-pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+  n-gram Jaccard / embedding-cosine), similarity search, text analysis,
+  multimodal plumbing.
+
+Everything here derives from public knowledge only: the Apache Spark API
+and the reference repo's observable behavior.
+"""
+
+__version__ = "0.1.0"

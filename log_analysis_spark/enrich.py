@@ -1,0 +1,53 @@
+"""Enrichment stage: broadcast hash joins against small dimensions.
+
+Reference analog: request-metadata enrichment at ingest
+(/root/reference/src/bin/log-ingest-service.rs:403-416) and the
+template-id -> metadata lookup (src/log_matcher.rs:587-590). On Spark
+both are broadcast joins — the dim tables are tiny, so no shuffle is
+ever justified; ``F.broadcast`` pins the strategy regardless of
+statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich(
+    df: DataFrame,
+    role_dim: DataFrame,
+    tool_dim: DataFrame,
+    templates_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Left-join role/tool dictionaries (and optionally the template dim).
+
+    Narrow on the fact side: broadcast joins add no shuffle, so
+    scan -> match -> enrich stays one fused stage.
+    """
+    out = (
+        df.join(F.broadcast(role_dim), "role", "left")
+        .join(F.broadcast(tool_dim), "tool", "left")
+    )
+    if templates_dim is not None:
+        out = out.join(
+            F.broadcast(templates_dim.select("template_id", "pattern", "variables")),
+            "template_id",
+            "left",
+        )
+    return out
+
+
+def with_turn_order(df: DataFrame) -> DataFrame:
+    """Stable per-conversation ordering (north_rule: per-turn text equality
+    holds under (conv_id, turn_idx) ordering).
+
+    Adds ``turn_seq`` (row_number) and ``prev_role`` (lag) sequence
+    features. One shuffle on conv_id — reused by every downstream
+    per-conversation aggregate.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        df.withColumn("turn_seq", F.row_number().over(w))
+        .withColumn("prev_role", F.lag("role").over(w))
+    )

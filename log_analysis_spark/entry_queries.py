@@ -1,0 +1,508 @@
+"""Driver-contract queries: each SURVEY.md §2 operator as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB-runnable ANSI-SQL
+oracle over the same parquet tables.
+
+Conventions that make the value-hash gate deterministic:
+- every computed column is aliased identically in Spark and SQL,
+- sample/array aggregates are sorted before slicing,
+- money aggregates are computed in integer cents (no float-sum drift),
+- timestamps in outputs are emitted as epoch microseconds (bigint),
+- the matcher query's oracle is *generated* from the compiled template
+  pool (an independent SQL restatement of fragment-vote scoring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .matcher import match_udf
+from .templates import CompiledMatcher, default_matcher
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Log-line construction shared by the matcher queries: a deterministic
+# expression over the events table, valid in both Spark SQL and DuckDB
+# (`{S}` is the string type name: STRING for Spark, VARCHAR for DuckDB).
+_LINE_SQL = """
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat('cpu_usage: ', CAST(user_id % 90 + 5 AS {S}), '.', CAST(event_id % 10 AS {S}), '% - ', event_type)
+  WHEN 1 THEN concat('memory_usage: ', CAST(user_id % 30 + 1 AS {S}), '.', CAST(event_id % 10 AS {S}), 'GB - ', event_type)
+  WHEN 2 THEN concat('disk_io: ', CAST(user_id % 900 + 10 AS {S}), 'MB/s - ', event_type)
+  WHEN 3 THEN concat('error: connection timeout after ', CAST(user_id % 30000 AS {S}), 'ms')
+  WHEN 4 THEN concat('error: invalid user id ', CAST(user_id AS {S}))
+  ELSE concat('freeform note ', CAST(user_id AS {S}), ' tail')
+END
+""".strip()
+
+
+# Line construction with format variety for the format-detection query
+# (syslog / ISO / delimited / unstructured shapes).
+_FMT_LINE_SQL = """
+CASE CAST(event_id % 4 AS INT)
+  WHEN 0 THEN concat('Jun 14 15:16:0', CAST(event_id % 10 AS {S}), ' host-', CAST(user_id AS {S}), ' sshd[', CAST(event_id AS {S}), ']: session opened')
+  WHEN 1 THEN concat('2024-01-01 12:00:0', CAST(event_id % 10 AS {S}), ' INFO service started user=', CAST(user_id AS {S}))
+  WHEN 2 THEN concat('a,', CAST(user_id AS {S}), ',b,', CAST(event_id AS {S}), ',c')
+  ELSE concat('freeform trace ', CAST(user_id AS {S}))
+END
+""".strip()
+
+
+def entry_matcher() -> CompiledMatcher:
+    from .templates import LogTemplate
+
+    return default_matcher(extra=[
+        LogTemplate(10, r"error: connection timeout after (\d+)ms", ("duration",)),
+        LogTemplate(11, r"error: invalid user id (\d+)", ("user_id",)),
+    ])
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def matcher_oracle_sql(matcher: CompiledMatcher, source_sql: str, line_col: str = "line") -> str:
+    """Generate a DuckDB SQL restatement of fragment-vote matching.
+
+    ``source_sql`` must yield a relation with a ``line`` column; the result
+    adds ``template_id`` (nullable bigint). Independent implementation path
+    for the correctness gate — same semantics, zero shared code with the
+    numpy matcher.
+    """
+    score_exprs = []
+    ids = []
+    for j, t in enumerate(matcher.templates):
+        tid = int(t.template_id)
+        ids.append(tid)
+        frag_rows = [
+            (frag, float(matcher._weight_matrix[i, j]))
+            for i, frag in enumerate(matcher.fragments)
+            if matcher._indicator_matrix[i, j] > 0.0
+        ]
+        total = float(matcher._total_weight[j])
+        hits = [f"(CASE WHEN position({_sql_quote(fr)} IN {line_col}) > 0 THEN 1 ELSE 0 END)"
+                for fr, _ in frag_rows]
+        wsum = [f"(CASE WHEN position({_sql_quote(fr)} IN {line_col}) > 0 THEN {w!r} ELSE 0.0 END)"
+                for fr, w in frag_rows]
+        votes = " + ".join(hits) or "0"
+        if total > 0.0:
+            score = f"(({' + '.join(wsum) or '0.0'}) / {total!r})"
+        else:
+            score = f"(CAST(({votes}) AS DOUBLE) / {max(len(frag_rows), 1)})"
+        score_exprs.append((tid, f"CASE WHEN ({votes}) > 0 THEN {score} ELSE -1.0 END AS _s{tid}"))
+
+    best = "GREATEST(" + ", ".join(f"_s{tid}" for tid in ids) + ")"
+    pick = "CASE "
+    for tid in ids:  # ascending template_id = the documented tie-break
+        pick += f"WHEN _best >= {matcher.threshold!r} AND _s{tid} = _best THEN CAST({tid} AS BIGINT) "
+    pick += "ELSE NULL END"
+    return f"""
+WITH _src AS ({source_sql}),
+_scored AS (SELECT *, {', '.join(e for _, e in score_exprs)} FROM _src),
+_best AS (SELECT *, {best} AS _best FROM _scored)
+SELECT * EXCLUDE ({', '.join(f'_s{tid}' for tid in ids)}, _best), {pick} AS template_id FROM _best
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# the queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_template_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T2: group-by count + 5 deterministic samples, top-20
+    (src/clickhouse_client.rs:199-218)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.slice(F.sort_array(F.collect_list("props")), 1, 5).alias("sample_messages"),
+        )
+        .orderBy(F.desc("log_count"), F.asc("event_type"))
+        .limit(20)
+    )
+
+
+def q_time_range_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+T1: key + time-range predicate, recency sort + limit
+    (src/clickhouse_client.rs:158-170)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & F.col("ts").between("2024-01-05 00:00:00", "2024-02-01 00:00:00")
+        )
+        .select("event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value")
+        .orderBy(F.desc("ts_us"), F.asc("event_id"))
+        .limit(500)
+    )
+
+
+def q_broadcast_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-analog: fact join small dims — broadcast, revenue per nation in
+    integer cents (exact across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def q_matched_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: matched/unmatched routing predicate as a left_anti split."""
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame([("click",), ("view",), ("purchase",)], "event_type string")
+    matched = ev.join(F.broadcast(dim), "event_type", "left_semi").count()
+    unmatched = ev.join(F.broadcast(dim), "event_type", "left_anti").count()
+    return spark.createDataFrame(
+        [("matched", matched), ("unmatched", unmatched)], "route string, n_rows long"
+    )
+
+
+def q_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: unionByName of two source slices (tests/benchmarks.rs:654-662)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("value") > 50.0)
+    return a.unionByName(b).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("event_type")
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-group modal assignment via window
+    (src/benchmark_runner.rs:183-194); groups = users, assignments = event types."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("majority_event_type"), F.col("n").alias("majority_n"))
+        .orderBy("user_id")
+    )
+
+
+def q_grouping_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: accuracy vs per-group majority (src/benchmark_runner.rs:196-226)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    maj = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1) \
+        .select("user_id", F.col("event_type").alias("maj"))
+    joined = ev.join(F.broadcast(maj), "user_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("event_type") == F.col("maj")).cast("long")).alias("correct"),
+    )
+
+
+def q_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct group count (src/benchmark_runner.rs:135-139)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.countDistinct("user_id").alias("expected_groups"))
+
+
+def q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: COALESCE(max(id),0) (src/clickhouse_client.rs:245-257)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(F.coalesce(F.max("event_id"), F.lit(0)).alias("max_event_id"))
+
+
+def q_user_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star per-conv histogram analog on events: per-user turn counts,
+    matched (known types) and error tallies."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("event_type").isin("click", "view", "purchase").cast("long")).alias("n_known"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_recent_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-per-key: top-3 most recent events per user (window row_number)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
+def q_turn_ordering_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window: stable per-key ordering with row_number + lag
+    (north_rule stable turn ordering)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("turn_seq"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: ~1% sampled example sink, md5-bucketed so it is reproducible
+    across engines (replaces the reference's rand()<0.01,
+    src/bin/log-ingest-service.rs:421-434)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast("long") % 100
+    return ev.filter(bucket < 1).select("event_id", "event_type").orderBy("event_id")
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-summary-style aggregate (A6) in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_cents"),
+            F.sum(price_c * (100 - disc_c)).alias("sum_disc_cents2"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_cents3"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_match_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core operator: fragment-vote template matching (pandas UDF) on
+    deterministic log lines built from events; per-template counts.
+    Oracle = generated SQL restatement of the same scoring."""
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    matched = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+    return (
+        matched.groupBy("template_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.asc_nulls_first("template_id"))
+    )
+
+
+def q_match_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level matcher parity: (event_id, template_id) for every line —
+    the strictest per-row gate against the generated SQL oracle."""
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("event_id", F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    return (
+        lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+        .select("event_id", "template_id")
+        .orderBy("event_id")
+    )
+
+
+def q_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: log-format classification (syslog / ISO / delimited /
+    unstructured; src/log_format_detector.rs:20-61) over constructed lines."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_FMT_LINE_SQL.format(S="STRING"))
+    from .functions.format_detect import detect_format_col
+
+    return (
+        ev.select(detect_format_col(line).alias("format"))
+        .groupBy("format").agg(F.count(F.lit(1)).alias("n_rows")).orderBy("format")
+    )
+
+
+def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F14: variable masking -> signature clustering counts
+    (src/smart_template_generator.rs:64-117, src/token_classifier.rs:205-212)."""
+    ev = _t(spark, sf_dir, "events")
+    from .functions.masks import mask_col
+
+    line = F.expr(_LINE_SQL.format(S="STRING"))
+    return (
+        ev.select(mask_col(line).alias("signature"))
+        .groupBy("signature").agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("signature"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+def oracle_sql_map() -> dict[str, str]:
+    m = entry_matcher()
+    line_duck = _LINE_SQL.format(S="VARCHAR")
+    sql: dict[str, str] = {}
+
+    sql["template_counts_topk"] = """
+SELECT event_type,
+       count(*) AS log_count,
+       (list_sort(list(props)))[1:5] AS sample_messages
+FROM events GROUP BY event_type
+ORDER BY log_count DESC, event_type ASC LIMIT 20
+""".strip()
+
+    sql["time_range_recent"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+FROM events
+WHERE event_type = 'error' AND ts BETWEEN '2024-01-05 00:00:00' AND '2024-02-01 00:00:00'
+ORDER BY ts_us DESC, event_id ASC LIMIT 500
+""".strip()
+
+    sql["broadcast_enrich_join"] = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""".strip()
+
+    sql["matched_split_counts"] = """
+SELECT 'matched' AS route, count(*) AS n_rows FROM events WHERE event_type IN ('click','view','purchase')
+UNION ALL
+SELECT 'unmatched' AS route, count(*) AS n_rows FROM events WHERE event_type NOT IN ('click','view','purchase')
+""".strip()
+
+    sql["union_counts"] = """
+WITH u AS (
+  SELECT * FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT * FROM events WHERE value > 50.0
+)
+SELECT event_type, count(*) AS n_rows FROM u GROUP BY event_type ORDER BY event_type
+""".strip()
+
+    sql["majority_vote"] = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c)
+SELECT user_id, event_type AS majority_event_type, n AS majority_n FROM r WHERE rn = 1 ORDER BY user_id
+""".strip()
+
+    sql["grouping_accuracy"] = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c),
+m AS (SELECT user_id, event_type AS maj FROM r WHERE rn = 1)
+SELECT count(*) AS total,
+       sum(CASE WHEN e.event_type = m.maj THEN 1 ELSE 0 END) AS correct
+FROM events e JOIN m USING (user_id)
+""".strip()
+
+    sql["distinct_groups"] = "SELECT count(DISTINCT user_id) AS expected_groups FROM events"
+
+    sql["max_id"] = "SELECT COALESCE(max(event_id), 0) AS max_event_id FROM events"
+
+    sql["user_histogram"] = """
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS n_known,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM events GROUP BY user_id ORDER BY user_id
+""".strip()
+
+    sql["recent_per_user"] = """
+WITH r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+           FROM events)
+SELECT user_id, event_id, ts_us, rn FROM r WHERE rn <= 3 ORDER BY user_id, rn
+""".strip()
+
+    sql["turn_ordering_lag"] = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS turn_seq,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event_type
+FROM events
+""".strip()
+
+    sql["deterministic_sample"] = """
+SELECT event_id, event_type FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 1
+ORDER BY event_id
+""".strip()
+
+    sql["tpch_q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cents2,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_cents3,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+    match_src = f"SELECT event_id, {line_duck} AS line FROM events"
+    assignments = matcher_oracle_sql(m, match_src)
+    sql["match_log_lines"] = f"""
+WITH _assign AS ({assignments})
+SELECT template_id, count(*) AS n_lines FROM _assign
+GROUP BY template_id ORDER BY template_id ASC NULLS FIRST
+""".strip()
+    sql["match_assignments"] = f"""
+WITH _assign AS ({assignments})
+SELECT event_id, template_id FROM _assign ORDER BY event_id
+""".strip()
+
+    from .functions.format_detect import format_detect_sql
+    from .functions.masks import mask_sql_duck
+
+    fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")
+    sql["format_detect"] = f"""
+WITH l AS (SELECT {fmt_line_duck} AS line FROM events)
+SELECT {format_detect_sql('line')} AS format, count(*) AS n_rows
+FROM l GROUP BY 1 ORDER BY format
+""".strip()
+
+    sql["mask_signature"] = f"""
+WITH l AS (SELECT {line_duck} AS line FROM events)
+SELECT {mask_sql_duck('line')} AS signature, count(*) AS n_rows
+FROM l GROUP BY 1 ORDER BY n_rows DESC, signature ASC
+""".strip()
+
+    return sql
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "template_counts_topk": q_template_counts_topk,
+        "time_range_recent": q_time_range_recent,
+        "broadcast_enrich_join": q_broadcast_enrich_join,
+        "matched_split_counts": q_matched_split_counts,
+        "union_counts": q_union_counts,
+        "majority_vote": q_majority_vote,
+        "grouping_accuracy": q_grouping_accuracy,
+        "distinct_groups": q_distinct_groups,
+        "max_id": q_max_id,
+        "user_histogram": q_user_histogram,
+        "recent_per_user": q_recent_per_user,
+        "turn_ordering_lag": q_turn_ordering_lag,
+        "deterministic_sample": q_deterministic_sample,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "match_log_lines": q_match_log_lines,
+        "match_assignments": q_match_assignments,
+        "format_detect": q_format_detect,
+        "mask_signature": q_mask_signature,
+    }

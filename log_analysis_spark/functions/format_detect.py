@@ -1,0 +1,54 @@
+"""F9/F10: log-format detection + syslog component extraction.
+
+Semantics of /root/reference/src/log_format_detector.rs:20-78: classify a
+line as syslog / iso_timestamp / delimited / unstructured, and pull
+(timestamp, host, service, pid, message) out of syslog lines. All
+expressed as JVM-side regexp functions; a DuckDB SQL template mirrors the
+classifier for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SYSLOG_RE = r"^[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2} "
+ISO_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+# syslog component extraction (reference regex at log_format_detector.rs:66)
+SYSLOG_EXTRACT_RE = (
+    r"^([A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) ([A-Za-z0-9_()\-]+)(?:\[(\d+)\])?: (.*)$"
+)
+
+
+def _delim_count(col: Column, d: str) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, f"\\{d}", ""))
+
+
+def detect_format_col(col: Column) -> Column:
+    """'syslog' | 'iso_timestamp' | 'delimited' | 'unstructured'."""
+    return (
+        F.when(col.rlike(SYSLOG_RE), "syslog")
+        .when(col.rlike(ISO_RE), "iso_timestamp")
+        .when((_delim_count(col, ",") >= 3) | (_delim_count(col, "|") >= 3), "delimited")
+        .otherwise("unstructured")
+    )
+
+
+def extract_syslog_cols(col: Column) -> list[Column]:
+    """(ts_str, host, service, pid, message) from a syslog line (F10)."""
+    return [
+        F.regexp_extract(col, SYSLOG_EXTRACT_RE, i).alias(name)
+        for i, name in ((1, "ts_str"), (2, "host"), (3, "service"), (4, "pid"), (5, "message"))
+    ]
+
+
+def format_detect_sql(col: str) -> str:
+    """DuckDB dialect mirror of the classifier."""
+    return (
+        "CASE "
+        f"WHEN regexp_matches({col}, '{SYSLOG_RE}') THEN 'syslog' "
+        f"WHEN regexp_matches({col}, '{ISO_RE}') THEN 'iso_timestamp' "
+        f"WHEN (length({col}) - length(replace({col}, ',', ''))) >= 3 "
+        f"  OR (length({col}) - length(replace({col}, '|', ''))) >= 3 THEN 'delimited' "
+        "ELSE 'unstructured' END"
+    )

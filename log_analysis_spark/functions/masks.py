@@ -1,0 +1,45 @@
+"""F8/F11/F16: variable masking — the induction front-end.
+
+Priority-ordered, non-overlapping masking of variable-looking spans
+(semantics of /root/reference/src/smart_template_generator.rs:64-117:
+IP before hex before decimal before int, path handled explicitly), plus
+whitespace normalization (src/llm_service.rs:362). Masked text doubles as
+the log-type *signature* (src/token_classifier.rs:205-212): lines sharing
+a signature belong to the same template cluster.
+
+All JVM-side (`regexp_replace` chains, whole-stage codegen) — no Python in
+this path. ``MASK_SQL_DUCK`` is the same chain in DuckDB dialect for the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) in priority order. Patterns are valid in both
+# Java regex (Spark) and RE2 (DuckDB).
+MASK_RULES: tuple[tuple[str, str], ...] = (
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>"),
+    (r"0x[0-9a-fA-F]+", "<HEX>"),
+    (r"(/[A-Za-z0-9_.\-]+){2,}", "<PATH>"),
+    (r"\d+\.\d+", "<NUM>"),
+    (r"\d+", "<INT>"),
+)
+
+
+def mask_col(col: Column) -> Column:
+    """Masked signature of a text column (collapses whitespace last)."""
+    out = col
+    for pat, repl in MASK_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def mask_sql_duck(col_expr: str) -> str:
+    """Same chain in DuckDB dialect (regexp_replace needs the 'g' flag)."""
+    out = col_expr
+    for pat, repl in MASK_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -1,0 +1,116 @@
+"""Spark-side matching: the compiled matcher as an Arrow-batched pandas UDF.
+
+The reference's hot path (src/log_matcher.rs:543-584) loads an immutable
+snapshot once per batch and scores each line; here one ``pandas_udf`` call
+receives one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``
+rows ≈ the reference's bulk chunking, src/log_matcher.rs:275,:568) and the
+whole batch is scored with numpy matrix ops — no per-row Python.
+
+The matcher object is shipped via ``SparkContext.broadcast`` so the (small)
+compiled state is serialized once per executor, not once per task; swapping
+in a new template set = compiling + re-broadcasting a new matcher, the
+Spark analog of the reference's ArcSwap snapshot swap
+(src/log_matcher.rs:527-539).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import ship_package
+from .templates import CompiledMatcher
+
+
+def match_udf(spark: SparkSession, matcher: CompiledMatcher):
+    """Return a pandas UDF text -> nullable long template_id."""
+    ship_package(spark)
+    bc = spark.sparkContext.broadcast(matcher)
+
+    @F.pandas_udf(T.LongType())
+    def _match(texts: pd.Series) -> pd.Series:
+        return bc.value.match_series(texts)
+
+    return _match
+
+
+def match_score_udf(spark: SparkSession, matcher: CompiledMatcher):
+    """pandas UDF text -> struct(template_id long, score double)."""
+    ship_package(spark)
+    bc = spark.sparkContext.broadcast(matcher)
+    schema = T.StructType([
+        T.StructField("template_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _match(texts: pd.Series) -> pd.DataFrame:
+        ids, scores = bc.value.score_batch(texts)
+        tid = pd.Series(ids, dtype="Int64").mask(pd.Series(ids) < 0)
+        return pd.DataFrame({"template_id": tid, "score": scores})
+
+    return _match
+
+
+def with_template_id(
+    df: DataFrame,
+    spark: SparkSession,
+    matcher: CompiledMatcher,
+    text_col: str = "text",
+    out_col: str = "template_id",
+) -> DataFrame:
+    """parse stage: df + nullable ``template_id`` column.
+
+    Narrow transformation — no shuffle; pipelines with the scan.
+    """
+    return df.withColumn(out_col, match_udf(spark, matcher)(F.col(text_col)))
+
+
+def variables_udf(spark: SparkSession, matcher: CompiledMatcher):
+    """pandas UDF (text, template_id) -> array<string> of capture groups.
+
+    The reference compiles one regex per template and uses it for variable
+    *extraction* only — never in the match hot path
+    (src/log_matcher.rs:109-111; proven by the fragment-semantics test
+    :820-839). Same here: extraction is a separate, optional projection.
+    """
+    ship_package(spark)
+    bc = spark.sparkContext.broadcast(matcher)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _extract(texts: pd.Series, tids: pd.Series) -> pd.Series:
+        m = bc.value
+        out: list[list[str] | None] = []
+        # group rows by template id so each compiled regex runs over a
+        # contiguous sub-batch (vectorized via pd.Series.str.extract).
+        result = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        valid = tids.notna()
+        for tid, idx in texts.index[valid].groupby(tids[valid].astype("int64")).items():
+            rx = m.regex_for(int(tid))
+            if rx is None or rx.groups == 0:
+                continue
+            extracted = texts.loc[idx].str.extract(rx, expand=True)
+            vals = extracted.to_numpy(dtype=object)
+            result.loc[idx] = [
+                None if all(v is None or v is np.nan or (isinstance(v, float) and np.isnan(v)) for v in row)
+                else [None if (isinstance(v, float) and np.isnan(v)) else v for v in row]
+                for row in vals
+            ]
+        del out
+        return result
+
+    return _extract
+
+
+def with_variables(
+    df: DataFrame,
+    spark: SparkSession,
+    matcher: CompiledMatcher,
+    text_col: str = "text",
+    tid_col: str = "template_id",
+    out_col: str = "variables",
+) -> DataFrame:
+    return df.withColumn(out_col, variables_udf(spark, matcher)(F.col(text_col), F.col(tid_col)))

@@ -1,0 +1,130 @@
+"""Per-sink aggregates (SURVEY.md §2.4, A1-A7) as declarative DataFrame ops.
+
+Spark's hash aggregate already does map-side partial aggregation, so the
+reference's single-node group-bys (src/clickhouse_client.rs:182-227,
+src/benchmark_runner.rs:164-226) become one shuffle each. Sample lists are
+made deterministic (sort_array before slice) — the reference's
+groupArray(5) is arrival-order dependent; ours is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def template_counts(df: DataFrame, top_k: int = 20, n_samples: int = 5,
+                    salt_buckets: int = 0) -> DataFrame:
+    """A1/T2: per-template count + up to 5 deterministic sample messages,
+    top-k by count (reference SQL: src/clickhouse_client.rs:199-218).
+
+    ``salt_buckets > 0`` splits hot template ids across that many salts
+    before the final merge — collect_list on a skewed key is the one
+    aggregate where pre-salting matters (counts alone are fine: partial
+    aggregation already combines map-side).
+    """
+    if salt_buckets > 0:
+        pre = (
+            df.withColumn("_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)))
+            .groupBy("template_id", "_salt")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.slice(F.sort_array(F.collect_list("text")), 1, n_samples).alias("_s"),
+            )
+        )
+        agg = (
+            pre.groupBy("template_id")
+            .agg(
+                F.sum("_c").alias("log_count"),
+                F.slice(F.sort_array(F.flatten(F.collect_list("_s"))), 1, n_samples).alias("sample_messages"),
+            )
+        )
+    else:
+        agg = df.groupBy("template_id").agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.slice(F.sort_array(F.collect_list("text")), 1, n_samples).alias("sample_messages"),
+        )
+    return agg.orderBy(F.desc("log_count"), F.asc_nulls_last("template_id")).limit(top_k)
+
+
+def conv_histogram(df: DataFrame, error_template_ids: tuple[int, ...] = ()) -> DataFrame:
+    """Per-conversation turn histogram: n_turns, n_matched, n_errors.
+
+    Partial aggregation makes the heavy conversations harmless here; the
+    shuffle key is conv_id (reused from with_turn_order's partitioning
+    when called downstream of it).
+    """
+    err = F.col("template_id").isin(list(error_template_ids)) if error_template_ids else F.lit(False)
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("template_id").isNotNull().cast("long")).alias("n_matched"),
+        F.sum(err.cast("long")).alias("n_errors"),
+    )
+
+
+def error_tallies(df: DataFrame, error_template_ids: tuple[int, ...]) -> DataFrame:
+    """Error-pattern tallies per template (north_star aggregate)."""
+    return (
+        df.filter(F.col("template_id").isin(list(error_template_ids)))
+        .groupBy("template_id")
+        .agg(F.count(F.lit(1)).alias("error_count"))
+    )
+
+
+def turn_length_histogram(df: DataFrame, bucket_size: int = 8) -> DataFrame:
+    """Histogram of conversation lengths: bucket -> n_conversations."""
+    per_conv = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return (
+        per_conv.withColumn("bucket", (F.floor(F.col("n_turns") / bucket_size) * bucket_size).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .orderBy("bucket")
+    )
+
+
+def majority_vote(assignments: DataFrame, group_col: str = "event_id",
+                  assign_col: str = "template_id") -> DataFrame:
+    """A2: modal assigned template per ground-truth group
+    (src/benchmark_runner.rs:183-194). Deterministic tie-break:
+    count desc, template_id asc (the reference is hash-order dependent).
+    """
+    counts = assignments.groupBy(group_col, assign_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc_nulls_last(assign_col))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(group_col, F.col(assign_col).alias("majority_template_id"))
+    )
+
+
+def grouping_accuracy(assignments: DataFrame, group_col: str = "event_id",
+                      assign_col: str = "template_id") -> DataFrame:
+    """A3: majority-vote grouping accuracy
+    (src/benchmark_runner.rs:196-226): a row is correct iff its assigned
+    template equals its group's modal template. Returns one row:
+    total, correct, unmatched, accuracy_pct.
+    """
+    maj = majority_vote(assignments, group_col, assign_col)
+    joined = assignments.join(F.broadcast(maj), group_col, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            (F.col(assign_col).isNotNull()
+             & (F.col(assign_col) == F.col("majority_template_id"))).cast("long")
+        ).alias("correct"),
+        F.sum(F.col(assign_col).isNull().cast("long")).alias("unmatched"),
+    ).select(
+        "total", "correct", "unmatched",
+        (F.col("correct") * 100.0 / F.col("total")).alias("accuracy_pct"),
+    )
+
+
+def distinct_groups(df: DataFrame, col: str = "event_id", approx: bool = False) -> DataFrame:
+    """A4 (exact) — ``approx=True`` switches to HLL for the 100TB path."""
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return df.agg(agg.alias("expected_groups"))
+
+
+def max_id(df: DataFrame, col: str = "template_id") -> DataFrame:
+    """A7: COALESCE(max(id), 0) (src/clickhouse_client.rs:245-257)."""
+    return df.agg(F.coalesce(F.max(col), F.lit(0)).alias("max_template_id"))

@@ -1,0 +1,52 @@
+"""Skew handling: salted two-phase aggregation and salted repartitioning.
+
+The transcript table has Zipf-skewed conversations (a few convs carry
+~100x the median turns). For algebraic aggregates Spark's partial
+aggregation already neutralizes skew; salting matters for (a) holistic
+aggregates (collect_list/percentiles) and (b) repartition-by-key before
+per-group pandas stages, where one hot key would pin a whole task.
+
+Salt = hash(stable row key) % buckets, appended to the grouping key for
+phase 1, dropped in phase 2 (north_rule: explicit skew handling with
+exact re-merge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, row_key_cols: Sequence[str]) -> DataFrame:
+    """Deterministic salt column derived from a stable row key (never
+    rand(): resume/retry must reproduce the same placement)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*row_key_cols), F.lit(buckets)))
+
+
+def salted_repartition(df: DataFrame, key: str, buckets: int,
+                       row_key_cols: Sequence[str], n_partitions: int | None = None) -> DataFrame:
+    """Repartition by (key, salt) so one hot key spreads over ``buckets``
+    tasks. Callers that need per-key completeness must merge afterwards."""
+    salted = with_salt(df, buckets, row_key_cols)
+    args = ([n_partitions] if n_partitions else []) + [F.col(key), F.col("_salt")]
+    return salted.repartition(*args)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    phase1: dict[str, Column],
+    phase2: dict[str, Column],
+    buckets: int,
+    row_key_cols: Sequence[str],
+) -> DataFrame:
+    """Generic two-phase salted aggregation.
+
+    phase1 aggregates per (keys + salt); phase2 merges per keys.
+    Example: count -> phase1 {'c': F.count('*')}, phase2 {'n': F.sum('c')}.
+    """
+    salted = with_salt(df, buckets, row_key_cols)
+    p1 = salted.groupBy(*key_cols, "_salt").agg(*[c.alias(n) for n, c in phase1.items()])
+    return p1.groupBy(*key_cols).agg(*[c.alias(n) for n, c in phase2.items()])

@@ -1,0 +1,145 @@
+"""The end-to-end parse → enrich → route → aggregate pipeline.
+
+Stage graph (north_star):
+
+  scan transcripts
+    → match (pandas-UDF fragment-vote; narrow, fused with the scan)
+    → enrich (broadcast dim joins; still narrow)
+    → route  (fan-out partitioned parquet sinks; one pass)
+    → aggregate (template counts / conv histograms / error tallies;
+                 one shuffle each on template_id / conv_id)
+
+Checkpoint-resume (north_rule): every stage materializes under
+``out_dir/stages/NN_name/`` with a ``_STAGE_OK`` marker written only after
+a successful write. Resume skips any stage whose marker exists, and each
+write is an atomic overwrite of its own directory, so a re-run after a
+mid-stage kill never double-counts. Per-stage lineage + per-partition
+metrics append to ``out_dir/lineage.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..enrich import enrich, with_turn_order
+from ..matcher import with_template_id
+from ..operators.aggregates import conv_histogram, error_tallies, template_counts
+from ..sources.readers import templates_to_df
+from ..sources.writers import route_and_write, sink_counts
+from ..synth import ERROR_TEMPLATE_IDS, role_dict, tool_dict
+from ..templates import CompiledMatcher
+
+_OK = "_STAGE_OK"
+
+
+def _stage_dir(out_dir: str, idx: int, name: str) -> str:
+    return os.path.join(out_dir, "stages", f"{idx:02d}_{name}")
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, _OK))
+
+
+def _mark(path: str) -> None:
+    with open(os.path.join(path, _OK), "w") as f:
+        f.write(str(time.time()))
+
+
+def _lineage(out_dir: str, record: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "lineage.jsonl"), "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+
+
+def _partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts (lineage evidence; cheap second action on
+    the already-materialized parquet)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"partition": int(r["pid"]), "rows": int(r["rows"])} for r in rows]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    matcher: CompiledMatcher,
+    out_dir: str,
+    error_template_ids: tuple[int, ...] = ERROR_TEMPLATE_IDS,
+    resume: bool = True,
+    collect_partition_metrics: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline; returns a manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict = {"out_dir": out_dir, "stages": []}
+
+    # ---- stage 1: parse+enrich (one fused narrow stage, materialized) ----
+    s1 = _stage_dir(out_dir, 1, "parsed")
+    t0 = time.time()
+    if not (resume and _done(s1)):
+        parsed = with_template_id(transcripts, spark, matcher)
+        enriched = enrich(parsed, role_dict(spark), tool_dict(spark))
+        enriched.write.mode("overwrite").parquet(os.path.join(s1, "data"))
+        _mark(s1)
+        skipped = False
+    else:
+        skipped = True
+    parsed_df = spark.read.parquet(os.path.join(s1, "data"))
+    rec = {"stage": "01_parsed", "skipped": skipped, "secs": round(time.time() - t0, 3),
+           "rows": parsed_df.count()}
+    if collect_partition_metrics and not skipped:
+        rec["partitions"] = _partition_metrics(parsed_df)
+    _lineage(out_dir, rec)
+    manifest["stages"].append(rec)
+
+    # ---- stage 2: route fan-out sinks ----
+    s2 = _stage_dir(out_dir, 2, "routed")
+    t0 = time.time()
+    if not (resume and _done(s2)):
+        sinks = route_and_write(parsed_df, s2)
+        templates_to_df(spark, matcher).write.mode("overwrite").parquet(
+            os.path.join(s2, "templates_dim"))
+        _mark(s2)
+        skipped = False
+    else:
+        sinks = {n: os.path.join(s2, n) for n in ("matched", "by_role", "unmatched", "examples")}
+        skipped = True
+    counts = sink_counts(spark, sinks)
+    rec = {"stage": "02_routed", "skipped": skipped, "secs": round(time.time() - t0, 3),
+           "sink_counts": counts}
+    _lineage(out_dir, rec)
+    manifest["stages"].append(rec)
+    manifest["sink_counts"] = counts
+
+    # ---- stage 3: aggregates ----
+    s3 = _stage_dir(out_dir, 3, "aggregates")
+    t0 = time.time()
+    if not (resume and _done(s3)):
+        ordered = with_turn_order(parsed_df)
+        template_counts(parsed_df, salt_buckets=8).write.mode("overwrite").parquet(
+            os.path.join(s3, "template_counts"))
+        conv_histogram(ordered, error_template_ids).write.mode("overwrite").parquet(
+            os.path.join(s3, "conv_histogram"))
+        error_tallies(parsed_df, error_template_ids).write.mode("overwrite").parquet(
+            os.path.join(s3, "error_tallies"))
+        _mark(s3)
+        skipped = False
+    else:
+        skipped = True
+    rec = {"stage": "03_aggregates", "skipped": skipped, "secs": round(time.time() - t0, 3)}
+    _lineage(out_dir, rec)
+    manifest["stages"].append(rec)
+
+    manifest["aggregate_paths"] = {
+        n: os.path.join(s3, n) for n in ("template_counts", "conv_histogram", "error_tallies")
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

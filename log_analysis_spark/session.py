@@ -1,0 +1,84 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local sandbox runs on local[N] (one JVM); the same configs are what we
+would submit with ``spark-submit --py-files`` on a multi-executor
+cluster. AQE handles runtime re-planning (coalescing, skew joins);
+shuffle partitions default to the core count locally (would be
+~2-3x total executor cores on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "log_analysis_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core; on a real cluster this
+        # should be ~2x total cores (AQE coalesces the excess at runtime).
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size ≈ the reference's bulk batch preset
+        # (/root/reference/src/matcher_config.rs:36-55).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to every Python worker (the local-mode analog of
+    ``spark-submit --py-files``).
+
+    Broadcast variables holding our objects (CompiledMatcher) are unpickled
+    inside executor Python workers, which need ``log_analysis_spark``
+    importable regardless of the driver's cwd/sys.path. Idempotent.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_log_analysis_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="las_pyfiles_"), "log_analysis_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join("log_analysis_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._log_analysis_spark_shipped = True

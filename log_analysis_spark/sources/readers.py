@@ -1,0 +1,107 @@
+"""Sources (SURVEY.md §2.1 S1-S6): schema-pinned readers + template cache IO.
+
+All readers declare explicit schemas (no inference in the hot path) so
+Catalyst can prune columns and push predicates into the parquet/CSV scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..templates import CompiledMatcher, LogTemplate
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+GROUND_TRUTH_SCHEMA = T.StructType([
+    T.StructField("line_id", T.IntegerType(), False),
+    T.StructField("log_line", T.StringType(), True),
+    T.StructField("event_id", T.StringType(), True),
+    T.StructField("event_template", T.StringType(), True),
+])
+
+TEMPLATES_SCHEMA = T.StructType([
+    T.StructField("template_id", T.LongType(), False),
+    T.StructField("pattern", T.StringType(), False),
+    T.StructField("variables", T.ArrayType(T.StringType()), True),
+    T.StructField("example", T.StringType(), True),
+])
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """S1-analog: the (Iceberg-shaped) transcript table. Parquet locally."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def read_raw_logs(spark: SparkSession, path: str) -> DataFrame:
+    """S2: line-oriented raw log file (reference: src/implementations.rs:130-142)."""
+    return spark.read.text(path).withColumnRenamed("value", "text")
+
+
+def read_ground_truth_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S3: LogHub-style structured CSV (src/loghub_loader.rs:99-137)."""
+    return (
+        spark.read.option("header", True).option("mode", "DROPMALFORMED")
+        .schema(GROUND_TRUTH_SCHEMA).csv(path)
+    )
+
+
+def loghub_template_to_regex(template: str) -> str:
+    """S4: `<*>` wildcard template -> anchored regex
+    (semantics of src/loghub_loader.rs:19-50: escape literals, wildcards
+    become lazy any-match groups)."""
+    import re as _re
+
+    parts = template.split("<*>")
+    return "^" + r"([\s\S]+?)".join(_re.escape(p) for p in parts) + "$"
+
+
+def templates_to_df(spark: SparkSession, matcher: CompiledMatcher) -> DataFrame:
+    rows = [
+        (t.template_id, t.pattern, list(t.variables), t.example)
+        for t in matcher.templates
+    ]
+    return spark.createDataFrame(rows, TEMPLATES_SCHEMA)
+
+
+def save_matcher_json(matcher: CompiledMatcher, path: str) -> None:
+    """S6: JSON round-trip of the template set; the compiled state (AC /
+    matrices) is always rebuilt on load, like the reference
+    (src/log_matcher.rs:657-719)."""
+    payload = {
+        "threshold": matcher.threshold,
+        "min_fragment_length": matcher.min_fragment_length,
+        "templates": [
+            {"template_id": t.template_id, "pattern": t.pattern,
+             "variables": list(t.variables), "example": t.example}
+            for t in matcher.templates
+        ],
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+
+def load_matcher_json(path: str) -> CompiledMatcher:
+    with open(path) as f:
+        payload = json.load(f)
+    templates = tuple(
+        LogTemplate(t["template_id"], t["pattern"], tuple(t.get("variables", ())), t.get("example", ""))
+        for t in payload["templates"]
+    )
+    return CompiledMatcher(
+        templates=templates,
+        threshold=payload.get("threshold", 0.3),
+        min_fragment_length=payload.get("min_fragment_length", 1),
+    )

@@ -1,0 +1,100 @@
+"""Routed fan-out sinks (SURVEY.md §2.1 S7-S11).
+
+The reference buffers rows and flushes 1000-row/5-s batches into
+ClickHouse tables (src/buffered_writer.rs:38-88); Spark writes are
+already task-batched, so the fan-out becomes partitioned parquet writes:
+
+- one ``partitionBy(...)`` write produces the whole per-role (or
+  per-template) sink family in a single pass — never N filtered writes,
+  which would re-scan the input N times at 100 TB,
+- the unmatched side-channel (src/bin/log-ingest-service.rs:100-107) is a
+  left-anti-style filter written alongside,
+- the 1% example sampling (src/bin/log-ingest-service.rs:421-434) is made
+  deterministic: md5-bucket of the stable row key instead of rand(), so
+  retries/resume produce identical sinks.
+
+Parquet here stands in for Iceberg (same layout; the sandbox has no
+Iceberg jars — ``table_format`` is pluggable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def deterministic_sample(df: DataFrame, rate_pct: int, row_key_cols: tuple[str, ...]) -> DataFrame:
+    """Seeded-equivalent Bernoulli sample: md5 bucket of the row key.
+
+    ``pmod(bucket, 100) < rate_pct`` — reproducible across retries and
+    engines (used by the DuckDB oracle too), unlike rand(seed) whose
+    stream is partitioning-dependent.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in row_key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100
+    return df.filter(bucket < rate_pct)
+
+
+def route_and_write(
+    df: DataFrame,
+    out_dir: str,
+    example_rate_pct: int = 1,
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Fan-out the matched/enriched frame into the sink family.
+
+    Layout (each a partitioned parquet table):
+      matched/       partitioned by template_id
+      by_role/       partitioned by role_group
+      unmatched/     rows with no template
+      examples/      deterministic ~1% sample of matched rows
+
+    Returns {sink_name: path}.
+    """
+    sinks: dict[str, str] = {}
+    matched = df.filter(F.col("template_id").isNotNull())
+    unmatched = df.filter(F.col("template_id").isNull())
+
+    p = os.path.join(out_dir, "matched")
+    matched.write.mode(mode).partitionBy("template_id").parquet(p)
+    sinks["matched"] = p
+
+    p = os.path.join(out_dir, "by_role")
+    df.write.mode(mode).partitionBy("role").parquet(p)
+    sinks["by_role"] = p
+
+    p = os.path.join(out_dir, "unmatched")
+    unmatched.write.mode(mode).parquet(p)
+    sinks["unmatched"] = p
+
+    p = os.path.join(out_dir, "examples")
+    deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx")).write.mode(mode).parquet(p)
+    sinks["examples"] = p
+
+    return sinks
+
+
+def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
+    """Routed-row count per sink (the correctness gate's expected_sink_counts).
+
+    An empty partitioned sink (e.g. zero matched rows) has no footer to
+    infer a schema from — that's a legitimate 0, not an error.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    out: dict[str, int] = {}
+    for name, path in sinks.items():
+        try:
+            out[name] = spark.read.parquet(path).count()
+        except AnalysisException:
+            out[name] = 0
+    return out
+
+
+def write_templates_dim(templates_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6/S9: persist the template dimension (parquet; JSON mirror for
+    human inspection matches the reference's cache files,
+    tests/benchmarks.rs:143-166)."""
+    templates_df.coalesce(1).write.mode(mode).parquet(path)

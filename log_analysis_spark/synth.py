@@ -1,0 +1,190 @@
+"""Deterministic synthetic transcript table (FIXTURES.md §1).
+
+Schema per BASELINE.json input_hint:
+    conv_id:string, turn_idx:int, role:string, text:string, tool:string,
+    ts:timestamp
+
+Every cell is a pure function of (seed, conv_id, turn_idx) via xxhash64 —
+generation is order-independent and fully distributed (spark.range →
+explode(sequence)), so the same code synthesizes 5k rows for pytest and
+10^9+ rows for benchmarks without ever touching the driver. Zipf-ish skew:
+~1/997 conversations get ~100x the median turn count, exercising the
+salting path.
+
+Text is rendered from a fixed template pool (the reference's built-in
+templates plus its golden test sets, /root/reference/src/log_matcher.rs:
+474-493, :846-866, :911-931); ~5% of rows render an "unknown" shape absent
+from the pool, exercising unmatched routing and induction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .templates import DEFAULT_TEMPLATES, LogTemplate
+
+# The template pool used for rendering AND for matching in tests/bench.
+POOL_TEMPLATES: tuple[LogTemplate, ...] = DEFAULT_TEMPLATES + (
+    LogTemplate(10, r"error: connection timeout after (\d+)ms", ("duration",),
+                "error: connection timeout after 5000ms"),
+    LogTemplate(11, r"error: invalid user id (\d+)", ("user_id",),
+                "error: invalid user id 12345"),
+    LogTemplate(12, r"error: file not found: (.*)", ("filename",),
+                "error: file not found: config.json"),
+    LogTemplate(30, r"Transaction ([a-zA-Z0-9_]+) completed successfully with amount (\d+)",
+                ("txn_id", "amount"),
+                "Transaction txn_001 completed successfully with amount 100"),
+    LogTemplate(31, r"Transaction ([a-zA-Z0-9_]+) completed with warnings: (.*)",
+                ("txn_id", "warnings"),
+                "Transaction txn_002 completed with warnings: low balance"),
+    LogTemplate(32, r"Transaction ([a-zA-Z0-9_]+) failed due to (.*)", ("txn_id", "reason"),
+                "Transaction txn_003 failed due to insufficient funds"),
+    LogTemplate(40, r"Request ([a-zA-Z0-9_]+) completed in (\d+)ms with status (\d{3})",
+                ("request_id", "duration", "status"),
+                "Request req_12 completed in 84ms with status 200"),
+)
+
+# template ids considered "errors" for the error-tally aggregate
+ERROR_TEMPLATE_IDS: tuple[int, ...] = (10, 11, 12, 32)
+
+# (event key, template_id or None, weight%) — cumulative buckets out of 100
+_POOL_WEIGHTS: tuple[tuple[str, int | None, int], ...] = (
+    ("cpu", 1, 14), ("mem", 2, 12), ("disk", 3, 12),
+    ("err_timeout", 10, 8), ("err_uid", 11, 5), ("err_file", 12, 5),
+    ("txn_ok", 30, 14), ("txn_warn", 31, 7), ("txn_fail", 32, 6),
+    ("request", 40, 12), ("unknown", None, 5),
+)
+
+_PHRASES = ("load nominal", "capacity steady", "pressure rising", "throughput high",
+            "queue draining", "watchdog active", "probe healthy", "cache warm")
+_FILES = ("config.json", "data.bin", "index.db", "state.yaml", "model.pt")
+_REASONS = ("insufficient funds", "ledger conflict", "stale nonce", "limit reached")
+_WARNINGS = ("low balance", "retry scheduled", "partial fill", "slow ack")
+_ROLES = ("user", "assistant", "system", "tool")
+_TOOLS = ("bash", "search", "browser", "none", "python", "editor")
+
+_BASE_EPOCH_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _h(seed: int, tag: str, *cols: Column) -> Column:
+    """Deterministic non-negative 63-bit hash of (seed, tag, cols)."""
+    return F.abs(F.xxhash64(F.lit(seed), F.lit(tag), *cols))
+
+
+def _pick(h: Column, choices: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(c) for c in choices])
+    return F.element_at(arr, (h % len(choices) + 1).cast("int"))
+
+
+def render_text(seed: int, conv: Column, turn: Column) -> tuple[Column, Column]:
+    """Return (text, truth_event) columns, pure functions of the keys."""
+    bucket = _h(seed, "tmpl", conv, turn) % 100
+    v1 = _h(seed, "v1", conv, turn)
+    v2 = _h(seed, "v2", conv, turn)
+
+    pct = F.format_string("%d.%d", (v1 % 90 + 5).cast("long"), (v2 % 10).cast("long"))
+    phrase = _pick(v2, _PHRASES)
+
+    renderers = {
+        "cpu": F.concat(F.lit("cpu_usage: "), pct, F.lit("% - "), phrase),
+        "mem": F.concat(F.lit("memory_usage: "), F.format_string("%d.%d", (v1 % 30 + 1).cast("long"), (v2 % 10).cast("long")), F.lit("GB - "), phrase),
+        "disk": F.concat(F.lit("disk_io: "), (v1 % 900 + 10).cast("string"), F.lit("MB/s - "), phrase),
+        "err_timeout": F.concat(F.lit("error: connection timeout after "), (v1 % 30000).cast("string"), F.lit("ms")),
+        "err_uid": F.concat(F.lit("error: invalid user id "), (v1 % 100000).cast("string")),
+        "err_file": F.concat(F.lit("error: file not found: /var/data/"), _pick(v1, _FILES)),
+        "txn_ok": F.concat(F.lit("Transaction txn_"), (v1 % 100000).cast("string"), F.lit(" completed successfully with amount "), (v2 % 10000).cast("string")),
+        "txn_warn": F.concat(F.lit("Transaction txn_"), (v1 % 100000).cast("string"), F.lit(" completed with warnings: "), _pick(v2, _WARNINGS)),
+        "txn_fail": F.concat(F.lit("Transaction txn_"), (v1 % 100000).cast("string"), F.lit(" failed due to "), _pick(v2, _REASONS)),
+        "request": F.concat(F.lit("Request req_"), (v1 % 10000).cast("string"), F.lit(" completed in "), (v2 % 2000).cast("string"), F.lit("ms with status "), _pick(v2, ("200", "201", "404", "500", "503"))),
+        "unknown": F.concat(F.lit("telemetry frame "), (v1 % 100000).cast("string"), F.lit(" payload "), (v2 % 100000).cast("string"), F.lit(" end")),
+    }
+
+    text_col = renderers[_POOL_WEIGHTS[0][0]]
+    truth_col = F.lit(_POOL_WEIGHTS[0][0])
+    lo = _POOL_WEIGHTS[0][2]
+    for key, _tid, w in _POOL_WEIGHTS[1:]:
+        cond = (bucket >= lo) & (bucket < lo + w)
+        text_col = F.when(cond, renderers[key]).otherwise(text_col)
+        truth_col = F.when(cond, F.lit(key)).otherwise(truth_col)
+        lo += w
+    return text_col, truth_col
+
+
+def truth_template_id() -> dict[str, int | None]:
+    """event key -> template_id it should match (None for unknown)."""
+    return {key: tid for key, tid, _ in _POOL_WEIGHTS}
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_convs: int = 200,
+    seed: int = 42,
+    with_truth: bool = False,
+    partitions: int | None = None,
+    skew: bool = True,
+) -> DataFrame:
+    """Materialize the deterministic transcript DataFrame.
+
+    ``with_truth=True`` adds a ``truth_event`` ground-truth column
+    (FIXTURES.md §4-5) used by tests and the accuracy metric; the
+    pipeline itself never sees it.
+    """
+    convs = spark.range(n_convs).select(
+        F.format_string("conv%06d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("_cid"),
+    )
+    base_turns = (_h(seed, "len", F.col("_cid")) % 17 + 8).cast("int")
+    if skew:
+        heavy = (_h(seed, "heavy", F.col("_cid")) % 997) == 0
+        n_turns = F.when(heavy, base_turns * 100).otherwise(base_turns)
+    else:
+        n_turns = base_turns
+    convs = convs.withColumn("_n", n_turns)
+
+    df = convs.select(
+        "conv_id", "_cid",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("turn_idx"),
+    )
+    conv, turn = F.col("_cid"), F.col("turn_idx")
+    text, truth = render_text(seed, conv, turn)
+    out = df.select(
+        "conv_id",
+        turn.cast("int").alias("turn_idx"),
+        F.element_at(F.array(*[F.lit(r) for r in _ROLES]), (turn % 4 + 1).cast("int")).alias("role"),
+        text.alias("text"),
+        _pick(_h(seed, "tool", conv, turn), _TOOLS).alias("tool"),
+        F.timestamp_millis(
+            F.lit(_BASE_EPOCH_MS) + (_h(seed, "t0", conv) % 86_400_000) + turn.cast("long") * 1000
+            + _h(seed, "tj", conv, turn) % 1000
+        ).alias("ts"),
+        *([truth.alias("truth_event")] if with_truth else []),
+    )
+    if partitions:
+        out = out.repartition(partitions, "conv_id")
+    return out
+
+
+# Enrichment dimensions (FIXTURES.md §3) — small fixed literals, broadcast.
+ROLE_DICT_ROWS = [
+    ("user", "human", False),
+    ("assistant", "agent", True),
+    ("system", "control", False),
+    ("tool", "agent", True),
+]
+TOOL_DICT_ROWS = [
+    ("bash", "shell", True),
+    ("search", "retrieval", False),
+    ("browser", "retrieval", True),
+    ("none", "n/a", False),
+    ("python", "code", True),
+    ("editor", "code", False),
+]
+
+
+def role_dict(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ROLE_DICT_ROWS, "role string, role_group string, is_agent boolean")
+
+
+def tool_dict(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TOOL_DICT_ROWS, "tool string, tool_category string, is_error_prone boolean")

@@ -1,0 +1,324 @@
+"""Template model + compiler: regex templates → broadcastable matcher state.
+
+Semantics re-expressed from the reference (behavioral parity, not a port):
+
+- fragment extraction from a regex pattern — literal runs outside groups /
+  char-classes / metacharacters (/root/reference/src/log_matcher.rs:307-364,
+  goldens at :882-903),
+- fragment specificity weight = length-score x content-score x
+  generic-penalty x distinctive-bonus, clamped to [0, 1]
+  (/root/reference/src/log_matcher.rs:368-458, monotonicity test :985-1004),
+- the three built-in default templates
+  (/root/reference/src/log_matcher.rs:474-493).
+
+Compilation happens once on the driver; the resulting ``CompiledMatcher``
+is a small immutable object (a few numpy matrices) that is broadcast to
+executors. Re-publication on template-set change plays the role of the
+reference's copy-on-write snapshot swap (src/log_matcher.rs:460-464).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# Matching accepts the best-scoring candidate only if its weighted score
+# reaches this threshold (/root/reference/src/matcher_config.rs:27).
+DEFAULT_FRAGMENT_MATCH_THRESHOLD = 0.3
+DEFAULT_MIN_FRAGMENT_LENGTH = 1  # /root/reference/src/matcher_config.rs:23
+
+
+@dataclass(frozen=True)
+class LogTemplate:
+    """One log type: a regex whose capture groups are the variables.
+
+    Reference shape: src/log_matcher.rs:54-60.
+    """
+
+    template_id: int
+    pattern: str
+    variables: tuple[str, ...] = ()
+    example: str = ""
+
+
+# The reference's built-in templates (src/log_matcher.rs:474-493).
+DEFAULT_TEMPLATES: tuple[LogTemplate, ...] = (
+    LogTemplate(1, r"cpu_usage: (\d+\.\d+)% - (.*)", ("percentage", "message"),
+                "cpu_usage: 45.2% - Server load normal"),
+    LogTemplate(2, r"memory_usage: (\d+\.\d+)GB - (.*)", ("amount", "message"),
+                "memory_usage: 2.5GB - Memory consumption stable"),
+    LogTemplate(3, r"disk_io: (\d+)MB/s - (.*)", ("throughput", "message"),
+                "disk_io: 250MB/s - Disk activity moderate"),
+)
+
+_METACHARS = set(".?*+{}^$|")
+
+
+def extract_fragments(pattern: str, min_length: int = DEFAULT_MIN_FRAGMENT_LENGTH) -> list[str]:
+    """Split a regex into its literal fragments (the AC needles).
+
+    A fragment is a maximal run of literal characters at group-depth 0,
+    outside char classes; escapes contribute the escaped char; any
+    metacharacter or group/class boundary ends the current fragment.
+    Behavioral parity with /root/reference/src/log_matcher.rs:307-364.
+    """
+    fragments: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    in_class = False
+    i = 0
+    n = len(pattern)
+
+    def flush() -> None:
+        if cur:
+            fragments.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 < n:
+                if depth == 0 and not in_class:
+                    cur.append(pattern[i + 1])
+                i += 2
+                continue
+            i += 1
+            continue
+        if ch == "[" and depth == 0 and not in_class:
+            in_class = True
+            flush()
+        elif ch == "]" and in_class:
+            in_class = False
+        elif ch == "(" and not in_class:
+            depth += 1
+            if depth == 1:
+                flush()
+        elif ch == ")" and not in_class:
+            depth -= 1
+        elif ch in _METACHARS and depth == 0 and not in_class:
+            flush()
+        elif depth == 0 and not in_class:
+            cur.append(ch)
+        i += 1
+    flush()
+    return [f for f in fragments if len(f) >= min_length]
+
+
+# Generic field-name markers that are common across many log types
+# (src/log_matcher.rs:410-433).
+_GENERIC_PATTERNS = (
+    " uid=", " gid=", " pid=", " euid=", " egid=",
+    " tty=", " user=", " host=", " ip=", " port=",
+    "id=", "name=", "type=", "status=", "code=",
+    ": ", " - ", " | ", " / ",
+)
+
+_DISTINCTIVE_SUBSTRINGS = (
+    "sshd", "systemd", "kernel", "docker", "nginx", "apache",
+    "authentication", "failure", "error", "warning", "critical", "denied",
+    "pam_unix", "logname", "session opened", "session closed",
+)
+
+
+def is_generic_fragment(fragment: str) -> bool:
+    """True for fragments that occur in many unrelated log types."""
+    t = fragment.strip()
+    if len(t) < 4:
+        return True
+    for p in _GENERIC_PATTERNS:
+        if t == p or (len(t) < 8 and p in t):
+            return True
+    return False
+
+
+def has_distinctive_markers(fragment: str) -> bool:
+    """True for fragments carrying service names / error keywords."""
+    low = fragment.lower()
+    return any(m in low for m in _DISTINCTIVE_SUBSTRINGS)
+
+
+def calculate_fragment_weight(fragment: str) -> float:
+    """Fragment specificity in [0, 1]; higher = more distinctive.
+
+    length-score x content-score x generic-penalty x distinctive-bonus,
+    parity with /root/reference/src/log_matcher.rs:368-407.
+    """
+    ln = float(len(fragment))
+    if ln < 5.0:
+        length_score = ln / 20.0
+    elif ln < 20.0:
+        length_score = 0.25 + ((ln - 5.0) / 15.0) * 0.5
+    else:
+        length_score = 0.75 + min((ln - 20.0) / 40.0, 0.25)
+
+    alnum = sum(c.isalnum() for c in fragment)
+    content_score = (alnum / max(ln, 1.0)) * 0.8 + 0.2
+    generic_penalty = 0.3 if is_generic_fragment(fragment) else 1.0
+    distinctive_bonus = 1.5 if has_distinctive_markers(fragment) else 1.0
+    return max(0.0, min(1.0, length_score * content_score * generic_penalty * distinctive_bonus))
+
+
+@dataclass
+class CompiledMatcher:
+    """Immutable, broadcast-ready matcher state.
+
+    Candidate generation differs from the reference by design: instead of a
+    non-overlapping Aho-Corasick pass we test *containment* of every unique
+    fragment (vectorized substring search per Arrow batch; an optional
+    ``ahocorasick`` fast path is used when the C extension is installed).
+    Containment is a superset of the reference's leftmost-longest AC hits
+    and is order-independent, which makes results reproducible. Scoring is
+    identical: score(t) = sum(weight of unique matched fragments) /
+    sum(weight over t's full fragment list) with a count-ratio fallback
+    when total weight is zero (src/log_matcher.rs:202-255).
+
+    Tie-break (the reference leaves this to hash order,
+    src/log_matcher.rs:257-259): score desc, then template_id asc.
+    """
+
+    templates: tuple[LogTemplate, ...]
+    threshold: float = DEFAULT_FRAGMENT_MATCH_THRESHOLD
+    min_fragment_length: int = DEFAULT_MIN_FRAGMENT_LENGTH
+
+    # compiled state (derived in __post_init__)
+    template_ids: np.ndarray = field(init=False, repr=False)
+    fragments: list[str] = field(init=False, repr=False)
+    _weight_matrix: np.ndarray = field(init=False, repr=False)      # [n_frag, n_tmpl]
+    _indicator_matrix: np.ndarray = field(init=False, repr=False)   # [n_frag, n_tmpl]
+    _total_weight: np.ndarray = field(init=False, repr=False)       # [n_tmpl]
+    _required_count: np.ndarray = field(init=False, repr=False)     # [n_tmpl]
+    _compiled_regex: dict[int, re.Pattern] = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        tmpls = tuple(sorted(self.templates, key=lambda t: t.template_id))
+        object.__setattr__(self, "templates", tmpls)
+        self.template_ids = np.array([t.template_id for t in tmpls], dtype=np.int64)
+
+        frag_weight: dict[str, float] = {}
+        per_template: list[list[str]] = []
+        for t in tmpls:
+            frags = extract_fragments(t.pattern, self.min_fragment_length)
+            per_template.append(frags)
+            for f in frags:
+                if f not in frag_weight:
+                    frag_weight[f] = calculate_fragment_weight(f)
+
+        self.fragments = list(frag_weight.keys())
+        frag_index = {f: i for i, f in enumerate(self.fragments)}
+        n_frag, n_tmpl = len(self.fragments), len(tmpls)
+
+        W = np.zeros((n_frag, n_tmpl), dtype=np.float64)
+        I = np.zeros((n_frag, n_tmpl), dtype=np.float64)
+        total_w = np.zeros(n_tmpl, dtype=np.float64)
+        req_n = np.zeros(n_tmpl, dtype=np.float64)
+        for j, frags in enumerate(per_template):
+            # denominator iterates the full fragment list *including
+            # duplicates* (reference sums over the required vec,
+            # src/log_matcher.rs:213-217); the numerator is over the
+            # *unique* matched set, so W/I use unique fragments only.
+            total_w[j] = sum(frag_weight[f] for f in frags)
+            req_n[j] = float(len(frags))
+            for f in set(frags):
+                W[frag_index[f], j] = frag_weight[f]
+                I[frag_index[f], j] = 1.0
+        self._weight_matrix = W
+        self._indicator_matrix = I
+        self._total_weight = total_w
+        self._required_count = req_n
+        self._compiled_regex = {}
+        for t in tmpls:
+            try:
+                self._compiled_regex[t.template_id] = re.compile(t.pattern)
+            except re.error:
+                pass
+
+        # Optional C Aho-Corasick fast path for candidate generation.
+        automaton = None
+        try:  # pragma: no cover - exercised only where the lib exists
+            import ahocorasick  # type: ignore
+
+            automaton = ahocorasick.Automaton()
+            for i, f in enumerate(self.fragments):
+                automaton.add_word(f, i)
+            automaton.make_automaton()
+        except ImportError:
+            pass
+        object.__setattr__(self, "_automaton", automaton)
+
+    # -- matching ---------------------------------------------------------
+
+    def _containment_matrix(self, texts: pd.Series) -> np.ndarray:
+        """bool[n_rows, n_frag]: fragment j occurs in row i (case-sensitive)."""
+        n = len(texts)
+        M = np.zeros((n, len(self.fragments)), dtype=np.float64)
+        automaton = getattr(self, "_automaton", None)
+        if automaton is not None:  # pragma: no cover
+            vals = texts.to_numpy(dtype=object)
+            for i in range(n):
+                s = vals[i]
+                if not isinstance(s, str):
+                    continue
+                for _, j in automaton.iter(s):
+                    M[i, j] = 1.0
+            return M
+        vals = texts.fillna("")
+        for j, frag in enumerate(self.fragments):
+            M[:, j] = vals.str.contains(frag, regex=False).to_numpy(dtype=np.float64)
+        return M
+
+    def score_batch(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """Return (best_template_id_or_-1, best_score) per row, vectorized."""
+        if len(self.templates) == 0 or len(texts) == 0:
+            return (np.full(len(texts), -1, dtype=np.int64),
+                    np.zeros(len(texts), dtype=np.float64))
+        M = self._containment_matrix(texts)
+        matched_w = M @ self._weight_matrix            # [n, n_tmpl]
+        matched_c = M @ self._indicator_matrix         # [n, n_tmpl]
+        denom = np.where(self._total_weight > 0.0, self._total_weight, 1.0)
+        scores = np.where(
+            self._total_weight > 0.0,
+            matched_w / denom,
+            matched_c / np.maximum(self._required_count, 1.0),
+        )
+        scores = np.where(matched_c > 0.0, scores, -1.0)  # candidates need >=1 vote
+        best = np.argmax(scores, axis=1)  # ties -> lowest index = lowest template_id
+        rows = np.arange(len(texts))
+        best_scores = scores[rows, best]
+        ids = np.where(best_scores >= self.threshold, self.template_ids[best], -1)
+        return ids.astype(np.int64), best_scores
+
+    def match_series(self, texts: pd.Series) -> pd.Series:
+        """Nullable Int64 series of matched template ids (None = unmatched)."""
+        ids, _ = self.score_batch(texts)
+        out = pd.Series(ids, index=texts.index, dtype="Int64")
+        return out.mask(out < 0)
+
+    def match_one(self, text: str) -> int | None:
+        """Single-line convenience (tests / driver-side)."""
+        res = self.match_series(pd.Series([text]))
+        v = res.iloc[0]
+        return None if pd.isna(v) else int(v)
+
+    def regex_for(self, template_id: int) -> re.Pattern | None:
+        return self._compiled_regex.get(template_id)
+
+    def with_templates(self, new_templates: list[LogTemplate]) -> "CompiledMatcher":
+        """Copy-on-write: new matcher with templates added (ref :527-539)."""
+        return CompiledMatcher(
+            templates=self.templates + tuple(new_templates),
+            threshold=self.threshold,
+            min_fragment_length=self.min_fragment_length,
+        )
+
+    def next_template_id(self) -> int:
+        """max(template_id)+1, the reference's sink-side id assignment
+        (src/clickhouse_client.rs:245-257)."""
+        return int(self.template_ids.max()) + 1 if len(self.templates) else 1
+
+
+def default_matcher(extra: list[LogTemplate] | None = None,
+                    threshold: float = DEFAULT_FRAGMENT_MATCH_THRESHOLD) -> CompiledMatcher:
+    return CompiledMatcher(templates=DEFAULT_TEMPLATES + tuple(extra or ()), threshold=threshold)

@@ -1,0 +1,81 @@
+"""Replicates the driver's correctness gate locally: run every
+``queries()`` entry at sf0.01 on Spark AND its ``oracle_sql()`` on DuckDB;
+compare row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, sorted((tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=repr)
+
+
+def _duck_rows(con, sql):
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    rows = res.fetchall()
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    fixed = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = None
+            vals.append(_norm(v))
+        fixed.append(tuple(vals))
+    return cols, sorted(fixed, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_vs_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    scols, srows = _spark_rows(q(spark, SF_DIR))
+    dcols, drows = _duck_rows(duck, oracles[name])
+    assert scols == dcols, f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert srows == drows, f"{name}: value mismatch; first diff: " + str(
+        next(((a, b) for a, b in zip(srows, drows) if a != b), None)
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"template_id", "n_lines"}

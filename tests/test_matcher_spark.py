@@ -1,0 +1,74 @@
+"""Spark-side matcher: pandas-UDF parity with the driver-side matcher,
+variable extraction, and synthetic-transcript ground truth."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from log_analysis_spark.matcher import with_template_id, with_variables
+from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts, truth_template_id
+from log_analysis_spark.templates import CompiledMatcher, default_matcher
+
+
+def pool_matcher() -> CompiledMatcher:
+    return CompiledMatcher(templates=POOL_TEMPLATES)
+
+
+def test_udf_matches_driver_side(spark):
+    m = default_matcher()
+    lines = [
+        "cpu_usage: 50.0% - test", "memory_usage: 2.5GB - test",
+        "disk_io: 100MB/s - test", "unknown log format", None, "",
+        "cpu_usage: INVALID FORMAT HERE",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(lines)], "id int, text string")
+    got = {r["id"]: r["template_id"] for r in with_template_id(df, spark, m).collect()}
+    expected = m.match_series(pd.Series(lines, dtype=object))
+    for i in range(len(lines)):
+        e = expected.iloc[i]
+        assert got[i] == (None if pd.isna(e) else int(e)), (i, lines[i])
+
+
+def test_synth_ground_truth_match(spark):
+    """Every synthesized line must match its generating template; the 5%
+    unknown shape must match nothing (drives routed-sink count goldens)."""
+    m = pool_matcher()
+    df = synth_transcripts(spark, n_convs=40, with_truth=True)
+    out = with_template_id(df, spark, m).select("truth_event", "template_id").collect()
+    t2id = truth_template_id()
+    assert len(out) > 300
+    for r in out:
+        assert r["template_id"] == t2id[r["truth_event"]], dict(r.asDict())
+
+
+def test_variable_extraction(spark):
+    m = default_matcher()
+    df = spark.createDataFrame(
+        [(1, "cpu_usage: 45.2% - Server load normal"),
+         (2, "disk_io: 250MB/s - Disk activity moderate"),
+         (3, "no match at all")],
+        "id int, text string",
+    )
+    matched = with_template_id(df, spark, m)
+    out = {r["id"]: r["variables"] for r in with_variables(matched, spark, m).collect()}
+    assert out[1] == ["45.2", "Server load normal"]
+    assert out[2] == ["250", "Disk activity moderate"]
+    assert out[3] is None
+
+
+def test_synth_determinism(spark):
+    a = synth_transcripts(spark, n_convs=10).orderBy("conv_id", "turn_idx").collect()
+    b = synth_transcripts(spark, n_convs=10).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    # different seed -> different text
+    c = synth_transcripts(spark, n_convs=10, seed=7).orderBy("conv_id", "turn_idx").collect()
+    assert [r["text"] for r in a] != [r["text"] for r in c]
+
+
+def test_synth_skew_present(spark):
+    df = synth_transcripts(spark, n_convs=3000)
+    sizes = df.groupBy("conv_id").count().agg(
+        F.max("count").alias("mx"), F.expr("percentile_approx(count, 0.5)").alias("med")
+    ).collect()[0]
+    assert sizes["mx"] >= 50 * sizes["med"], dict(sizes.asDict())

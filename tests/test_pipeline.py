@@ -1,0 +1,158 @@
+"""End-to-end pipeline: routed-sink counts, aggregate goldens computed by
+an independent path (driver-side pandas over the truth column), per-turn
+text equality under stable ordering, and checkpoint-resume equivalence
+(FIXTURES.md §5, SURVEY.md §5 test plan)."""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.plans.pipeline import run_pipeline
+from log_analysis_spark.synth import (
+    ERROR_TEMPLATE_IDS,
+    POOL_TEMPLATES,
+    synth_transcripts,
+    truth_template_id,
+)
+from log_analysis_spark.templates import CompiledMatcher
+
+N_CONVS = 60
+
+
+@pytest.fixture(scope="module")
+def truth_rows(spark):
+    df = synth_transcripts(spark, n_convs=N_CONVS, with_truth=True)
+    return df.orderBy("conv_id", "turn_idx").collect()
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory, truth_rows):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    df = synth_transcripts(spark, n_convs=N_CONVS)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    manifest = run_pipeline(spark, df, matcher, out)
+    return out, manifest
+
+
+def _expected(truth_rows):
+    """Independent golden computation (plain Python over the truth col)."""
+    t2id = truth_template_id()
+    exp = {
+        "total": len(truth_rows),
+        "matched": 0,
+        "by_tid": collections.Counter(),
+        "errors": collections.Counter(),
+        "by_conv": collections.defaultdict(lambda: [0, 0, 0]),  # turns, matched, errors
+    }
+    for r in truth_rows:
+        tid = t2id[r["truth_event"]]
+        conv = exp["by_conv"][r["conv_id"]]
+        conv[0] += 1
+        if tid is not None:
+            exp["matched"] += 1
+            exp["by_tid"][tid] += 1
+            conv[1] += 1
+            if tid in ERROR_TEMPLATE_IDS:
+                exp["errors"][tid] += 1
+                conv[2] += 1
+    return exp
+
+
+def test_sink_counts(spark, pipeline_run, truth_rows):
+    _, manifest = pipeline_run
+    exp = _expected(truth_rows)
+    counts = manifest["sink_counts"]
+    assert counts["matched"] == exp["matched"]
+    assert counts["unmatched"] == exp["total"] - exp["matched"]
+    assert counts["by_role"] == exp["total"]
+    # deterministic ~1% sample: bounded, nonzero on this size, and exact
+    # re-run reproducibility is covered by test_resume_equivalence
+    assert 0 < counts["examples"] < exp["matched"] * 0.05
+
+
+def test_template_counts_golden(spark, pipeline_run, truth_rows):
+    out, manifest = pipeline_run
+    exp = _expected(truth_rows)
+    got = {
+        r["template_id"]: r["log_count"]
+        for r in spark.read.parquet(manifest["aggregate_paths"]["template_counts"]).collect()
+        if r["template_id"] is not None
+    }
+    assert got == dict(exp["by_tid"])
+
+
+def test_error_tallies_golden(spark, pipeline_run, truth_rows):
+    _, manifest = pipeline_run
+    exp = _expected(truth_rows)
+    got = {
+        r["template_id"]: r["error_count"]
+        for r in spark.read.parquet(manifest["aggregate_paths"]["error_tallies"]).collect()
+    }
+    assert got == dict(exp["errors"])
+
+
+def test_conv_histogram_golden(spark, pipeline_run, truth_rows):
+    _, manifest = pipeline_run
+    exp = _expected(truth_rows)
+    got = {
+        r["conv_id"]: (r["n_turns"], r["n_matched"], r["n_errors"])
+        for r in spark.read.parquet(manifest["aggregate_paths"]["conv_histogram"]).collect()
+    }
+    assert got == {k: tuple(v) for k, v in exp["by_conv"].items()}
+
+
+def test_per_turn_text_equality(spark, pipeline_run, truth_rows):
+    """north_rule invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering between pipeline output and input."""
+    out, manifest = pipeline_run
+    routed = spark.read.parquet(manifest["stages"][1]["sink_counts"] and
+                                os.path.join(out, "stages", "02_routed", "by_role"))
+    got = routed.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in truth_rows
+    ]
+
+
+def test_resume_equivalence(spark, pipeline_run, tmp_path):
+    """Kill-and-resume: delete the last stage's marker, re-run with
+    resume=True; sinks and aggregates are byte-identical in content."""
+    out, manifest = pipeline_run
+    df = synth_transcripts(spark, n_convs=N_CONVS)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+
+    agg_dir = os.path.join(out, "stages", "03_aggregates")
+    before = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(os.path.join(agg_dir, "template_counts")).collect()
+    )
+    # simulate a crash mid-stage-3: marker missing, partial data present
+    os.remove(os.path.join(agg_dir, "_STAGE_OK"))
+    shutil.rmtree(os.path.join(agg_dir, "error_tallies"))
+
+    manifest2 = run_pipeline(spark, df, matcher, out, resume=True)
+    assert manifest2["stages"][0]["skipped"] and manifest2["stages"][1]["skipped"]
+    assert not manifest2["stages"][2]["skipped"]
+    assert manifest2["sink_counts"] == manifest["sink_counts"]
+    after = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in spark.read.parquet(os.path.join(agg_dir, "template_counts")).collect()
+    )
+    assert before == after
+
+
+def test_lineage_written(pipeline_run):
+    out, _ = pipeline_run
+    path = os.path.join(out, "lineage.jsonl")
+    assert os.path.exists(path)
+    records = [json.loads(l) for l in open(path)]
+    stages = {r["stage"] for r in records}
+    assert {"01_parsed", "02_routed", "03_aggregates"} <= stages
+    parsed = next(r for r in records if r["stage"] == "01_parsed")
+    assert parsed["rows"] > 0 and "partitions" in parsed
+    assert sum(p["rows"] for p in parsed["partitions"]) == parsed["rows"]

@@ -1,0 +1,150 @@
+"""Template-compiler goldens, mirroring the reference's in-module tests
+(/root/reference/src/log_matcher.rs:740-1004). Pure Python — no Spark."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from log_analysis_spark.templates import (
+    DEFAULT_TEMPLATES,
+    CompiledMatcher,
+    LogTemplate,
+    calculate_fragment_weight,
+    default_matcher,
+    extract_fragments,
+)
+
+
+# goldens from src/log_matcher.rs:882-903
+@pytest.mark.parametrize(
+    "pattern,expected",
+    [
+        (r"Request ([a-zA-Z0-9_]+) completed in (\d+)ms with status (\d{3})",
+         ["Request ", " completed in ", "ms with status "]),
+        (r"cpu_usage: (\d+\.\d+)% - (.*)", ["cpu_usage: ", "% - "]),
+        (r"error: connection timeout after (\d+)ms",
+         ["error: connection timeout after ", "ms"]),
+        (r"path: /var/log/(\w+)\.log", ["path: /var/log/", ".log"]),
+    ],
+)
+def test_fragment_extraction_goldens(pattern, expected):
+    assert extract_fragments(pattern, 2) == expected
+
+
+def test_fragment_weight_ordering():
+    # src/log_matcher.rs:985-1004
+    generic = calculate_fragment_weight(" uid=")
+    distinctive = calculate_fragment_weight(" sshd(pam_unix)[")
+    long = calculate_fragment_weight("]: authentication failure; logname=")
+    assert distinctive > generic
+    assert long > generic
+    for w in (generic, distinctive, long):
+        assert 0.0 <= w <= 1.0
+
+
+def test_default_matching():
+    # src/log_matcher.rs:744-790
+    m = default_matcher()
+    assert m.match_one("cpu_usage: 67.8% - Server load increased") == 1
+    assert m.match_one("unknown_format: this is a new log format") is None
+    assert m.match_one("memory_usage: 2.5GB - Memory consumption stable") == 2
+    assert m.match_one("disk_io: 100MB/s - test") == 3
+
+
+def test_fragment_semantics():
+    # fragment presence => match even when the regex would reject;
+    # case-sensitive (src/log_matcher.rs:820-839)
+    m = default_matcher()
+    assert m.match_one("cpu_usage: INVALID FORMAT HERE") == 1
+    assert m.match_one("CPU_usage: 67.8%") is None
+
+
+def test_same_prefix_disambiguation():
+    # src/log_matcher.rs:842-880
+    m = default_matcher(extra=[
+        LogTemplate(10, r"error: connection timeout after (\d+)ms"),
+        LogTemplate(11, r"error: invalid user id (\d+)"),
+        LogTemplate(12, r"error: file not found: (.*)"),
+    ])
+    assert m.match_one("error: connection timeout after 5000ms") == 10
+    assert m.match_one("error: invalid user id 12345") == 11
+    assert m.match_one("error: file not found: config.json") == 12
+    assert m.match_one("error: something else entirely") is None
+
+
+def test_multi_fragment_disambiguation():
+    # src/log_matcher.rs:906-948
+    m = default_matcher(extra=[
+        LogTemplate(30, r"Transaction ([a-zA-Z0-9_]+) completed successfully with amount (\d+)"),
+        LogTemplate(31, r"Transaction ([a-zA-Z0-9_]+) completed with warnings: (.*)"),
+        LogTemplate(32, r"Transaction ([a-zA-Z0-9_]+) failed due to (.*)"),
+    ])
+    assert m.match_one("Transaction txn_001 completed successfully with amount 100") == 30
+    assert m.match_one("Transaction txn_002 completed with warnings: low balance") == 31
+    assert m.match_one("Transaction txn_003 failed due to insufficient funds") == 32
+
+
+def test_weighted_syslog_golden():
+    # src/log_matcher.rs:950-983
+    m = default_matcher(extra=[
+        LogTemplate(200, r"^([A-Z][a-z]{2} \d{1,2} \d{2}:\d{2}:\d{2}) ([\w-]+) sshd\(pam_unix\)\[(\d+)\]: authentication failure; logname=(.*?) uid=(\d+) euid=(\d+) tty=([\w]+) ruser=(.*?) rhost=([\d.]+)\s*$"),
+        LogTemplate(201, r"generic log with uid=(\d+) and tty=(\w+) somewhere"),
+    ])
+    line = ("Jun 14 15:16:01 combo sshd(pam_unix)[19939]: authentication failure; "
+            "logname= uid=0 euid=0 tty=NODEVssh ruser= rhost=218.188.2.4")
+    assert m.match_one(line) == 200
+
+
+def test_batch_alignment_and_empty():
+    # src/log_matcher.rs:791-818
+    m = default_matcher()
+    s = pd.Series([
+        "cpu_usage: 50.0% - test",
+        "memory_usage: 2.5GB - test",
+        "disk_io: 100MB/s - test",
+        "unknown log format",
+        "cpu_usage: 75.0% - high load",
+    ])
+    out = m.match_series(s)
+    assert list(out.astype(object).where(out.notna(), None)) == [1, 2, 3, None, 1]
+    assert len(m.match_series(pd.Series([], dtype=object))) == 0
+
+
+def test_tiebreak_deterministic():
+    # two templates with identical fragments -> identical scores;
+    # documented tie-break: lowest template_id wins.
+    m = CompiledMatcher(templates=(
+        LogTemplate(7, r"dup fragment here (\d+)"),
+        LogTemplate(5, r"dup fragment here (\w+)"),
+    ))
+    assert m.match_one("dup fragment here 42") == 5
+
+
+def test_nulls_and_empty_strings():
+    m = default_matcher()
+    out = m.match_series(pd.Series(["cpu_usage: 1.0% - x", None, ""]))
+    assert out.iloc[0] == 1
+    assert pd.isna(out.iloc[1])
+    assert pd.isna(out.iloc[2])
+
+
+def test_copy_on_write_and_next_id():
+    m = default_matcher()
+    assert m.match_one("Request req_1 completed in 5ms with status 200") is None
+    m2 = m.with_templates([LogTemplate(40, r"Request ([a-zA-Z0-9_]+) completed in (\d+)ms with status (\d{3})")])
+    assert m2.match_one("Request req_1 completed in 5ms with status 200") == 40
+    assert m.match_one("Request req_1 completed in 5ms with status 200") is None  # original untouched
+    assert m2.next_template_id() == 41
+
+
+def test_json_roundtrip(tmp_path):
+    from log_analysis_spark.sources.readers import load_matcher_json, save_matcher_json
+
+    m = default_matcher(extra=[LogTemplate(99, r"xyz (\d+) abc", ("n",), "xyz 1 abc")])
+    p = str(tmp_path / "cache" / "templates.json")
+    save_matcher_json(m, p)
+    m2 = load_matcher_json(p)
+    assert [t.template_id for t in m2.templates] == [t.template_id for t in m.templates]
+    for line in ("cpu_usage: 9.9% - ok", "xyz 5 abc", "nothing at all"):
+        assert m.match_one(line) == m2.match_one(line)
