@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the e2e transcript pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir for the SQL queries (default sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_TURNS          approx synthetic transcript turns for the pipeline
+                       benchmark (default 1_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    target_turns = int(os.environ.get("BENCH_TURNS", "1000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from log_analysis_spark.entry_queries import queries_map
+    from log_analysis_spark.plans.pipeline import run_pipeline
+    from log_analysis_spark.session import get_spark
+    from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+    from log_analysis_spark.templates import CompiledMatcher
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    # Warm-up: spawn executor python workers + JIT the codegen paths once,
+    # so timings reflect steady state (the reference's numbers are likewise
+    # steady-state with pre-built matchers).
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.matcher import match_udf
+
+    warm_matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    (spark.range(cpus * 2000).repartition(cpus)
+     .select(match_udf(spark, warm_matcher)(F.concat(F.lit("cpu_usage: 1.0% - w"), F.col("id").cast("string"))).alias("t"))
+     .count())
+
+    timings: dict[str, float] = {}
+
+    # --- headline SQL/operator queries at sf_dir -------------------------
+    qmap = queries_map()
+    for name in (
+        "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
+        "majority_vote", "recent_per_user", "match_assignments",
+        "mask_signature", "user_histogram",
+    ):
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # --- e2e transcript pipeline -----------------------------------------
+    # ~17.6 expected turns per conv (Zipf-skewed); input materialized to
+    # parquet first so generation cost is excluded from the measurement.
+    n_convs = max(1000, int(target_turns / 17.6))
+    work = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        in_path = os.path.join(work, "transcripts")
+        synth_transcripts(spark, n_convs=n_convs, partitions=cpus * 2).write.mode(
+            "overwrite").parquet(in_path)
+        transcripts = spark.read.parquet(in_path)
+        n_turns = transcripts.count()
+
+        matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+
+        # match-only throughput (reference comparison: pure matching mode).
+        # Two runs: the first pays cold page-cache + broadcast distribution;
+        # steady state is the comparable number (reference benches cached
+        # matchers the same way).
+        from log_analysis_spark.matcher import with_template_id
+
+        for key in ("match_cold", "match_only"):
+            t0 = time.time()
+            matched_rows = with_template_id(transcripts, spark, matcher).filter(
+                "template_id IS NOT NULL").count()
+            timings[key] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
+                     resume=False, collect_partition_metrics=False)
+        pipeline_sec = round(time.time() - t0, 3)
+        timings["pipeline_e2e"] = pipeline_sec
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    result = {
+        "metric": "pipeline_e2e_sec",
+        "value": pipeline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "match_only_turns_per_sec": round(n_turns / timings["match_only"], 1),
+        "matched_rows": matched_rows,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,9 +5,11 @@ Stage graph (north_star):
   scan transcripts
     → match (pandas-UDF fragment-vote; narrow, fused with the scan)
     → enrich (broadcast dim joins; still narrow)
-    → route  (fan-out partitioned parquet sinks; one pass)
-    → aggregate (template counts / conv histograms / error tallies;
-                 one shuffle each on template_id / conv_id)
+    → route  (fan-out partitioned parquet sinks; ONE pass over the data —
+              the sinks themselves are the materialization)
+    → aggregate (template counts / conv histograms / error tallies read the
+                 columnar by_role sink: column pruning makes this far
+                 cheaper than re-running the match UDF)
 
 Checkpoint-resume (north_rule): every stage materializes under
 ``out_dir/stages/NN_name/`` with a ``_STAGE_OK`` marker written only after
@@ -15,6 +17,11 @@ a successful write. Resume skips any stage whose marker exists, and each
 write is an atomic overwrite of its own directory, so a re-run after a
 mid-stage kill never double-counts. Per-stage lineage + per-partition
 metrics append to ``out_dir/lineage.jsonl``.
+
+``materialize_parsed=True`` inserts an extra full checkpoint of the
+parsed+enriched frame between match and route — useful when the match
+stage is much more expensive than IO (e.g. an enormous template pool);
+off by default because the routed sinks already persist every row.
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..enrich import enrich, with_turn_order
+from ..enrich import enrich
 from ..matcher import with_template_id
 from ..operators.aggregates import conv_histogram, error_tallies, template_counts
 from ..sources.readers import templates_to_df
@@ -46,6 +53,7 @@ def _done(path: str) -> bool:
 
 
 def _mark(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _OK), "w") as f:
         f.write(str(time.time()))
 
@@ -57,14 +65,16 @@ def _lineage(out_dir: str, record: dict) -> None:
 
 
 def _partition_metrics(df: DataFrame) -> list[dict]:
-    """Per-partition row counts (lineage evidence; cheap second action on
-    the already-materialized parquet)."""
+    """Per-partition row counts (lineage evidence)."""
     rows = (
         df.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     )
     return [{"partition": int(r["pid"]), "rows": int(r["rows"])} for r in rows]
+
+
+SINK_NAMES = ("matched", "by_role", "unmatched", "examples")
 
 
 def run_pipeline(
@@ -75,64 +85,64 @@ def run_pipeline(
     error_template_ids: tuple[int, ...] = ERROR_TEMPLATE_IDS,
     resume: bool = True,
     collect_partition_metrics: bool = True,
+    materialize_parsed: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns a manifest dict."""
     os.makedirs(out_dir, exist_ok=True)
     manifest: dict = {"out_dir": out_dir, "stages": []}
 
-    # ---- stage 1: parse+enrich (one fused narrow stage, materialized) ----
-    s1 = _stage_dir(out_dir, 1, "parsed")
-    t0 = time.time()
-    if not (resume and _done(s1)):
-        parsed = with_template_id(transcripts, spark, matcher)
-        enriched = enrich(parsed, role_dict(spark), tool_dict(spark))
-        enriched.write.mode("overwrite").parquet(os.path.join(s1, "data"))
-        _mark(s1)
-        skipped = False
-    else:
-        skipped = True
-    parsed_df = spark.read.parquet(os.path.join(s1, "data"))
-    rec = {"stage": "01_parsed", "skipped": skipped, "secs": round(time.time() - t0, 3),
-           "rows": parsed_df.count()}
-    if collect_partition_metrics and not skipped:
-        rec["partitions"] = _partition_metrics(parsed_df)
-    _lineage(out_dir, rec)
-    manifest["stages"].append(rec)
+    # ---- stage 1 (optional checkpoint) + stage 2: parse→enrich→route ----
+    parsed = enrich(with_template_id(transcripts, spark, matcher),
+                    role_dict(spark), tool_dict(spark))
 
-    # ---- stage 2: route fan-out sinks ----
+    if materialize_parsed:
+        s1 = _stage_dir(out_dir, 1, "parsed")
+        t0 = time.time()
+        skipped = resume and _done(s1)
+        if not skipped:
+            parsed.write.mode("overwrite").parquet(os.path.join(s1, "data"))
+            _mark(s1)
+        parsed = spark.read.parquet(os.path.join(s1, "data"))
+        rec = {"stage": "01_parsed", "skipped": skipped,
+               "secs": round(time.time() - t0, 3), "rows": parsed.count()}
+        if collect_partition_metrics and not skipped:
+            rec["partitions"] = _partition_metrics(parsed)
+        _lineage(out_dir, rec)
+        manifest["stages"].append(rec)
+
     s2 = _stage_dir(out_dir, 2, "routed")
     t0 = time.time()
-    if not (resume and _done(s2)):
-        sinks = route_and_write(parsed_df, s2)
+    skipped = resume and _done(s2)
+    if not skipped:
+        sinks = route_and_write(parsed, s2)
         templates_to_df(spark, matcher).write.mode("overwrite").parquet(
             os.path.join(s2, "templates_dim"))
         _mark(s2)
-        skipped = False
     else:
-        sinks = {n: os.path.join(s2, n) for n in ("matched", "by_role", "unmatched", "examples")}
-        skipped = True
+        sinks = {n: os.path.join(s2, n) for n in SINK_NAMES}
     counts = sink_counts(spark, sinks)
-    rec = {"stage": "02_routed", "skipped": skipped, "secs": round(time.time() - t0, 3),
-           "sink_counts": counts}
+    rec = {"stage": "02_routed", "skipped": skipped,
+           "secs": round(time.time() - t0, 3), "sink_counts": counts}
+    if collect_partition_metrics and not skipped:
+        rec["partitions"] = _partition_metrics(spark.read.parquet(sinks["by_role"]))
     _lineage(out_dir, rec)
     manifest["stages"].append(rec)
     manifest["sink_counts"] = counts
+    manifest["sink_paths"] = sinks
 
-    # ---- stage 3: aggregates ----
+    # ---- stage 3: aggregates (read the columnar sink, prune columns) ----
     s3 = _stage_dir(out_dir, 3, "aggregates")
     t0 = time.time()
-    if not (resume and _done(s3)):
-        ordered = with_turn_order(parsed_df)
-        template_counts(parsed_df, salt_buckets=8).write.mode("overwrite").parquet(
+    skipped = resume and _done(s3)
+    if not skipped:
+        routed = spark.read.parquet(sinks["by_role"])
+        template_counts(routed, salt_buckets=8).write.mode("overwrite").parquet(
             os.path.join(s3, "template_counts"))
-        conv_histogram(ordered, error_template_ids).write.mode("overwrite").parquet(
+        conv_histogram(routed, error_template_ids).write.mode("overwrite").parquet(
             os.path.join(s3, "conv_histogram"))
-        error_tallies(parsed_df, error_template_ids).write.mode("overwrite").parquet(
+        error_tallies(routed, error_template_ids).write.mode("overwrite").parquet(
             os.path.join(s3, "error_tallies"))
         _mark(s3)
-        skipped = False
-    else:
-        skipped = True
     rec = {"stage": "03_aggregates", "skipped": skipped, "secs": round(time.time() - t0, 3)}
     _lineage(out_dir, rec)
     manifest["stages"].append(rec)

@@ -42,31 +42,48 @@ def route_and_write(
     out_dir: str,
     example_rate_pct: int = 1,
     mode: str = "overwrite",
+    cluster_partitions: int | None = None,
 ) -> dict[str, str]:
     """Fan-out the matched/enriched frame into the sink family.
 
     Layout (each a partitioned parquet table):
       matched/       partitioned by template_id
-      by_role/       partitioned by role_group
+      by_role/       partitioned by role
       unmatched/     rows with no template
       examples/      deterministic ~1% sample of matched rows
+
+    Before each partitionBy write the frame is range-partitioned on
+    (sink key, conv_id): every task then writes to at most ~2 partition
+    dirs instead of all of them, which keeps file counts O(tasks) rather
+    than O(tasks x partitions) — the standard recipe against the
+    small-files explosion at scale. conv_id as the secondary range key
+    spreads a hot template/role over many tasks (skew-safe).
 
     Returns {sink_name: path}.
     """
     sinks: dict[str, str] = {}
-    matched = df.filter(F.col("template_id").isNotNull())
-    unmatched = df.filter(F.col("template_id").isNull())
+    spark = df.sparkSession
+    n = cluster_partitions or spark.sparkContext.defaultParallelism
+
+    # Primary sink first: the ONLY pass that runs the match UDF over the
+    # input. Every other sink is derived by re-reading this columnar table
+    # (predicate/column pushdown, no Python) — at 10^12 rows you cannot
+    # afford to re-run the parse per sink.
+    p_primary = os.path.join(out_dir, "by_role")
+    (df.repartitionByRange(n, "role", "conv_id")
+     .write.mode(mode).partitionBy("role").parquet(p_primary))
+    sinks["by_role"] = p_primary
+    routed = spark.read.parquet(p_primary)
+
+    matched = routed.filter(F.col("template_id").isNotNull())
 
     p = os.path.join(out_dir, "matched")
-    matched.write.mode(mode).partitionBy("template_id").parquet(p)
+    (matched.repartitionByRange(n, "template_id", "conv_id")
+     .write.mode(mode).partitionBy("template_id").parquet(p))
     sinks["matched"] = p
 
-    p = os.path.join(out_dir, "by_role")
-    df.write.mode(mode).partitionBy("role").parquet(p)
-    sinks["by_role"] = p
-
     p = os.path.join(out_dir, "unmatched")
-    unmatched.write.mode(mode).parquet(p)
+    routed.filter(F.col("template_id").isNull()).write.mode(mode).parquet(p)
     sinks["unmatched"] = p
 
     p = os.path.join(out_dir, "examples")

@@ -111,8 +111,7 @@ def test_per_turn_text_equality(spark, pipeline_run, truth_rows):
     """north_rule invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering between pipeline output and input."""
     out, manifest = pipeline_run
-    routed = spark.read.parquet(manifest["stages"][1]["sink_counts"] and
-                                os.path.join(out, "stages", "02_routed", "by_role"))
+    routed = spark.read.parquet(os.path.join(out, "stages", "02_routed", "by_role"))
     got = routed.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").collect()
     assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
         (r["conv_id"], r["turn_idx"], r["text"]) for r in truth_rows
@@ -136,8 +135,8 @@ def test_resume_equivalence(spark, pipeline_run, tmp_path):
     shutil.rmtree(os.path.join(agg_dir, "error_tallies"))
 
     manifest2 = run_pipeline(spark, df, matcher, out, resume=True)
-    assert manifest2["stages"][0]["skipped"] and manifest2["stages"][1]["skipped"]
-    assert not manifest2["stages"][2]["skipped"]
+    assert manifest2["stages"][0]["skipped"]          # routed untouched
+    assert not manifest2["stages"][1]["skipped"]      # aggregates re-ran
     assert manifest2["sink_counts"] == manifest["sink_counts"]
     after = sorted(
         tuple(sorted(r.asDict().items()))
@@ -152,7 +151,19 @@ def test_lineage_written(pipeline_run):
     assert os.path.exists(path)
     records = [json.loads(l) for l in open(path)]
     stages = {r["stage"] for r in records}
-    assert {"01_parsed", "02_routed", "03_aggregates"} <= stages
-    parsed = next(r for r in records if r["stage"] == "01_parsed")
-    assert parsed["rows"] > 0 and "partitions" in parsed
-    assert sum(p["rows"] for p in parsed["partitions"]) == parsed["rows"]
+    assert {"02_routed", "03_aggregates"} <= stages
+    routed = next(r for r in records if r["stage"] == "02_routed")
+    assert "partitions" in routed
+    assert sum(p["rows"] for p in routed["partitions"]) == routed["sink_counts"]["by_role"]
+
+
+def test_materialized_parsed_checkpoint(spark, tmp_path):
+    out = str(tmp_path / "pipe_mat")
+    df = synth_transcripts(spark, n_convs=10)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    man = run_pipeline(spark, df, matcher, out, materialize_parsed=True)
+    assert man["stages"][0]["stage"] == "01_parsed"
+    assert man["stages"][0]["rows"] == man["sink_counts"]["by_role"]
+    # resume skips the parsed checkpoint too
+    man2 = run_pipeline(spark, df, matcher, out, materialize_parsed=True)
+    assert man2["stages"][0]["skipped"]
