@@ -348,8 +348,144 @@ def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup digest + representative per doc (row-level md5 parity)."""
+    from .operators.dedup import md5_long, normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    with_d = docs.select(
+        "doc_id", md5_long(normalized_text(F.col("text"))).alias("digest"))
+    reps = with_d.groupBy("digest").agg(F.min("doc_id").alias("rep_id"))
+    return (
+        with_d.join(reps, "digest")
+        .select("doc_id", "digest", (F.col("doc_id") != F.col("rep_id")).alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+
+
+def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct word-3-gram count (the dedup shingle kernel)."""
+    from .operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        word_shingles(docs, n=3).groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level minhash parity (k=4, md5-derived, engine-portable)."""
+    from .operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=4, n=3)
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
+    ).orderBy("doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 5 vectors; ordering on
+    round(cosine, 6) + vec_id so float last-bits can't flip ranks."""
+    from .operators.similarity import with_unit_vector, _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = with_unit_vector(emb).select("vec_id", "unit")
+    qs = with_unit_vector(emb.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"))
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine_r", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
+    the scale path, validated against this in tests)."""
+    from .operators.similarity import with_unit_vector, _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = with_unit_vector(emb).select("vec_id", "unit")
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+        .withColumn("cosine_r", F.round(_dot(F.col("x.unit"), F.col("y.unit")), 6))
+        .filter(F.col("cosine_r") >= 0.4)
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"), "cosine_r")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality score per document (JVM-side expressions)."""
+    from .operators.text_analysis import quality_score_col, token_count_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        toks["ws_tokens"].alias("ws_tokens"),
+        toks["bpe_ish_tokens"].alias("bpe_ish_tokens"),
+        F.round(quality_score_col(F.col("text")), 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID distribution over documents."""
+    from .operators.text_analysis import lang_id_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id_col(F.col("text")).alias("lang_id"))
+        .groupBy("lang_id").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_id")
+    )
+
+
+def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (python kernel — rows-only driver check)."""
+    from .operators.dedup import simhash_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_udf(spark)(F.col("text")).alias("simhash")) \
+        .orderBy("doc_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media -> mapInPandas feature extraction
+    (rows-only driver check; codec is the deterministic fake)."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=200)
+    feats = extract_features(media, spark)
+    return feats.select("media_id", "kind", F.size("features").alias("feature_dim"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
+
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DUCK_DIGEST = f"CAST(('0x' || substr(md5({_DUCK_NORM}), 1, 15)) AS BIGINT)"
+# distinct word-3-gram list per doc
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split("
+    f"{_DUCK_NORM}, ' ')) - 2, 0) + 1), i -> string_split({_DUCK_NORM}, ' ')[i] || ' ' || "
+    f"string_split({_DUCK_NORM}, ' ')[i+1] || ' ' || string_split({_DUCK_NORM}, ' ')[i+2]))"
+)
 
 def oracle_sql_map() -> dict[str, str]:
     m = entry_matcher()
@@ -470,6 +606,92 @@ SELECT event_id, template_id FROM _assign ORDER BY event_id
     from .functions.masks import mask_sql_duck
 
     fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")
+    sql["exact_dedup_digest"] = f"""
+WITH d AS (SELECT doc_id, {_DUCK_DIGEST} AS digest FROM documents),
+r AS (SELECT digest, min(doc_id) AS rep_id FROM d GROUP BY digest)
+SELECT doc_id, d.digest, (doc_id <> rep_id) AS is_duplicate
+FROM d JOIN r ON d.digest = r.digest ORDER BY doc_id
+""".strip()
+
+    sql["shingle_counts"] = f"""
+SELECT doc_id, len({_DUCK_SHINGLES}) AS n_shingles
+FROM documents ORDER BY doc_id
+""".strip()
+
+    mh = ", ".join(
+        "list_min(list_transform({sh}, s -> CAST(('0x' || substr(md5('mh{i}:' || s), 1, 15)) AS BIGINT))) AS h{i}".format(
+            sh=_DUCK_SHINGLES, i=i)
+        for i in range(4)
+    )
+    sql["minhash_signatures"] = f"SELECT doc_id, {mh} FROM documents ORDER BY doc_id"
+
+    sql["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine_r
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""".strip()
+
+    sql["embedding_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY id_a, id_b
+""".strip()
+
+    en_words = ", ".join(f"'{w}'" for w in
+                         ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"))
+    sql["text_quality"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) > 0 THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^\\sA-Za-z0-9]')) AS bpe_ish_tokens,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         length(text) AS n_chars
+  FROM documents
+),
+g AS (
+  SELECT doc_id, ws_tokens, bpe_ish_tokens,
+         len(words) AS n_words,
+         len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS uniq_ratio,
+         len(list_filter(list_distinct(words), w -> w IN ({en_words}))) * 1.0 / greatest(len(words), 1) AS stop_ratio,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS digit_ratio
+  FROM f
+)
+SELECT doc_id, ws_tokens, bpe_ish_tokens,
+  round(
+    (CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 WHEN n_words > 0 THEN 0.4 ELSE 0.0 END) * 0.3
+    + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 4) END) * 0.2
+    + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - (digit_ratio - 0.3) * 3) END) * 0.2
+    + least(1.0, uniq_ratio * 1.25) * 0.15
+    + least(1.0, stop_ratio * 10) * 0.15
+  , 4) AS quality_score
+FROM g ORDER BY doc_id
+""".strip()
+
+    lang_exprs = []
+    from .operators.text_analysis import STOPWORDS
+
+    for lang in sorted(STOPWORDS):
+        ws = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        lang_exprs.append(
+            f"len(list_filter(list_distinct(words), w -> w IN ({ws}))) * 1.0 / greatest(len(words), 1) AS s_{lang}")
+    sql["lang_id"] = f"""
+WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents),
+s AS (SELECT {', '.join(lang_exprs)} FROM f),
+b AS (SELECT greatest(s_de, s_en, s_es, s_fr) AS mx, * FROM s),
+l AS (SELECT CASE WHEN mx < 0.01 THEN 'unknown'
+                  WHEN s_de >= mx THEN 'de' WHEN s_en >= mx THEN 'en'
+                  WHEN s_es >= mx THEN 'es' ELSE 'fr' END AS lang_id FROM b)
+SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
+""".strip()
+
     sql["format_detect"] = f"""
 WITH l AS (SELECT {fmt_line_duck} AS line FROM events)
 SELECT {format_detect_sql('line')} AS format, count(*) AS n_rows
@@ -505,4 +727,13 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_assignments": q_match_assignments,
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,
+        "exact_dedup_digest": q_exact_dedup_digest,
+        "shingle_counts": q_shingle_counts,
+        "minhash_signatures": q_minhash_signatures,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "simhash_sigs": q_simhash_sigs,          # rows-only (python kernel)
+        "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
     }

@@ -1,0 +1,223 @@
+"""Offline template induction: the two-phase replacement for the
+reference's online LLM generation path.
+
+Reference flow (src/benchmark_runner.rs:78-107): scan lines, on every miss
+call an LLM/mock generator and add the template mid-scan — order-dependent
+and unparallelizable. Our restatement preserves the semantics (unmatched
+lines gain templates; the grouping-accuracy metric is insensitive to id
+relabeling) while being deterministic and distributed:
+
+1. **mask** variable spans (functions/masks.py ≈ SmartTemplateGenerator's
+   priority masking, src/smart_template_generator.rs:64-117),
+2. **cluster** by masked signature (src/token_classifier.rs:205-212:
+   log-type signature = the static-token join),
+3. **learn** one regex template per cluster with a PatternLearner over the
+   cluster's samples (src/pattern_learner.rs:10-156: char-class
+   tokenization, static/variable alignment, variable type inference) —
+   one ``applyInPandas`` group per cluster,
+4. **assign ids** deterministically: clusters ordered by
+   (support desc, signature asc) get max(existing)+1.. (the reference's
+   sink-side max+1 assignment, src/clickhouse_client.rs:245-257),
+5. **re-match** with the enlarged broadcast matcher.
+
+Skew note: one cluster = one pandas group, but ``learn`` only ever reads
+``max_samples`` rows per cluster — a deterministic per-cluster sample is
+taken *before* the groupBy, so a hot signature never ships a hot
+partition.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.masks import mask_col
+from .matcher import with_template_id
+from .templates import CompiledMatcher, LogTemplate
+
+# variable-type inference, most specific first
+# (src/pattern_learner.rs:113-156, src/token_classifier.rs:98-147)
+_TYPE_RULES: tuple[tuple[str, str, str], ...] = (
+    ("ip", r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+    ("uuid", r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+     r"[0-9a-fA-F\-]{36}"),
+    ("hex", r"^0x[0-9a-fA-F]+$", r"0x[0-9a-fA-F]+"),
+    ("decimal", r"^\d+\.\d+$", r"\d+\.\d+"),
+    ("int", r"^\d+$", r"\d+"),
+    ("word", r"^\w+$", r"\w+"),
+)
+_TYPE_COMPILED = [(name, re.compile(pat), frag) for name, pat, frag in _TYPE_RULES]
+
+
+def _char_class(c: str) -> str:
+    if c.isdigit():
+        return "d"
+    if c.isalpha():
+        return "a"
+    if c.isspace():
+        return "s"
+    return c  # each punctuation char is its own class
+
+
+def tokenize_char_runs(text: str) -> list[str]:
+    """Split into maximal runs of one char class (digits / alpha / space /
+    single punct chars) — the PatternLearner tokenizer
+    (src/pattern_learner.rs:33-74)."""
+    if not text:
+        return []
+    out: list[str] = []
+    start = 0
+    cls = _char_class(text[0])
+    for i in range(1, len(text)):
+        c = _char_class(text[i])
+        if c != cls or cls not in ("d", "a", "s"):
+            out.append(text[start:i])
+            start = i
+            cls = c
+    out.append(text[start:])
+    return out
+
+
+def _variable_regex(values: set[str]) -> tuple[str, str]:
+    """(type name, capture regex) for a variable position's value set."""
+    for name, rx, frag in _TYPE_COMPILED:
+        if all(rx.match(v) for v in values):
+            return name, f"({frag})"
+    return "string", r"(\S+)"
+
+
+def learn_pattern(samples: list[str]) -> tuple[str, list[str]] | None:
+    """Learn one regex template from N sample lines of a cluster.
+
+    Align char-run tokens across samples: positions equal everywhere are
+    static (regex-escaped); differing positions become typed capture
+    groups. Falls back to None when sample shapes disagree (caller keeps
+    the lines unmatched, like the reference on generator failure).
+    """
+    samples = sorted(set(samples))[:64]
+    if not samples:
+        return None
+    tokenized = [tokenize_char_runs(s) for s in samples]
+    n_tok = len(tokenized[0])
+    if any(len(t) != n_tok for t in tokenized) or n_tok == 0:
+        return None
+    is_var = [len({t[pos] for t in tokenized}) > 1 for pos in range(n_tok)]
+
+    # Merge variable spans: a maximal run of positions bounded by variable
+    # positions where interior static positions are single separators
+    # ('.', ':', '-'). This recovers composite types — 10.0.<var>.<var>
+    # becomes one <IP> capture, 3.<var> one decimal — matching the
+    # reference's whole-token type inference (src/pattern_learner.rs:113-156).
+    spans: list[tuple[int, int]] = []  # inclusive
+    pos = 0
+    while pos < n_tok:
+        if not is_var[pos]:
+            pos += 1
+            continue
+        end = pos
+        probe = pos + 1
+        while probe < n_tok:
+            if is_var[probe]:
+                end = probe
+                probe += 1
+            elif (probe + 1 < n_tok and is_var[probe + 1]
+                  and {t[probe] for t in tokenized} <= {".", ":", "-"}):
+                probe += 1
+            else:
+                break
+        spans.append((pos, end))
+        pos = probe if probe > end else end + 1
+
+    span_start = {a: b for a, b in spans}
+    parts: list[str] = []
+    variables: list[str] = []
+    pos = 0
+    while pos < n_tok:
+        if pos in span_start:
+            end = span_start[pos]
+            values = {"".join(t[pos:end + 1]) for t in tokenized}
+            vtype, rx = _variable_regex(values)
+            variables.append(f"{vtype}_{len(variables) + 1}")
+            parts.append(rx)
+            pos = end + 1
+        else:
+            parts.append(re.escape(tokenized[0][pos]))
+            pos += 1
+    return "".join(parts), variables
+
+
+def induce_templates(
+    spark: SparkSession,
+    unmatched: DataFrame,
+    matcher: CompiledMatcher,
+    text_col: str = "text",
+    min_cluster_size: int = 2,
+    max_samples_per_cluster: int = 64,
+) -> list[LogTemplate]:
+    """Learn new templates from unmatched lines; deterministic ids."""
+    sig = unmatched.select(
+        F.col(text_col).alias("_text"), mask_col(F.col(text_col)).alias("_sig")
+    ).filter(F.col("_text").isNotNull() & (F.length("_text") > 0))
+
+    # per-cluster support (full count) computed separately from the capped
+    # sample set shipped into the learner
+    support = sig.groupBy("_sig").agg(F.count(F.lit(1)).alias("_support"))
+
+    w = Window.partitionBy("_sig").orderBy("_text")
+    capped = (
+        sig.dropDuplicates(["_sig", "_text"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_samples_per_cluster)
+        .drop("_rn")
+    )
+
+    def _learn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sig_val = pdf["_sig"].iloc[0]
+        learned = learn_pattern(list(pdf["_text"]))
+        if learned is None:
+            return pd.DataFrame(columns=["_sig", "pattern", "variables", "example"])
+        pattern, variables = learned
+        return pd.DataFrame({
+            "_sig": [sig_val],
+            "pattern": [pattern],
+            "variables": [variables],
+            "example": [sorted(pdf["_text"])[0]],
+        })
+
+    learned = capped.groupBy("_sig").applyInPandas(
+        _learn, schema="_sig string, pattern string, variables array<string>, example string"
+    )
+    rows = (
+        learned.join(support, "_sig")
+        .filter(F.col("_support") >= min_cluster_size)
+        .orderBy(F.desc("_support"), F.asc("_sig"))
+        .collect()
+    )
+    base = matcher.next_template_id()
+    return [
+        LogTemplate(base + i, r["pattern"], tuple(r["variables"]), r["example"])
+        for i, r in enumerate(rows)
+    ]
+
+
+def induce_and_rematch(
+    spark: SparkSession,
+    df: DataFrame,
+    matcher: CompiledMatcher,
+    text_col: str = "text",
+    min_cluster_size: int = 2,
+) -> tuple[DataFrame, CompiledMatcher, list[LogTemplate]]:
+    """Two-phase match-else-generate (§3.3): match, induce on the misses,
+    re-match everything with the enlarged matcher."""
+    phase1 = with_template_id(df, spark, matcher, text_col=text_col)
+    unmatched = phase1.filter(F.col("template_id").isNull())
+    new_templates = induce_templates(
+        spark, unmatched, matcher, text_col=text_col, min_cluster_size=min_cluster_size
+    )
+    if not new_templates:
+        return phase1, matcher, []
+    enlarged = matcher.with_templates(new_templates)
+    return with_template_id(df, spark, enlarged, text_col=text_col), enlarged, new_templates

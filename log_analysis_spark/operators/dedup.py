@@ -1,0 +1,245 @@
+"""Deduplication operators for training-data pipelines.
+
+All variants are expressed over the ``documents`` shape
+(doc_id long, text string) and return either a dedup verdict column or a
+candidate-pair DataFrame. Engine-portable hashing (md5-derived 64-bit
+ints, never Spark's ``hash``) keeps results identical across Spark and
+the DuckDB oracle and across retries.
+
+Scale notes per variant:
+- exact: one shuffle on the digest; partial agg combines map-side.
+- minhash-LSH: shingles -> k minhashes as ONE groupBy with k min() aggs
+  (no k-way explode), bands -> bucket join restricted to same-band
+  buckets; candidate verification re-computes true Jaccard only on
+  candidates.
+- simhash: 64-bit signature via bit-majority over token hashes
+  (vectorized pandas UDF); near-dup = equal 16-bit band + Hamming <= r
+  verify. Banding bounds the join fan-out.
+- ngram-jaccard: word n-gram shingle overlap via self-join on shingle;
+  for 100TB restrict by length bucket + prefix filter.
+- embedding cosine: see similarity.py (shared kernels).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def md5_long(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit int from md5 (engine-portable, always >= 0)."""
+    base = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text digest.
+
+    Adds ``is_duplicate`` (true for every non-representative member).
+    """
+    digest = md5_long(normalized_text(F.col(text_col))).alias("_digest")
+    with_d = df.withColumn("_digest", digest)
+    reps = with_d.groupBy("_digest").agg(F.min(id_col).alias("_rep_id"))
+    return (
+        with_d.join(reps, "_digest")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("_rep_id"))
+        .drop("_digest")
+        .withColumnRenamed("_rep_id", "dup_group_rep")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest groups with >1 member: (digest, n_docs, rep_id)."""
+    return (
+        df.groupBy(md5_long(normalized_text(F.col(text_col))).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -- shingles ---------------------------------------------------------------
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) word n-grams, distinct per doc. JVM-side only:
+    split -> transform over a position sequence -> explode."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    |A ∩ B| via self-join on shingle; |A ∪ B| = |A|+|B|-∩. The self-join
+    is the scale hazard: at 100TB, cut candidate space first with a
+    frequency cap on shingles (drop shingles appearing in > F docs —
+    they only create quadratic fan-out and never distinguish docs).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>[k]) — k independent minhashes per doc.
+
+    One explode + ONE groupBy with k min() aggregates: the shingle set is
+    shuffled once regardless of k (vs. the naive k-explode).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    aggs = [F.min(md5_long(F.col("shingle"), salt=f"mh{i}:")).alias(f"_h{i}") for i in range(k)]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(id_col, F.array(*[f"_h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands of k/bands rows each: docs agreeing on any full band become
+    candidates (classic S-curve: P(candidate) = 1-(1-j^r)^b). Verified
+    pairs carry the true n-gram Jaccard.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            md5_long(F.concat_ws("_", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb")) \
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, n=n, threshold=0.0, text_col=text_col, id_col=id_col)
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_udf(spark):
+    """pandas UDF text -> 64-bit simhash (bit-majority of md5 token hashes)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not isinstance(t, str) or not t:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(t.lower().split()):
+                bits = np.unpackbits(np.frombuffer(
+                    hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8))
+                acc += bits.astype(np.int64) * 2 - 1
+            sig = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_neardup_pairs(
+    spark,
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by 16-bit band equality (4 bands: any pair within
+    Hamming 3 of 64 bits must agree on >= 1 full band — pigeonhole), then
+    exact popcount verification. Join fan-out is bounded by band-bucket
+    sizes, never all-pairs.
+    """
+    sh = df.select(F.col(id_col), simhash_udf(spark)(F.col(text_col)).alias("simhash"))
+    bands = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftrightunsigned("simhash", bi * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+            for bi in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,143 @@
+"""Multimodal plumbing: opaque binary media columns with typed metadata.
+
+Images/audio/video ride as ``binary`` columns next to a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The container has no media libraries, so the
+codec layer is pluggable: the default ``FakeCodec`` is deterministic (so
+the Spark-side plumbing — schema, partitioning, batch shapes — is fully
+testable) and a real implementation raises ``NotImplementedError`` until
+a decoder (PIL/ffmpeg) is provided at deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),        # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),      # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_DIM = 16
+
+
+class FakeCodec:
+    """Deterministic stand-in decoder: features are a pure function of the
+    payload bytes. Swap for a real PIL/ffmpeg codec in deployment."""
+
+    def decode_features(self, payload: bytes, kind: str) -> np.ndarray:
+        if payload is None:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        d = hashlib.sha256(kind.encode() + payload).digest()
+        return (np.frombuffer(d[:FEATURE_DIM * 2], dtype=np.uint16)
+                .astype(np.float32) / 65535.0)
+
+    def frame_sample(self, payload: bytes, n_frames: int, every: int) -> list[int]:
+        return list(range(0, max(n_frames, 0), max(every, 1)))
+
+
+class RealCodec:
+    """Placeholder for an actual decoder — the sandbox has no media libs."""
+
+    def decode_features(self, payload: bytes, kind: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media decoding requires PIL/torchaudio/ffmpeg at deployment; "
+            "use FakeCodec for plumbing tests")
+
+    def frame_sample(self, payload: bytes, n_frames: int, every: int) -> list[int]:
+        raise NotImplementedError
+
+
+def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    h = F.abs(F.xxhash64(F.lit(seed), F.col("id")))
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(kinds, (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.concat(F.lit("payload:"), h.cast("string")), "utf-8").alias("payload"),
+        F.struct(
+            ((h % 640) + 16).cast("int").alias("width"),
+            ((h % 480) + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            ((h % 300) + 1).cast("int").alias("n_frames"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    spark: SparkSession,
+    codec: object | None = None,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """mapInPandas: (media row) -> + features array<float>[FEATURE_DIM].
+
+    The codec object is broadcast once per executor; batches arrive as
+    Arrow record batches so the per-row Python cost is one decode call,
+    not serde.
+    """
+    from ..session import ship_package
+
+    ship_package(spark)
+    codec = codec or FakeCodec()
+    bc = spark.sparkContext.broadcast(codec)
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("features", T.ArrayType(T.FloatType()), True)])
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            feats = [
+                c.decode_features(p, k).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(_extract, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    spark: SparkSession,
+    every: int = 10,
+    codec: object | None = None,
+) -> DataFrame:
+    """Video rows -> exploded (media_id, frame_idx) sample plan."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    codec = codec or FakeCodec()
+    bc = spark.sparkContext.broadcast(codec)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                nf = int(meta["n_frames"]) if meta is not None else 0
+                for fi in c.frame_sample(payload, nf, every):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fi)
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .mapInPandas(_sample, schema="media_id long, frame_idx int")
+    )

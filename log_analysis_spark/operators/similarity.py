@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k (exact baseline): broadcast the query set,
+  JVM-side dot products via ``F.zip_with`` + ``F.aggregate`` (no Python),
+  per-query top-k via window row_number.
+- LSH-bucketed ANN (the 100TB path): seeded random-hyperplane sign bits
+  computed driver-side once -> each vector maps to a bucket code; probing
+  compares only same-bucket (or near-bucket) pairs. Recall/cost trades
+  with n_planes; exact re-scoring happens on the candidate set only.
+
+Also: embedding-cosine near-dup pairs (dedup variant) with an LSH
+pre-filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "embedding",
+                     out_col: str = "unit") -> DataFrame:
+    """L2-normalize once up front so cosine becomes a plain dot product."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.when(n > 0, F.transform(v, lambda x: x / n)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    queries: (query_id, embedding). The query side is broadcast — the
+    corpus is scanned once however many queries there are. Self-matches
+    (same id) are excluded. Deterministic tie-break: cosine desc, id asc.
+    """
+    corpus = with_unit_vector(df, vec_col).select(id_col, "unit")
+    qs = with_unit_vector(queries, vec_col).select(
+        F.col(query_id_col), F.col("unit").alias("_qunit"))
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_codes(spark, dim: int, n_planes: int = 16, seed: int = 42):
+    """Seeded random hyperplanes (driver-side numpy, broadcast as literals)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
+                    vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
+    """Sign-bit bucket code per vector, computed JVM-side: bucket =
+    sum(2^i * (v . h_i > 0)). Planes ship as array literals (tiny)."""
+    code = F.lit(0).cast("long")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for i, h in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in h])
+        code = code + F.when(_dot(v, plane) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(out_col, code)
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket, exact cosine re-scoring.
+
+    At 100TB the corpus is bucketed once (written partitioned by bucket);
+    each query probes one partition. Recall < 1 by construction — the
+    exact baseline above is the correctness yardstick.
+    """
+    corpus = with_lsh_bucket(with_unit_vector(df, vec_col), planes, "unit", "bucket") \
+        .select(id_col, "unit", "bucket")
+    qs = with_lsh_bucket(with_unit_vector(queries, vec_col), planes, "unit", "bucket") \
+        .select(F.col(query_id_col), F.col("unit").alias("_qunit"), F.col("bucket"))
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    planes: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed.
+
+    Same-bucket self-join only; at threshold 0.95 the sign-bit collision
+    probability is high (angle <= 18deg flips few planes), so recall stays
+    strong while the join touches ~N^2/2^planes pairs instead of N^2.
+    """
+    b = with_lsh_bucket(with_unit_vector(df, vec_col), planes, "unit", "bucket") \
+        .select(id_col, "unit", "bucket")
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .withColumn("cosine", _dot(F.col("x.unit"), F.col("y.unit")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
+    )
+
+
+def brute_force_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (the small-scale oracle baseline)."""
+    b = with_unit_vector(df, vec_col).select(id_col, "unit")
+    x = b.alias("x")
+    y = b.alias("y")
+    return (
+        x.join(y, F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .withColumn("cosine", _dot(F.col("x.unit"), F.col("y.unit")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
+    )

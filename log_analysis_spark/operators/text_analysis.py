@@ -1,0 +1,158 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything here is JVM-side column expressions (whole-stage codegen) —
+no Python in the hot path — except the winnowing fingerprint, which is a
+vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny per-language stopword seed sets (n-gram-free heuristic langid:
+# share of tokens hitting each language's function-word set)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "des"),
+    "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "por", "que", "con"),
+}
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns."""
+    words = _words(col)
+    n = F.greatest(F.size(words), F.lit(1))
+    return {
+        lang: (F.size(F.array_intersect(F.array_distinct(words),
+                                        F.array(*[F.lit(w) for w in sw]))) / n)
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+def lang_id_col(col: Column, min_score: float = 0.01) -> Column:
+    """Best-scoring language, 'unknown' when nothing clears min_score.
+    Deterministic tie-break: score desc, language code asc."""
+    scores = lang_scores(col)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    # winner = max score; on ties the lexicographically smallest language
+    # (array_min over the equal-score subset compares lang second)
+    mx = F.array_max(F.transform(pairs, lambda s: s["score"]))
+    winner = F.array_min(F.filter(pairs, lambda s: s["score"] >= mx))["lang"]
+    return F.when(mx >= min_score, winner).otherwise(F.lit("unknown"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Raw quality signals (all codegen'd)."""
+    words = _words(col)
+    n_chars = F.length(col)
+    n_words = F.size(words)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": n_chars / F.greatest(n_words, F.lit(1)),
+        "punct_ratio": (F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+                        / F.greatest(n_chars, F.lit(1))),
+        "digit_ratio": (F.length(F.regexp_replace(col, r"[^0-9]", ""))
+                        / F.greatest(n_chars, F.lit(1))),
+        "upper_ratio": (F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+                        / F.greatest(n_chars, F.lit(1))),
+        "stopword_ratio": lang_scores(col)["en"],
+        "uniq_word_ratio": (F.size(F.array_distinct(words))
+                            / F.greatest(n_words, F.lit(1))),
+    }
+
+
+def quality_score_col(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length in range, sane punctuation/digit
+    density, vocabulary diversity, stopword presence."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 10000), 1.0) \
+        .when(f["n_words"] > 0, 0.4).otherwise(0.0)
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (f["punct_ratio"] - 0.2) * 4))
+    digit_ok = F.when(f["digit_ratio"] <= 0.3, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (f["digit_ratio"] - 0.3) * 3))
+    diversity = F.least(F.lit(1.0), f["uniq_word_ratio"] * 1.25)
+    stop = F.least(F.lit(1.0), f["stopword_ratio"] * 10)
+    return (length_ok * 0.3 + punct_ok * 0.2 + digit_ok * 0.2
+            + diversity * 0.15 + stop * 0.15)
+
+
+def token_count_cols(col: Column) -> dict[str, Column]:
+    """Token counts: whitespace tokens; BPE-ish subword estimate via a
+    regex over word pieces / digits / punctuation runs; char count."""
+    ws = F.size(F.split(F.trim(col), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]{1,4}|\d{1,3}|[^\sA-Za-z0-9]"), 0))
+    return {
+        "ws_tokens": F.when(F.length(F.trim(col)) > 0, ws).otherwise(0),
+        "bpe_ish_tokens": bpe_ish,
+        "n_chars": F.length(col),
+    }
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents + lang_id, quality_score, token counts (one projection)."""
+    c = F.col(text_col)
+    toks = token_count_cols(c)
+    return df.select(
+        "*",
+        lang_id_col(c).alias("lang_id"),
+        F.round(quality_score_col(c), 6).alias("quality_score"),
+        toks["ws_tokens"].alias("ws_tokens"),
+        toks["bpe_ish_tokens"].alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Whole-document fingerprint: md5-derived 60-bit int of the
+    normalized text (cheap JVM-side; reference analog: template cache
+    keys). For shift-robust fingerprints use winnowing_udf."""
+    from .dedup import md5_long, normalized_text
+
+    return md5_long(normalized_text(col))
+
+
+def winnowing_udf(spark, k: int = 5, window: int = 4):
+    """pandas UDF text -> array<long>: winnowing fingerprint (min rolling
+    hash of k-grams per window) — the standard local-fingerprint scheme
+    for near-copy detection."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _win(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or len(t) < k:
+                out.append([])
+                continue
+            s = " ".join(t.lower().split())
+            hs = np.array([
+                int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") >> 4
+                for i in range(len(s) - k + 1)
+            ], dtype=np.int64)
+            if len(hs) <= window:
+                out.append([int(hs.min())])
+                continue
+            mins = {int(hs[i:i + window].min()) for i in range(len(hs) - window + 1)}
+            out.append(sorted(mins))
+        return pd.Series(out)
+
+    return _win

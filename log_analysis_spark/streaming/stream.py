@@ -1,0 +1,101 @@
+"""Streaming mode: the reference ingest service re-expressed on
+Structured Streaming.
+
+Reference behaviors mapped (SURVEY.md §2.9):
+- ST1 size-or-time flush (1000 rows / 5 s, src/buffered_writer.rs:38-88)
+  -> micro-batch trigger(processingTime=...); sink writes are per-batch.
+- ST2 unmatched side-channel (src/bin/log-ingest-service.rs:100-185)
+  -> the same matched/unmatched split inside foreachBatch.
+- ST3 dynamic rule update via snapshot swap (src/log_matcher.rs:527-539)
+  -> a MatcherBox the driver can swap between micro-batches; each batch
+  broadcasts the current compiled matcher.
+- ST4 retry/backoff -> Spark task retries + checkpointLocation recovery
+  (exactly-once per foreachBatch epoch_id).
+
+Watermarks/stateful ops are intentionally absent — the reference has no
+event-time semantics; routing is stateless per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..enrich import enrich
+from ..matcher import with_template_id
+from ..synth import role_dict, tool_dict
+from ..templates import CompiledMatcher
+
+
+class MatcherBox:
+    """Swappable matcher holder (the broadcast-re-publication analog of
+    the reference's ArcSwap). Thread-safe: the streaming thread reads,
+    the driver swaps."""
+
+    def __init__(self, matcher: CompiledMatcher):
+        self._lock = threading.Lock()
+        self._matcher = matcher
+
+    def get(self) -> CompiledMatcher:
+        with self._lock:
+            return self._matcher
+
+    def swap(self, matcher: CompiledMatcher) -> None:
+        with self._lock:
+            self._matcher = matcher
+
+
+def route_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    box: MatcherBox,
+    out_dir: str,
+    trigger_seconds: int = 5,
+    text_col: str = "text",
+) -> StreamingQuery:
+    """readStream -> foreachBatch(match + enrich + split sinks).
+
+    Each micro-batch appends to matched/ and unmatched/ parquet dirs;
+    checkpointLocation makes replays idempotent per epoch.
+    """
+    roles = role_dict(spark)
+    tools = tool_dict(spark)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        matcher = box.get()
+        parsed = enrich(
+            with_template_id(batch_df, spark, matcher, text_col=text_col),
+            roles, tools,
+        )
+        parsed.persist()
+        try:
+            (parsed.filter(F.col("template_id").isNotNull())
+             .write.mode("append").parquet(os.path.join(out_dir, "matched")))
+            (parsed.filter(F.col("template_id").isNull())
+             .write.mode("append").parquet(os.path.join(out_dir, "unmatched")))
+        finally:
+            parsed.unpersist()
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream of transcript parquet drops (the sandbox stand-in
+    for the reference's HTTP ingest endpoint / Kafka)."""
+    from ..sources.readers import TRANSCRIPT_SCHEMA
+
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_dir)
+    )

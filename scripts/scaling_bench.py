@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling run (north_rule evidence).
+
+No real cluster exists in this sandbox, so the N -> 4N executor criterion
+is evidenced by running the identical pipeline job on the identical
+materialized input at local[N] and local[4N] (fresh JVM each) and
+reporting throughput at both plus scaling efficiency
+    eff = throughput_4N / (4 * throughput_N).
+
+Usage: python scripts/scaling_bench.py [--turns 2000000] [--n 8]
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.templates import CompiledMatcher
+from log_analysis_spark.synth import POOL_TEMPLATES
+from log_analysis_spark.plans.pipeline import run_pipeline
+from log_analysis_spark.matcher import match_udf
+from pyspark.sql import functions as F
+
+cores = {cores}
+in_path = {in_path!r}
+out_path = {out_path!r}
+
+spark = get_spark(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+m = CompiledMatcher(templates=POOL_TEMPLATES)
+df = spark.read.parquet(in_path)
+n = df.count()
+
+# steady-state: run the FULL pipeline once on a small slice first, so
+# python-worker spawn + whole-stage-codegen JIT of every operator in the
+# plan are warm (first-execution overhead is ~4x otherwise and would
+# swamp the scaling measurement)
+run_pipeline(spark, df.limit(20000), m, out_path + "_warm",
+             resume=False, collect_partition_metrics=False)
+
+best = None
+for i in range(2):
+    shutil.rmtree(out_path, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(spark, df, m, out_path,
+                 resume=False, collect_partition_metrics=False)
+    secs = time.time() - t0
+    best = secs if best is None else min(best, secs)
+print(json.dumps({{"cores": cores, "turns": n, "secs": round(best, 3),
+                   "turns_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_at(cores: int, in_path: str, out_path: str) -> dict:
+    code = _RUNNER.format(repo=REPO, cores=cores, in_path=in_path, out_path=out_path)
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[-3000:])
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="scaling_")
+    in_path = os.path.join(work, "transcripts")
+
+    gen = _GEN.format(repo=REPO, turns=args.turns, in_path=in_path)
+    res = subprocess.run([sys.executable, "-c", gen], capture_output=True, text=True, timeout=1200)
+    if res.returncode != 0:
+        raise RuntimeError(res.stderr[-3000:])
+
+    lo = run_at(args.n, in_path, os.path.join(work, f"out{args.n}"))
+    hi = run_at(args.n * 4, in_path, os.path.join(work, f"out{args.n * 4}"))
+    eff = hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"])
+    summary = {"N": lo, "4N": hi, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — scaling evidence (north_rule)
+
+Same pipeline job (parse → enrich → route → aggregate over the synthetic
+transcript table, {lo['turns']:,} turns) on identical materialized parquet
+input, at two parallelism levels in fresh JVMs (the sandbox stand-in for
+N vs 4N executors). Steady-state: python workers + codegen warmed before
+the timed run.
+
+| parallelism | wall time (s) | throughput (turns/s) |
+|---|---|---|
+| local[{args.n}] (N) | {lo['secs']} | {lo['turns_per_sec']:,} |
+| local[{args.n * 4}] (4N) | {hi['secs']} | {hi['turns_per_sec']:,} |
+
+**Scaling efficiency** = throughput_4N / (4 x throughput_N) = **{eff:.3f}**
+(criterion: >= 0.8).
+
+Reference single-node comparison (BASELINE.md): avg matching throughput
+370K logs/s, peak 876K logs/s. Our steady-state match-only stage runs at
+~0.9-1.4M turns/s on local[32] (see BENCH_r*.json `match_only`); the e2e
+number above additionally includes enrichment, four durable fan-out sinks,
+and three aggregate jobs.
+""")
+
+
+_GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import synth_transcripts
+
+spark = get_spark(app_name="scaling_gen", master="local[32]")
+n_convs = max(1000, int({turns} / 17.6))
+synth_transcripts(spark, n_convs=n_convs, partitions=64).write.mode(
+    "overwrite").parquet({in_path!r})
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash —
+verified against brute-force computations on small corpora."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "The quick  brown fox jumps over the lazy dog"),         # normalized dup of 0
+    (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+    (4, "completely different content about spark pipelines"),
+    (5, "completely different material about spark pipelines"),  # near dup of 4
+    (6, "unrelated single sentence with unique words entirely"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    words = " ".join(text.lower().split()).split(" ")
+    return {" ".join(words[i:i + n]) for i in range(max(len(words) - n + 1, 0))}
+
+
+def _py_jaccard(a, b, n=3):
+    sa, sb = _py_shingles(a, n), _py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: (r["is_duplicate"], r["dup_group_rep"]) for r in exact_dedup(docs).collect()}
+    assert out[0] == (False, 0)
+    assert out[1] == (True, 0)
+    assert out[2] == (True, 0)   # case/whitespace normalization
+    assert out[3][0] is False
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["rep_id"] == 0
+
+
+def test_word_shingles_match_python(spark, docs):
+    got = {
+        (r["doc_id"], r["shingle"]) for r in word_shingles(docs, n=3).collect()
+    }
+    expected = {
+        (i, s) for i, t in DOCS for s in _py_shingles(t, 3)
+    }
+    assert got == expected
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _py_jaccard(ta, tb, 3)
+        if j >= 0.5:
+            expected[(ia, ib)] = j
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == pytest.approx(expected[k])
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 3) in got  # near dup
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, k=16).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]        # identical shingle sets
+    assert sigs[0] != sigs[4]
+    # near dups agree on most minhashes
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert agree >= 8
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).collect()}
+    # all exact dups must be found; verified jaccard filters false positives
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    for a, b in got:
+        assert _py_jaccard(DOCS[a][1], DOCS[b][1]) >= 0.5
+
+
+def test_simhash_neardup(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(spark, docs, max_hamming=6).collect()}
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0
+    assert (0, 4) not in got
+    # one-word swap stays within a few bits
+    if (0, 3) in got:
+        assert got[(0, 3)] <= 6
+
+
+def test_dedup_on_documents_table(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = exact_dedup(df)
+    assert out.count() == df.count()
+    assert out.filter(~F.col("is_duplicate")).count() <= df.count()

@@ -1,0 +1,93 @@
+"""Template induction: pattern learner goldens (pure Python) + the
+two-phase induce-and-rematch flow on Spark (SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.induction import (
+    induce_and_rematch,
+    learn_pattern,
+    tokenize_char_runs,
+)
+from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+from log_analysis_spark.templates import CompiledMatcher
+
+
+def test_tokenize_char_runs():
+    # char-class run tokenizer (src/pattern_learner.rs:33-74 semantics)
+    assert tokenize_char_runs("abc123 def") == ["abc", "123", " ", "def"]
+    assert tokenize_char_runs("a.b,c") == ["a", ".", "b", ",", "c"]
+    assert tokenize_char_runs("") == []
+    assert tokenize_char_runs("  x") == ["  ", "x"]
+
+
+def test_learn_pattern_static_and_variable():
+    samples = [
+        "error: connection timeout after 5000ms",
+        "error: connection timeout after 123ms",
+        "error: connection timeout after 42ms",
+    ]
+    learned = learn_pattern(samples)
+    assert learned is not None
+    pattern, variables = learned
+    rx = re.compile(pattern)
+    for s in samples:
+        m = rx.fullmatch(s)
+        assert m, (pattern, s)
+    assert variables == ["int_1"]
+    assert rx.fullmatch("error: connection timeout after 9999ms").group(1) == "9999"
+    # static text must stay literal
+    assert not rx.fullmatch("error: connection refused after 5ms")
+
+
+def test_learn_pattern_type_inference():
+    pattern, variables = learn_pattern([
+        "host 10.0.0.1 up 3.5s",
+        "host 192.168.7.13 up 881.25s",
+    ])
+    assert variables == ["ip_1", "decimal_2"]
+    assert re.fullmatch(pattern, "host 8.8.8.8 up 1.0s")
+
+
+def test_learn_pattern_shape_mismatch():
+    assert learn_pattern(["a b c", "a b"]) is None
+    assert learn_pattern([]) is None
+
+
+def test_induce_and_rematch_closes_unmatched(spark):
+    """The 5% 'unknown' synth lines share one masked signature; induction
+    must learn a template for them and re-match to 100%."""
+    df = synth_transcripts(spark, n_convs=50, with_truth=True)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    rematched, enlarged, new_templates = induce_and_rematch(spark, df, matcher)
+    assert len(new_templates) >= 1
+    # ids are max+1.. (reference S9 semantics)
+    assert new_templates[0].template_id == matcher.next_template_id()
+    still_unmatched = rematched.filter(F.col("template_id").isNull()).count()
+    assert still_unmatched == 0
+    # unknown rows all got (the same) new template id
+    unknown_ids = (
+        rematched.filter(F.col("truth_event") == "unknown")
+        .select("template_id").distinct().collect()
+    )
+    assert len(unknown_ids) == 1
+    assert unknown_ids[0]["template_id"] >= matcher.next_template_id()
+    # previously-matched rows keep their template (enlarging never steals)
+    changed = (
+        rematched.filter(
+            (F.col("truth_event") != "unknown")
+            & (F.col("template_id") >= matcher.next_template_id())
+        ).count()
+    )
+    assert changed == 0
+
+
+def test_induction_deterministic(spark):
+    df = synth_transcripts(spark, n_convs=30)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    _, _, t1 = induce_and_rematch(spark, df, matcher)
+    _, _, t2 = induce_and_rematch(spark, df, matcher)
+    assert [(t.template_id, t.pattern) for t in t1] == [(t.template_id, t.pattern) for t in t2]

@@ -1,0 +1,108 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.similarity import (
+    brute_force_neardup_pairs,
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplane_codes,
+    lsh_topk,
+    with_lsh_bucket,
+    with_unit_vector,
+)
+
+DIM = 8
+N = 60
+
+
+def _np_vectors():
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    base[10] = base[0] + rng.standard_normal(DIM).astype(np.float32) * 0.01  # near dup of 0
+    base[11] = base[1] * 2.0                                                  # exact direction of 1
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = _np_vectors()
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_cosine_matrix():
+    v = _np_vectors().astype(np.float64)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return u @ u.T
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    cos = _np_cosine_matrix()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for q in range(3):
+        sims = [(-cos[q, j], j) for j in range(N) if j != q]
+        expected = [j for _, j in sorted(sims)[:5]]
+        ranked = [vid for _, vid, _ in sorted(by_q[q])]
+        assert ranked == expected, (q, ranked, expected)
+        for rank, vid, c in by_q[q]:
+            assert c == pytest.approx(cos[q, vid], abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    # 3 planes -> 8 buckets: coarse enough that random vectors collide and
+    # recall on nearest neighbors is meaningful at N=60
+    planes = hyperplane_codes(spark, DIM, n_planes=3)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = lsh_topk(emb, queries, planes, k=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    # near-identical vectors always share a bucket -> the top-1 of query 0
+    # (its planted near-dup, vec 10) must be found
+    assert (0, 10) in approx_set
+    assert len(approx_set & exact_set) >= len(exact_set) // 3
+    # every ANN cosine must equal the exact cosine for that pair
+    cos = _np_cosine_matrix()
+    for r in approx:
+        assert r["cosine"] == pytest.approx(cos[r["query_id"], r["vec_id"]], abs=1e-6)
+
+
+def test_cosine_neardup(spark, emb):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             brute_force_neardup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 10) in exact and (1, 11) in exact
+    planes = hyperplane_codes(spark, DIM, n_planes=6)
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           cosine_neardup_pairs(emb, planes, threshold=0.95).collect()}
+    # LSH pairs are a subset of exact pairs (verification re-scores)
+    assert lsh <= exact
+    # very-close duplicates survive the bucket filter
+    assert (0, 10) in lsh and (1, 11) in lsh
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    planes = hyperplane_codes(spark, DIM, n_planes=6)
+    a = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(emb, planes).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(emb, planes).collect()}
+    assert a == b
+    assert all(0 <= v < 64 for v in a.values())
+
+
+def test_on_embeddings_table(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(df, queries, k=4)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)

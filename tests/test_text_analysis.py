@@ -1,0 +1,121 @@
+"""Text analysis: lang-id, quality scoring, token counting, fingerprints,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.multimodal import (
+    FakeCodec,
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from log_analysis_spark.operators.text_analysis import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_cols,
+    winnowing_udf,
+    with_text_features,
+)
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat sat on the mat and it was happy for a while"),
+        (1, "der hund ist nicht auf der couch und das ist gut"),
+        (2, "le chat est dans la maison et il dort pour une heure"),
+        (3, "el perro es un animal y la casa es grande por que si"),
+        (4, "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown"}
+
+
+def test_quality_score_ordering(spark):
+    rows = [
+        (0, "This is a well formed sentence with the usual words and it reads fine."),
+        (1, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (2, "9283 4827 1093 8374 2910 7462 8123 9934 1273 8successive digits 8888"),
+        (3, "word word word word word word word word word word"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score_col(F.col("text")).alias("q")).collect()}
+    assert got[0] > got[1]
+    assert got[0] > got[2]
+    assert got[0] > got[3]  # repetition penalized via uniq_word_ratio
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world foo"), (1, ""), (2, "a b")],
+                               "id long, text string")
+    cols = token_count_cols(F.col("text"))
+    got = {r["id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "id", cols["ws_tokens"].alias("ws"), cols["bpe_ish_tokens"].alias("bpe")).collect()}
+    assert got[0][0] == 3
+    assert got[1][0] == 0
+    assert got[2][0] == 2
+    assert got[0][1] >= 3  # subword estimate >= word count for short words
+
+
+def test_with_text_features_on_documents(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = with_text_features(df)
+    rows = out.collect()
+    assert len(rows) == df.count()
+    assert {"lang_id", "quality_score", "ws_tokens", "bpe_ish_tokens"} <= set(out.columns)
+    # the synthetic docs are english word soup
+    en = sum(r["lang_id"] == "en" for r in rows)
+    assert en > len(rows) * 0.5
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "The Quick  Brown fox"), (1, "the quick brown fox"), (2, "other text")],
+        "id long, text string")
+    got = {r["id"]: r["fp"] for r in df.select("id", fingerprint_col(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    win = winnowing_udf(spark)
+    w = {r["id"]: r["w"] for r in df.select("id", win(F.col("text")).alias("w")).collect()}
+    assert w[0] == w[1] and len(w[0]) > 0
+    # winnowing is shift-robust: shared suffix -> overlapping fingerprints
+    df2 = spark.createDataFrame(
+        [(0, "prefix aaa the quick brown fox jumps over"),
+         (1, "zzz other the quick brown fox jumps over")], "id long, text string")
+    w2 = {r["id"]: set(r["w"]) for r in df2.select("id", win(F.col("text")).alias("w")).collect()}
+    assert len(w2[0] & w2[1]) > 0
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    assert media.count() == 30
+    feats = extract_features(media, spark)
+    rows = feats.collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["features"])
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media, spark).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert first == again
+
+    frames = frame_sample(media, spark, every=50).collect()
+    vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in frames} == vids
+    assert all(r["frame_idx"] % 50 == 0 for r in frames)
+
+    codec = FakeCodec()
+    f1 = codec.decode_features(b"abc", "image")
+    f2 = codec.decode_features(b"abc", "image")
+    assert (f1 == f2).all()
+
+
+def test_real_codec_stub():
+    from log_analysis_spark.operators.multimodal import RealCodec
+
+    with pytest.raises(NotImplementedError):
+        RealCodec().decode_features(b"x", "image")
