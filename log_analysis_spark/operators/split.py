@@ -1,0 +1,59 @@
+"""Stratified train/test split (reference: src/dataset_splitter.rs:69-208).
+
+The reference splits a labeled corpus so every template/event appears in
+both sets, with a seeded RNG. Our restatement is hash-deterministic
+rather than RNG-order-dependent: each row's bucket is a pure function of
+(seed, stable row key), and stratification guarantees come from ranking
+within each group — so the split is reproducible under any partitioning
+and on resume (no rand(), same reasoning as the sampled sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_split(
+    df: DataFrame,
+    group_col: str,
+    row_key_cols: Sequence[str],
+    test_fraction: float = 0.2,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Adds ``split`` ('train' | 'test').
+
+    Within each group, rows are ranked by a seeded hash; the first
+    ceil(n * test_fraction) go to test — except groups with a single row,
+    which always go to train (the reference keeps every label represented
+    in train; test coverage then holds for every group with >= 2 rows).
+    """
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in row_key_cols])
+    w = Window.partitionBy(group_col).orderBy(h, *row_key_cols)
+    n = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
+    )
+    n_test = F.ceil(F.col("_n") * F.lit(test_fraction))
+    return (
+        ranked.withColumn(
+            out_col,
+            F.when((F.col("_n") >= 2) & (F.col("_rk") <= n_test), "test").otherwise("train"),
+        )
+        .drop("_rk", "_n")
+    )
+
+
+def split_counts(df: DataFrame, group_col: str, split_col: str = "split") -> DataFrame:
+    """Per-group train/test counts (the reference's split-coverage check)."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.sum((F.col(split_col) == "train").cast("long")).alias("n_train"),
+            F.sum((F.col(split_col) == "test").cast("long")).alias("n_test"),
+        )
+    )

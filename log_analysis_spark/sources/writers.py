@@ -43,6 +43,8 @@ def route_and_write(
     example_rate_pct: int = 1,
     mode: str = "overwrite",
     cluster_partitions: int | None = None,
+    full_rows_in_matched: bool = False,
+    compression: str = "zstd",
 ) -> dict[str, str]:
     """Fan-out the matched/enriched frame into the sink family.
 
@@ -71,23 +73,38 @@ def route_and_write(
     # afford to re-run the parse per sink.
     p_primary = os.path.join(out_dir, "by_role")
     (df.repartitionByRange(n, "role", "conv_id")
-     .write.mode(mode).partitionBy("role").parquet(p_primary))
+     .write.mode(mode).option("compression", compression)
+     .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
     routed = spark.read.parquet(p_primary)
 
     matched = routed.filter(F.col("template_id").isNotNull())
 
+    # Per-template sink: normalized by default — keys + routing metadata,
+    # NOT the payload. The payload already lives (once) in the primary
+    # sink; duplicating ~the whole table into the fan-out family doubles
+    # the job's write volume, which at 10^12 turns is the dominant cost.
+    # A per-template query joins back on (conv_id, turn_idx) — partition
+    # pruning on template_id makes that join read only its slice.
+    key_cols = [c for c in
+                ("conv_id", "turn_idx", "role", "tool", "ts", "template_id")
+                if c in matched.columns]
+    matched_out = matched if full_rows_in_matched else matched.select(*key_cols)
+
     p = os.path.join(out_dir, "matched")
-    (matched.repartitionByRange(n, "template_id", "conv_id")
-     .write.mode(mode).partitionBy("template_id").parquet(p))
+    (matched_out.repartitionByRange(n, "template_id", "conv_id")
+     .write.mode(mode).option("compression", compression)
+     .partitionBy("template_id").parquet(p))
     sinks["matched"] = p
 
     p = os.path.join(out_dir, "unmatched")
-    routed.filter(F.col("template_id").isNull()).write.mode(mode).parquet(p)
+    (routed.filter(F.col("template_id").isNull())
+     .write.mode(mode).option("compression", compression).parquet(p))
     sinks["unmatched"] = p
 
     p = os.path.join(out_dir, "examples")
-    deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx")).write.mode(mode).parquet(p)
+    (deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx"))
+     .write.mode(mode).option("compression", compression).parquet(p))
     sinks["examples"] = p
 
     return sinks

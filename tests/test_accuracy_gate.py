@@ -1,0 +1,61 @@
+"""The reference's signature correctness check re-expressed: majority-vote
+grouping accuracy on a labeled corpus must clear the floor
+(tests/openstack_accuracy_test.rs:269-274 asserts > 70%; our engine on the
+synthetic corpus should be near-perfect). Plus stratified-split coverage
+(src/dataset_splitter.rs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.matcher import with_template_id
+from log_analysis_spark.operators.aggregates import (
+    distinct_groups,
+    grouping_accuracy,
+    majority_vote,
+)
+from log_analysis_spark.operators.split import split_counts, stratified_split
+from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+from log_analysis_spark.templates import CompiledMatcher
+
+
+def test_grouping_accuracy_gate(spark):
+    df = synth_transcripts(spark, n_convs=80, with_truth=True)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    assigned = with_template_id(df, spark, matcher).withColumnRenamed(
+        "truth_event", "event_id")
+    acc = grouping_accuracy(assigned).collect()[0]
+    pct = acc["accuracy_pct"]
+    # reference floor is 70; the fixed pool on its own corpus is ~95%
+    # (only the 'unknown' 5% is unmatched and scores as incorrect)
+    assert pct > 90.0, dict(acc.asDict())
+    assert acc["unmatched"] == acc["total"] - acc["correct"]
+
+    maj = {r["event_id"]: r["majority_template_id"] for r in majority_vote(assigned).collect()}
+    from log_analysis_spark.synth import truth_template_id
+
+    for event, tid in truth_template_id().items():
+        assert maj[event] == tid, (event, maj[event], tid)
+
+    groups = distinct_groups(assigned).collect()[0]["expected_groups"]
+    assert groups == len(truth_template_id())
+
+
+def test_stratified_split(spark):
+    df = synth_transcripts(spark, n_convs=60, with_truth=True)
+    out = stratified_split(df, "truth_event", ("conv_id", "turn_idx"), test_fraction=0.25)
+    counts = {r["truth_event"]: (r["n_train"], r["n_test"])
+              for r in split_counts(out, "truth_event").collect()}
+    total = df.count()
+    assert sum(a + b for a, b in counts.values()) == total
+    for event, (tr, te) in counts.items():
+        assert tr > 0, event                      # every label in train
+        if tr + te >= 2:
+            assert te > 0, event                  # and in test when possible
+            frac = te / (tr + te)
+            assert 0.15 <= frac <= 0.4, (event, frac)
+    # determinism
+    again = stratified_split(df, "truth_event", ("conv_id", "turn_idx"), test_fraction=0.25)
+    a = sorted((r["conv_id"], r["turn_idx"], r["split"]) for r in out.collect())
+    b = sorted((r["conv_id"], r["turn_idx"], r["split"]) for r in again.collect())
+    assert a == b

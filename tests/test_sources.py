@@ -1,0 +1,65 @@
+"""Sources: raw-log scan, ground-truth CSV, LogHub template conversion,
+syslog extraction (SURVEY.md §2.1 S2-S4, §2.8 F10)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.format_detect import extract_syslog_cols
+from log_analysis_spark.sources.readers import (
+    loghub_template_to_regex,
+    read_ground_truth_csv,
+    read_raw_logs,
+)
+
+
+def test_read_raw_logs(spark, tmp_path):
+    p = tmp_path / "app_2k.log"
+    p.write_text("line one\nline two\nline three\n")
+    df = read_raw_logs(spark, str(p))
+    rows = [r["text"] for r in df.collect()]
+    assert rows == ["line one", "line two", "line three"]
+
+
+def test_read_ground_truth_csv(spark, tmp_path):
+    p = tmp_path / "structured.csv"
+    p.write_text(
+        "line_id,log_line,event_id,event_template\n"
+        "1,\"error: x happened\",E1,error: <*> happened\n"
+        "2,\"ok: done\",E2,ok: <*>\n"
+        "badrow-without-enough-fields\n"
+    )
+    df = read_ground_truth_csv(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2  # malformed row dropped (P5)
+    assert rows[0]["event_id"] == "E1"
+
+
+def test_loghub_template_to_regex():
+    # semantics of src/loghub_loader.rs:19-50: escape literals, <*> -> lazy any
+    rx = loghub_template_to_regex("error: <*> happened at <*>")
+    assert re.fullmatch(rx[1:-1], "error: disk failure happened at 10:33")
+    assert re.match(rx, "error: x happened at y")
+    assert not re.match(rx, "warning: x happened at y")
+    # regex metachars in the template are literal
+    rx2 = loghub_template_to_regex("cost (usd): <*>")
+    assert re.match(rx2, "cost (usd): 42")
+    assert not re.match(rx2, "cost usd: 42")
+
+
+def test_syslog_extraction(spark):
+    df = spark.createDataFrame(
+        [("Jun 14 15:16:01 combo sshd(pam_unix)[19939]: authentication failure; logname=",),
+         ("not a syslog line",)],
+        "line string",
+    )
+    out = df.select(extract_syslog_cols(F.col("line"))).collect()
+    r = out[0]
+    assert r["ts_str"] == "Jun 14 15:16:01"
+    assert r["host"] == "combo"
+    assert r["service"] == "sshd(pam_unix)"
+    assert r["pid"] == "19939"
+    assert r["message"].startswith("authentication failure")
+    assert out[1]["host"] == ""  # no match -> empty extracts
