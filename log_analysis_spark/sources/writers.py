@@ -54,12 +54,15 @@ def route_and_write(
       unmatched/     rows with no template
       examples/      deterministic ~1% sample of matched rows
 
-    Before each partitionBy write the frame is range-partitioned on
-    (sink key, conv_id): every task then writes to at most ~2 partition
-    dirs instead of all of them, which keeps file counts O(tasks) rather
-    than O(tasks x partitions) — the standard recipe against the
-    small-files explosion at scale. conv_id as the secondary range key
-    spreads a hot template/role over many tasks (skew-safe).
+    Before each partitionBy write the frame is hash-partitioned on
+    (sink key, salt(conv_id)): every task then writes exactly one
+    partition dir, keeping file counts O(tasks) rather than
+    O(tasks x partitions) — the standard recipe against the small-files
+    explosion at scale. Hash + explicit salt (not repartitionByRange:
+    range-boundary sampling EXECUTES THE CHILD PLAN A SECOND TIME, which
+    here means running the match UDF twice over the full input — measured
+    as the single largest cost in the pipeline). The salt spreads a hot
+    role/template over ~n/n_keys tasks (skew-safe, deterministic).
 
     Returns {sink_name: path}.
     """
@@ -71,8 +74,9 @@ def route_and_write(
     # input. Every other sink is derived by re-reading this columnar table
     # (predicate/column pushdown, no Python) — at 10^12 rows you cannot
     # afford to re-run the parse per sink.
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n, 1)))
     p_primary = os.path.join(out_dir, "by_role")
-    (df.repartitionByRange(n, "role", "conv_id")
+    (df.repartition(n, F.col("role"), salt)
      .write.mode(mode).option("compression", compression)
      .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
@@ -92,7 +96,7 @@ def route_and_write(
     matched_out = matched if full_rows_in_matched else matched.select(*key_cols)
 
     p = os.path.join(out_dir, "matched")
-    (matched_out.repartitionByRange(n, "template_id", "conv_id")
+    (matched_out.repartition(n, F.col("template_id"), salt)
      .write.mode(mode).option("compression", compression)
      .partitionBy("template_id").parquet(p))
     sinks["matched"] = p
@@ -113,17 +117,20 @@ def route_and_write(
 def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
     """Routed-row count per sink (the correctness gate's expected_sink_counts).
 
-    An empty partitioned sink (e.g. zero matched rows) has no footer to
-    infer a schema from — that's a legitimate 0, not an error.
+    Counts come from parquet footer metadata read driver-side — zero Spark
+    jobs (the local analog of reading Iceberg snapshot row counts from the
+    manifest). An empty sink directory is a legitimate 0.
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
+    import pyarrow.parquet as pq
 
     out: dict[str, int] = {}
     for name, path in sinks.items():
-        try:
-            out[name] = spark.read.parquet(path).count()
-        except AnalysisException:
-            out[name] = 0
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        out[name] = total
     return out
 
 

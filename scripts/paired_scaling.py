@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Paired scaling measurement for hosts with drifting CPU capacity.
+
+Two persistent Spark processes (local[N], local[4N]) alternate full
+pipeline runs on identical input in tight cycles; each cycle yields one
+efficiency sample eff_i = (T_N_i / T_4N_i) / 4 taken within a ~1-minute
+window, so slow host-capacity drift cancels in the ratio. The reported
+number is the median over cycles.
+
+Usage: python scripts/paired_scaling.py --turns 2000000 --n 1 --cycles 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/dev/shm/paired_scaling"
+
+_WORKER = '''
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import POOL_TEMPLATES
+from log_analysis_spark.templates import CompiledMatcher
+from log_analysis_spark.plans.pipeline import run_pipeline
+
+cores = {cores}
+spark = get_spark(app_name=f"paired{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 2),
+                  extra_conf={{"spark.local.dir": {work!r} + f"/sl{{cores}}"}})
+df = spark.read.parquet({in_path!r})
+m = CompiledMatcher(templates=POOL_TEMPLATES)
+out = {work!r} + f"/out{{cores}}"
+# JIT/worker warm-up (not reported)
+run_pipeline(spark, df.sample(0.1, seed=1), m, out + "_w",
+             resume=False, collect_partition_metrics=False)
+shutil.rmtree(out + "_w", ignore_errors=True)
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() == "QUIT":
+        break
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(spark, df, m, out, resume=False, collect_partition_metrics=False)
+    print(f"DONE {{time.time() - t0:.3f}}", flush=True)
+'''
+
+
+class Worker:
+    def __init__(self, cores: int, in_path: str):
+        code = _WORKER.format(repo=REPO, cores=cores, work=WORK, in_path=in_path)
+        self.p = subprocess.Popen([sys.executable, "-u", "-c", code],
+                                  stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                                  stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def wait_ready(self):
+        for line in self.p.stdout:
+            if line.strip() == "READY":
+                return
+        raise RuntimeError("worker died before READY")
+
+    def run_once(self) -> float:
+        self.p.stdin.write("RUN\n")
+        self.p.stdin.flush()
+        for line in self.p.stdout:
+            if line.startswith("DONE"):
+                return float(line.split()[1])
+        raise RuntimeError("worker died mid-run")
+
+    def quit(self):
+        try:
+            self.p.stdin.write("QUIT\n")
+            self.p.stdin.flush()
+        except Exception:
+            pass
+        self.p.terminate()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--cycles", type=int, default=5)
+    args = ap.parse_args()
+
+    os.makedirs(WORK, exist_ok=True)
+    in_path = os.path.join(WORK, f"t{args.turns}")
+    gen = f'''
+import sys, os
+sys.path.insert(0, {REPO!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import synth_transcripts
+spark = get_spark(app_name="gen", master="local[32]")
+if not os.path.exists({in_path!r}):
+    synth_transcripts(spark, n_convs=max(1000, int({args.turns} / 17.6)),
+                      partitions=64).write.mode("overwrite").parquet({in_path!r})
+print("ok")
+'''
+    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, timeout=600)
+
+    lo = Worker(args.n, in_path)
+    hi = Worker(args.n * 4, in_path)
+    lo.wait_ready()
+    hi.wait_ready()
+
+    samples = []
+    for i in range(args.cycles):
+        t_lo = lo.run_once()
+        t_hi = hi.run_once()
+        eff = (t_lo / t_hi) / 4.0
+        samples.append({"cycle": i, "t_N": round(t_lo, 2), "t_4N": round(t_hi, 2),
+                        "efficiency": round(eff, 3)})
+        print(json.dumps(samples[-1]), flush=True)
+    lo.quit()
+    hi.quit()
+
+    effs = [s["efficiency"] for s in samples]
+    print(json.dumps({
+        "n": args.n, "turns": args.turns, "cycles": samples,
+        "median_efficiency": round(statistics.median(effs), 3),
+        "best_efficiency": round(max(effs), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,23 +64,25 @@ df = spark.read.parquet({in_path!r})
 n = df.count()
 m = CompiledMatcher(templates=POOL_TEMPLATES)
 
-# match-only scaling datum (steady state = min of 3 after one warm run)
+# match-only scaling datum (one warm pass, then timed)
 q = with_template_id(df, spark, m).filter("template_id is not null")
 q.count()
-match_best = 1e9
-for _ in range(2):
-    t0 = time.time(); q.count(); match_best = min(match_best, time.time() - t0)
+t0 = time.time(); q.count(); match_best = time.time() - t0
 
-# e2e pipeline: full-size warm run, then min of 2 timed runs
+# e2e pipeline: JIT/heap warm on a 5% slice, then ONE timed run (the host
+# throttles under sustained load, so long min-of-N protocols bias slow;
+# cross-level fairness comes from running every level with the identical
+# protocol back-to-back)
 out = {work!r} + f"/out{{cores}}"
-times = []
-for i in range(3):
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    run_pipeline(spark, df, m, out, resume=False, collect_partition_metrics=False)
-    times.append(time.time() - t0)
+run_pipeline(spark, df.sample(0.05, seed=1), m, out + "_w",
+             resume=False, collect_partition_metrics=False)
+shutil.rmtree(out + "_w", ignore_errors=True)
 shutil.rmtree(out, ignore_errors=True)
-best = min(times[1:])
+t0 = time.time()
+run_pipeline(spark, df, m, out, resume=False, collect_partition_metrics=False)
+times = [time.time() - t0]
+shutil.rmtree(out, ignore_errors=True)
+best = times[0]
 print(json.dumps({{"cores": cores, "turns": n,
                    "match_secs": round(match_best, 2),
                    "match_tps": round(n / match_best),
