@@ -56,7 +56,10 @@ def main() -> None:
     for name in (
         "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
         "majority_vote", "recent_per_user", "match_assignments",
-        "mask_signature", "user_histogram",
+        "mask_signature", "user_histogram", "exact_dedup_digest",
+        "minhash_signatures", "embedding_topk", "embedding_neardup",
+        "text_quality", "variable_extraction", "induced_templates",
+        "simhash_sigs",
     ):
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

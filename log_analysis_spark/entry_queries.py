@@ -347,6 +347,42 @@ def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variable_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: per-template regex capture of variables (pandas UDF grouped by
+    template); oracle = DuckDB regexp_extract with the same patterns."""
+    from .matcher import variables_udf, with_template_id
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("event_id", F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    matched = with_template_id(lines, spark, m, text_col="line")
+    vars_col = variables_udf(spark, m)(F.col("line"), F.col("template_id"))
+    return matched.select(
+        "event_id", "template_id",
+        F.try_element_at(vars_col, F.lit(1)).alias("v1"),
+        F.try_element_at(vars_col, F.lit(2)).alias("v2"),
+    ).orderBy("event_id")
+
+
+def q_induced_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 two-phase induction on unmatched lines (applyInPandas pattern
+    learner — python kernel, rows-only driver check). Deterministic:
+    hash-built lines + support-ordered max+1 ids."""
+    from .induction import induce_templates
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    from .matcher import with_template_id
+
+    lines = ev.select(F.expr(_LINE_SQL.format(S="STRING")).alias("text"))
+    unmatched = with_template_id(lines, spark, m).filter(F.col("template_id").isNull())
+    new_templates = induce_templates(spark, unmatched, m)
+    return spark.createDataFrame(
+        [(t.template_id, t.pattern, list(t.variables)) for t in new_templates],
+        "template_id long, pattern string, variables array<string>",
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -606,6 +642,22 @@ SELECT event_id, template_id FROM _assign ORDER BY event_id
     from .functions.masks import mask_sql_duck
 
     fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")
+    v1_cases, v2_cases = [], []
+    for t in m.templates:
+        rx = t.pattern.replace("'", "''")
+        n_groups = __import__("re").compile(t.pattern).groups
+        if n_groups >= 1:
+            v1_cases.append(f"WHEN {t.template_id} THEN nullif(regexp_extract(line, '{rx}', 1), '')")
+        if n_groups >= 2:
+            v2_cases.append(f"WHEN {t.template_id} THEN nullif(regexp_extract(line, '{rx}', 2), '')")
+    sql["variable_extraction"] = f"""
+WITH _assign AS ({assignments})
+SELECT event_id, template_id,
+       CASE template_id {' '.join(v1_cases)} ELSE NULL END AS v1,
+       CASE template_id {' '.join(v2_cases)} ELSE NULL END AS v2
+FROM _assign ORDER BY event_id
+""".strip()
+
     sql["exact_dedup_digest"] = f"""
 WITH d AS (SELECT doc_id, {_DUCK_DIGEST} AS digest FROM documents),
 r AS (SELECT digest, min(doc_id) AS rep_id FROM d GROUP BY digest)
@@ -736,4 +788,6 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "simhash_sigs": q_simhash_sigs,          # rows-only (python kernel)
         "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
+        "variable_extraction": q_variable_extraction,
+        "induced_templates": q_induced_templates,     # rows-only (applyInPandas)
     }

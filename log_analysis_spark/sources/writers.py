@@ -134,6 +134,26 @@ def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
     return out
 
 
+def read_template_slice(
+    spark: SparkSession,
+    sinks: dict[str, str],
+    template_id: int,
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Read one per-template table WITH payload from the normalized sinks.
+
+    Partition pruning on the matched sink selects only that template's
+    slice; the payload joins back from the primary sink on
+    (conv_id, turn_idx) — at scale the join's left side is one partition
+    directory, so this reads a tiny fraction of the table.
+    """
+    keys = spark.read.parquet(sinks["matched"]).filter(
+        F.col("template_id") == template_id)
+    payload = spark.read.parquet(sinks["by_role"]).select(
+        "conv_id", "turn_idx", *payload_cols)
+    return keys.join(payload, ["conv_id", "turn_idx"], "left")
+
+
 def write_templates_dim(templates_df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6/S9: persist the template dimension (parquet; JSON mirror for
     human inspection matches the reference's cache files,

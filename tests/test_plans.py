@@ -1,0 +1,65 @@
+"""Physical-plan properties (SURVEY.md §4): predicate pushdown reaches the
+parquet scan, small dims join as broadcast, top-k plans as
+TakeOrderedAndProject, and the matcher stage stays narrow (no shuffle
+between scan and match)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.enrich import enrich
+from log_analysis_spark.matcher import with_template_id
+from log_analysis_spark.synth import POOL_TEMPLATES, role_dict, tool_dict
+from log_analysis_spark.templates import CompiledMatcher
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(F.col("event_type") == "error").select("event_id", "value")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema must not include unused columns
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    q = li.join(F.broadcast(nation), li.l_suppkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(q)
+    # enrichment dims broadcast without explicit hint too (size-based)
+    df = spark.createDataFrame([("user", "u0", "bash", 0)], "role string, conv_id string, tool string, turn_idx int")
+    enriched = enrich(df, role_dict(spark), tool_dict(spark))
+    assert "BroadcastHashJoin" in _plan(enriched)
+    assert "SortMergeJoin" not in _plan(enriched)
+
+
+def test_topk_is_take_ordered(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.orderBy(F.desc("ts")).limit(10)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_match_stage_is_narrow(spark):
+    """scan -> match must not shuffle: the plan has no Exchange below the
+    Python eval node."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumnRenamed("props", "text")
+    m = CompiledMatcher(templates=POOL_TEMPLATES)
+    q = with_template_id(ev, spark, m)
+    plan = _plan(q)
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+
+
+def test_aggregate_is_partial(spark):
+    """groupBy count must plan partial aggregation (map-side combine)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(ev.groupBy("event_type").count())
+    assert plan.count("HashAggregate") >= 2  # partial + final
