@@ -1,0 +1,108 @@
+"""Vectorized Aho-Corasick: multi-pattern containment in O(total chars),
+independent of pattern count.
+
+The reference's core optimization (O1, /root/reference/src/log_matcher.rs:
+168-199) is an AC automaton that turns "which of T templates' fragments
+occur in this line" from O(T x line) into one automaton pass. No C
+Aho-Corasick library exists in this environment, so this is the same idea
+re-created on numpy:
+
+- compile time (driver): build the trie + BFS fail links, close them into
+  a full DFA transition table ``trans[state, byte] -> state`` (uint32,
+  ~n_chars_total states x 256), and per-state *complete* output bitsets
+  (own outputs ∪ outputs along the fail chain) as a bool matrix.
+- match time (executor, per Arrow batch): encode the batch into one
+  padded uint8 matrix; all rows advance through the DFA in lockstep, one
+  fancy-index gather per character position; rows sitting on an output
+  state OR that state's fragment bitset into their result row.
+
+Cost per batch ≈ max_len x (one gather over n_rows) + sparse output ORs —
+the per-fragment scan disappears entirely. Reports every occurrence of
+every pattern (containment semantics, a superset of non-overlapping
+leftmost-longest — see CompiledMatcher's doc note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+class VectorizedAhoCorasick:
+    def __init__(self, patterns: list[str]):
+        if not patterns:
+            raise ValueError("need at least one pattern")
+        self.n_patterns = len(patterns)
+        pats = [p.encode("utf-8") for p in patterns]
+
+        # --- trie ---
+        goto: list[dict[int, int]] = [{}]
+        out_own: list[list[int]] = [[]]
+        for pid, p in enumerate(pats):
+            s = 0
+            for byte in p:
+                nxt = goto[s].get(byte)
+                if nxt is None:
+                    nxt = len(goto)
+                    goto[s][byte] = nxt
+                    goto.append({})
+                    out_own.append([])
+                s = nxt
+            out_own[s].append(pid)
+
+        n_states = len(goto)
+        fail = np.zeros(n_states, dtype=np.int64)
+
+        # --- BFS fail links + DFA closure ---
+        trans = np.zeros((n_states, 256), dtype=np.uint32)
+        queue: list[int] = []
+        for byte, s in goto[0].items():
+            trans[0, byte] = s
+            queue.append(s)
+        head = 0
+        out_sets: list[set[int]] = [set(o) for o in out_own]
+        while head < len(queue):
+            s = queue[head]
+            head += 1
+            f = fail[s]
+            out_sets[s] |= out_sets[f]
+            for byte, t in goto[s].items():
+                fail[t] = trans[f, byte]
+                queue.append(t)
+            # close: transitions not in the trie follow the fail state's row
+            row = trans[f].copy()
+            for byte, t in goto[s].items():
+                row[byte] = t
+            trans[s] = row
+
+        self.trans = trans
+        self.out_mask = np.zeros((n_states, self.n_patterns), dtype=bool)
+        for s, outs in enumerate(out_sets):
+            for pid in outs:
+                self.out_mask[s, pid] = True
+        self.has_out = self.out_mask.any(axis=1)
+
+    def contains_matrix(self, texts: pd.Series) -> np.ndarray:
+        """bool-as-float64 [n_rows, n_patterns]: pattern j occurs in row i."""
+        n = len(texts)
+        M = np.zeros((n, self.n_patterns), dtype=bool)
+        if n == 0:
+            return M.astype(np.float64)
+        encoded = texts.fillna("").astype(str).str.encode("utf-8").to_numpy()
+        maxlen = max((len(b) for b in encoded), default=0)
+        if maxlen == 0:
+            return M.astype(np.float64)
+        # numpy bytes dtype zero-pads; view as a uint8 matrix
+        buf = np.array(list(encoded), dtype=f"S{maxlen}").view(np.uint8).reshape(n, maxlen)
+        state = np.zeros(n, dtype=np.int64)
+        trans = self.trans
+        has_out = self.has_out
+        out_mask = self.out_mask
+        # rows shorter than maxlen keep stepping on \x00 — no pattern
+        # contains NUL, so those steps only walk toward the root.
+        for pos in range(maxlen):
+            state = trans[state, buf[:, pos]].astype(np.int64)
+            hot = has_out[state]
+            if hot.any():
+                M[hot] |= out_mask[state[hot]]
+        return M.astype(np.float64)

@@ -235,46 +235,64 @@ class CompiledMatcher:
             except re.error:
                 pass
 
-        # Optional C Aho-Corasick fast path for candidate generation.
-        automaton = None
-        try:  # pragma: no cover - exercised only where the lib exists
-            import ahocorasick  # type: ignore
+        # fragment -> (template idx, weight) adjacency in CSR form for the
+        # sparse scoring path
+        adj_ptr = [0]
+        adj_t: list[int] = []
+        adj_w: list[float] = []
+        for i in range(n_frag):
+            for j in range(n_tmpl):
+                if I[i, j] > 0.0:
+                    adj_t.append(j)
+                    adj_w.append(W[i, j])
+            adj_ptr.append(len(adj_t))
+        self._frag_adjacency = (
+            np.array(adj_ptr, dtype=np.int64),
+            np.array(adj_t, dtype=np.int64),
+            np.array(adj_w, dtype=np.float64),
+        )
 
-            automaton = ahocorasick.Automaton()
-            for i, f in enumerate(self.fragments):
-                automaton.add_word(f, i)
-            automaton.make_automaton()
-        except ImportError:
-            pass
+        # Candidate-generation strategy (the reference's O1 optimization,
+        # src/log_matcher.rs:168-199): for small pools, per-fragment C++
+        # substring search (pyarrow) is fastest; past ~32 fragments the
+        # vectorized Aho-Corasick DFA wins — its cost is O(total chars),
+        # independent of fragment count (ac.py).
+        automaton = None
+        if len(self.fragments) >= 32:
+            from .ac import VectorizedAhoCorasick
+
+            automaton = VectorizedAhoCorasick(self.fragments)
         object.__setattr__(self, "_automaton", automaton)
 
     # -- matching ---------------------------------------------------------
 
     def _containment_matrix(self, texts: pd.Series) -> np.ndarray:
-        """bool[n_rows, n_frag]: fragment j occurs in row i (case-sensitive)."""
+        """bool-as-float64 [n_rows, n_frag]: fragment j occurs in row i
+        (case-sensitive containment)."""
+        automaton = getattr(self, "_automaton", None)
+        if automaton is not None:
+            return automaton.contains_matrix(texts)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         n = len(texts)
         M = np.zeros((n, len(self.fragments)), dtype=np.float64)
-        automaton = getattr(self, "_automaton", None)
-        if automaton is not None:  # pragma: no cover
-            vals = texts.to_numpy(dtype=object)
-            for i in range(n):
-                s = vals[i]
-                if not isinstance(s, str):
-                    continue
-                for _, j in automaton.iter(s):
-                    M[i, j] = 1.0
-            return M
-        vals = texts.fillna("")
+        arr = pa.Array.from_pandas(texts.fillna(""))
         for j, frag in enumerate(self.fragments):
-            M[:, j] = vals.str.contains(frag, regex=False).to_numpy(dtype=np.float64)
+            M[:, j] = pc.match_substring(arr, frag).to_numpy(zero_copy_only=False)
         return M
 
     def score_batch(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         """Return (best_template_id_or_-1, best_score) per row, vectorized."""
-        if len(self.templates) == 0 or len(texts) == 0:
-            return (np.full(len(texts), -1, dtype=np.int64),
-                    np.zeros(len(texts), dtype=np.float64))
+        n = len(texts)
+        if len(self.templates) == 0 or n == 0:
+            return (np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64))
         M = self._containment_matrix(texts)
+        if len(self.templates) >= 32:
+            return self._score_sparse(M, n)
+        return self._score_dense(M, n)
+
+    def _score_dense(self, M: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
         matched_w = M @ self._weight_matrix            # [n, n_tmpl]
         matched_c = M @ self._indicator_matrix         # [n, n_tmpl]
         denom = np.where(self._total_weight > 0.0, self._total_weight, 1.0)
@@ -285,10 +303,67 @@ class CompiledMatcher:
         )
         scores = np.where(matched_c > 0.0, scores, -1.0)  # candidates need >=1 vote
         best = np.argmax(scores, axis=1)  # ties -> lowest index = lowest template_id
-        rows = np.arange(len(texts))
+        rows = np.arange(n)
         best_scores = scores[rows, best]
         ids = np.where(best_scores >= self.threshold, self.template_ids[best], -1)
         return ids.astype(np.int64), best_scores
+
+    def _score_sparse(self, M: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+        """Sparse scoring for large template pools.
+
+        A row matches only a handful of fragments, and a fragment belongs
+        to only a few templates — so instead of the dense
+        [n x n_templates] score matrix (whose matmul dominates past ~32
+        templates), expand the nonzero (row, fragment) hits through the
+        fragment→template adjacency, sort-reduce per (row, template), and
+        pick each row's best with the documented tie-break. Identical
+        results to the dense path (property-tested).
+        """
+        n_tmpl = len(self.templates)
+        rows_nz, frag_nz = np.nonzero(M)
+        if len(rows_nz) == 0:
+            return (np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64))
+        ptr, adj_t, adj_w = self._frag_adjacency
+        lens = ptr[frag_nz + 1] - ptr[frag_nz]
+        total = int(lens.sum())
+        # density guard: fragments shared across many templates (e.g. one
+        # suffix common to the whole pool) inflate the expansion beyond the
+        # dense matmul's cost — fall back when candidates exceed ~16/row.
+        if total > 16 * n:
+            return self._score_dense(M, n)
+        starts = np.repeat(ptr[frag_nz], lens)
+        within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        flat = starts + within
+        tt = adj_t[flat]
+        ww = adj_w[flat]
+        rr = np.repeat(rows_nz, lens)
+
+        key = rr.astype(np.int64) * n_tmpl + tt
+        order = np.argsort(key, kind="stable")
+        key_s, ww_s = key[order], ww[order]
+        bounds = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        uk = key_s[bounds]
+        w_sum = np.add.reduceat(ww_s, bounds)
+        c_sum = np.add.reduceat(np.ones_like(ww_s), bounds)
+        r_u = uk // n_tmpl
+        t_u = uk % n_tmpl
+        tw = self._total_weight[t_u]
+        score_u = np.where(tw > 0.0, w_sum / np.where(tw > 0.0, tw, 1.0),
+                           c_sum / np.maximum(self._required_count[t_u], 1.0))
+        # per-row best: sort by (row asc, score desc, template idx asc)
+        o2 = np.lexsort((t_u, -score_u, r_u))
+        r_o = r_u[o2]
+        first = np.flatnonzero(np.r_[True, r_o[1:] != r_o[:-1]])
+        best_rows = r_o[first]
+        best_scores_u = score_u[o2][first]
+        best_t = t_u[o2][first]
+
+        ids = np.full(n, -1, dtype=np.int64)
+        scores = np.zeros(n, dtype=np.float64)
+        ok = best_scores_u >= self.threshold
+        ids[best_rows[ok]] = self.template_ids[best_t[ok]]
+        scores[best_rows] = best_scores_u
+        return ids, scores
 
     def match_series(self, texts: pd.Series) -> pd.Series:
         """Nullable Int64 series of matched template ids (None = unmatched)."""

@@ -1,0 +1,89 @@
+"""Vectorized Aho-Corasick: exact containment parity with naive search
+(randomized), unicode, degenerate inputs, and sparse-vs-dense scoring
+equivalence in the matcher."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+
+from log_analysis_spark.ac import VectorizedAhoCorasick
+from log_analysis_spark.synth import POOL_TEMPLATES
+from log_analysis_spark.templates import CompiledMatcher, LogTemplate
+
+
+def test_ac_fuzz_vs_naive():
+    rng = random.Random(42)
+    alphabet = "abcdef 123"
+    pats = sorted({"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                   for _ in range(60)})
+    texts = pd.Series(
+        ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+         for _ in range(1500)] + ["", None],
+        dtype=object,
+    )
+    ac = VectorizedAhoCorasick(pats)
+    M = ac.contains_matrix(texts).astype(bool)
+    for i, t in enumerate(texts):
+        t = t or ""
+        for j, p in enumerate(pats):
+            assert M[i, j] == (p in t), (i, j, p, t)
+
+
+def test_ac_overlapping_and_nested():
+    ac = VectorizedAhoCorasick(["ab", "abc", "bc", "c", "abcd"])
+    M = ac.contains_matrix(pd.Series(["abcd", "xbc", "c", "ab"])).astype(bool)
+    assert M[0].tolist() == [True, True, True, True, True]
+    assert M[1].tolist() == [False, False, True, True, False]
+    assert M[2].tolist() == [False, False, False, True, False]
+    assert M[3].tolist() == [True, False, False, False, False]
+
+
+def test_ac_unicode():
+    ac = VectorizedAhoCorasick(["héllo", "wörld"])
+    M = ac.contains_matrix(pd.Series(["say héllo", "wörld!", "hello world"])).astype(bool)
+    assert M[0, 0] and M[1, 1]
+    assert not M[2].any()
+
+
+def test_sparse_scoring_equals_dense():
+    """Large pools route through AC + sparse scoring; results must equal
+    the dense matmul path bit-for-bit."""
+    rng = random.Random(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    tmpls = list(POOL_TEMPLATES)
+    for i in range(60):
+        a, b = rng.choice(words), rng.choice(words)
+        tmpls.append(LogTemplate(500 + i, rf"{a} svc{i % 7} {b} code (\d+) done"))
+    m = CompiledMatcher(templates=tuple(tmpls))
+    assert m._automaton is not None  # AC path engaged
+
+    texts = []
+    for i in range(3000):
+        k = rng.randrange(len(tmpls))
+        texts.append(tmpls[k].example
+                     or f"{rng.choice(words)} svc{k % 7} {rng.choice(words)} code {i} done")
+    texts += ["no match here", "", None]
+    s = pd.Series(texts, dtype=object)
+
+    ids_sparse, sc_sparse = m.score_batch(s)
+    M = m._containment_matrix(s)
+    ids_dense, sc_dense = m._score_dense(M, len(s))
+    assert (ids_sparse == ids_dense).all()
+    matched = ids_dense >= 0
+    assert np.allclose(sc_sparse[matched], sc_dense[matched])
+
+
+def test_density_guard_falls_back():
+    """A fragment shared by every template forces candidate blow-up; the
+    guard must fall back to dense without changing results."""
+    tmpls = POOL_TEMPLATES + tuple(
+        LogTemplate(1000 + i, rf"svc{i} op took (\d+)ms with code (\d+)")
+        for i in range(40)
+    )
+    m = CompiledMatcher(templates=tmpls)
+    s = pd.Series([f"svc{i % 40} op took {i}ms with code 7" for i in range(200)])
+    ids, _ = m.score_batch(s)
+    assert (ids == np.array([1000 + (i % 40) for i in range(200)])).all()
