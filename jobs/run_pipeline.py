@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the transcript pipeline.
+
+Cluster usage (north_rule):
+    scripts/submit.sh --input /path/transcripts --out /path/out [--induce]
+which expands to
+    spark-submit --py-files log_analysis_spark.zip jobs/run_pipeline.py ...
+
+With --synth-convs N (no --input) a deterministic synthetic transcript
+table is generated first — useful for cluster shakedowns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="transcript parquet path")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--synth-convs", type=int, default=None)
+    ap.add_argument("--induce", action="store_true",
+                    help="learn templates for unmatched lines before routing")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # under spark-submit the session/master/conf come from the submit
+    # command; getOrCreate attaches to it
+    spark = SparkSession.builder.appName("log_analysis_pipeline").getOrCreate()
+
+    from log_analysis_spark.plans.pipeline import run_pipeline
+    from log_analysis_spark.sources.readers import read_transcripts
+    from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+    from log_analysis_spark.templates import CompiledMatcher
+
+    if args.input:
+        df = read_transcripts(spark, args.input)
+    elif args.synth_convs:
+        df = synth_transcripts(spark, n_convs=args.synth_convs)
+    else:
+        raise SystemExit("need --input or --synth-convs")
+
+    manifest = run_pipeline(
+        spark, df, CompiledMatcher(templates=POOL_TEMPLATES), args.out,
+        resume=not args.no_resume, induce_unmatched=args.induce,
+    )
+    print(json.dumps({"sink_counts": manifest["sink_counts"],
+                      "stages": [(s["stage"], s["secs"]) for s in manifest["stages"]]}))
+
+
+if __name__ == "__main__":
+    main()

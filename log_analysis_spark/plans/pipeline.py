@@ -86,10 +86,45 @@ def run_pipeline(
     resume: bool = True,
     collect_partition_metrics: bool = True,
     materialize_parsed: bool = False,
+    induce_unmatched: bool = False,
+    min_cluster_size: int = 2,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns a manifest dict."""
+    """Run (or resume) the full pipeline; returns a manifest dict.
+
+    ``induce_unmatched=True`` inserts the reference's template-generation
+    path (src/bin/log-ingest-service.rs:216-246, our two-phase batch
+    restatement): unmatched lines are clustered and learned into new
+    templates, the matcher is enlarged and re-broadcast, and routing uses
+    the enlarged pool. The learned templates land in the templates_dim
+    sink alongside the seeded ones.
+    """
     os.makedirs(out_dir, exist_ok=True)
     manifest: dict = {"out_dir": out_dir, "stages": []}
+
+    if induce_unmatched:
+        s0 = _stage_dir(out_dir, 0, "induction")
+        t0 = time.time()
+        skipped = resume and _done(s0)
+        if not skipped:
+            from ..induction import induce_and_rematch
+
+            _, matcher, new_templates = induce_and_rematch(
+                spark, transcripts, matcher, min_cluster_size=min_cluster_size)
+            templates_to_df(spark, matcher).write.mode("overwrite").parquet(
+                os.path.join(s0, "templates"))
+            _mark(s0)
+            n_new = len(new_templates)
+        else:
+            from ..sources.readers import load_templates_df_as_matcher
+
+            matcher = load_templates_df_as_matcher(
+                spark, os.path.join(s0, "templates"), matcher)
+            n_new = None
+        rec = {"stage": "00_induction", "skipped": skipped,
+               "secs": round(time.time() - t0, 3), "n_new_templates": n_new,
+               "n_templates": len(matcher.templates)}
+        _lineage(out_dir, rec)
+        manifest["stages"].append(rec)
 
     # ---- stage 1 (optional checkpoint) + stage 2: parse→enrich→route ----
     parsed = enrich(with_template_id(transcripts, spark, matcher),

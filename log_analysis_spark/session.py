@@ -79,15 +79,28 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_log_analysis_spark_shipped", False):
         return
+    # under spark-submit --py-files the package is already distributed;
+    # adding a same-named file again is an error
+    includes = getattr(sc, "_python_includes", None) or []
+    if any("log_analysis_spark" in os.path.basename(p) for p in includes):
+        sc._log_analysis_spark_shipped = True
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.mkdtemp(prefix="las_pyfiles_"), "log_analysis_spark.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
+    tmp = tempfile.mkdtemp(prefix="las_pyfiles_")
+    build_path = os.path.join(tmp, "pkg.zip")
+    with zipfile.ZipFile(build_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
+            for fn in sorted(files):
                 if not fn.endswith(".py"):
                     continue
                 full = os.path.join(root, fn)
                 rel = os.path.join("log_analysis_spark", os.path.relpath(full, pkg_dir))
                 zf.write(full, rel)
+    # content-hash name: re-shipping after a code edit never collides
+    import hashlib
+
+    digest = hashlib.md5(open(build_path, "rb").read()).hexdigest()[:10]
+    zip_path = os.path.join(tmp, f"log_analysis_spark_{digest}.zip")
+    os.rename(build_path, zip_path)
     sc.addPyFile(zip_path)
     sc._log_analysis_spark_shipped = True

@@ -75,6 +75,24 @@ def templates_to_df(spark: SparkSession, matcher: CompiledMatcher) -> DataFrame:
     return spark.createDataFrame(rows, TEMPLATES_SCHEMA)
 
 
+def load_templates_df_as_matcher(
+    spark: SparkSession, path: str, base: CompiledMatcher
+) -> CompiledMatcher:
+    """Rebuild a matcher from a persisted templates dim (resume path).
+
+    Like the reference's load-from-file, the compiled state is always
+    rebuilt (src/log_matcher.rs:657-719); config comes from ``base``.
+    """
+    rows = spark.read.schema(TEMPLATES_SCHEMA).parquet(path).collect()
+    templates = tuple(
+        LogTemplate(r["template_id"], r["pattern"],
+                    tuple(r["variables"] or ()), r["example"] or "")
+        for r in rows
+    )
+    return CompiledMatcher(templates=templates, threshold=base.threshold,
+                           min_fragment_length=base.min_fragment_length)
+
+
 def save_matcher_json(matcher: CompiledMatcher, path: str) -> None:
     """S6: JSON round-trip of the template set; the compiled state (AC /
     matrices) is always rebuilt on load, like the reference

@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Package the engine and spark-submit the pipeline job (north_rule:
+# "runs via spark-submit --py-files on multi-executor clusters").
+# Local sandbox: MASTER defaults to local[32]; on a cluster set
+# MASTER=yarn / k8s://... and the executor flags as usual.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+MASTER="${MASTER:-local[32]}"
+ZIP=/tmp/log_analysis_spark.zip
+rm -f "$ZIP"
+(cd . && zip -qr "$ZIP" log_analysis_spark -i '*.py')
+
+exec spark-submit \
+  --master "$MASTER" \
+  --py-files "$ZIP" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.shuffle.partitions="${SHUFFLE_PARTITIONS:-32}" \
+  --conf spark.sql.session.timeZone=UTC \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=10000 \
+  --conf spark.executorEnv.OMP_NUM_THREADS=1 \
+  --driver-java-options -XX:+UseParallelGC \
+  jobs/run_pipeline.py "$@"
