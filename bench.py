@@ -57,7 +57,7 @@ def main() -> None:
         "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
         "majority_vote", "recent_per_user", "match_assignments",
         "mask_signature", "user_histogram", "exact_dedup_digest",
-        "minhash_signatures", "embedding_topk", "embedding_neardup",
+        "minhash_signatures", "embedding_topk",
         "text_quality", "variable_extraction", "induced_templates",
         "simhash_sigs",
     ):
@@ -65,6 +65,21 @@ def main() -> None:
         n = qmap[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         assert n >= 0
+
+    # embedding near-dup: bench the LSH-bucketed scale path (the oracle
+    # gate checks the brute-force baseline at sf0.01; tests verify LSH ⊆
+    # exact)
+    from log_analysis_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        hyperplane_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = hyperplane_codes(spark, dim, n_planes=8)
+    t0 = time.time()
+    cosine_neardup_pairs(emb, planes, threshold=0.4).count()
+    timings["embedding_neardup_lsh"] = round(time.time() - t0, 3)
 
     # --- e2e transcript pipeline -----------------------------------------
     # ~17.6 expected turns per conv (Zipf-skewed); input materialized to
@@ -91,6 +106,22 @@ def main() -> None:
             matched_rows = with_template_id(transcripts, spark, matcher).filter(
                 "template_id IS NOT NULL").count()
             timings[key] = round(time.time() - t0, 3)
+
+        # large-pool matching (reference ultra datasets carry ~50-123
+        # templates): 210-template pool routes through the vectorized
+        # Aho-Corasick + sparse scoring path
+        from log_analysis_spark.templates import LogTemplate
+
+        words = ("auth", "net", "disk", "db", "cache", "gpu", "sched", "io")
+        big = CompiledMatcher(templates=POOL_TEMPLATES + tuple(
+            LogTemplate(2000 + i,
+                        rf"{words[i % 8]}-unit{i} phase{i % 5}: step (\d+) of (\d+) finished")
+            for i in range(200)))
+        q_big = with_template_id(transcripts, spark, big).filter("template_id IS NOT NULL")
+        q_big.count()  # warm
+        t0 = time.time()
+        q_big.count()
+        timings["match_only_210tmpl"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
