@@ -89,6 +89,32 @@ def route_stream(
     )
 
 
+def windowed_template_counts(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    box: MatcherBox,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed per-template counts with late-data handling.
+
+    Beyond the reference (it has no event-time semantics): tumbling
+    windows on ``ts`` with a watermark so state for closed windows is
+    dropped — the streaming analog of the batch template_counts (A1).
+    Rows later than the watermark are discarded by Spark's state store.
+    """
+    matcher = box.get()
+    matched = with_template_id(stream_df, spark, matcher)
+    return (
+        matched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "template_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "template_id", "n_turns")
+    )
+
+
 def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     """File-source stream of transcript parquet drops (the sandbox stand-in
     for the reference's HTTP ingest endpoint / Kafka)."""

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has none): invariants of fragment
+extraction, weighting, matching determinism, and masking idempotence."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from log_analysis_spark.induction import learn_pattern, tokenize_char_runs
+from log_analysis_spark.templates import (
+    CompiledMatcher,
+    LogTemplate,
+    calculate_fragment_weight,
+    default_matcher,
+    extract_fragments,
+)
+
+texts = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120)
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_weight_bounded(fragment):
+    w = calculate_fragment_weight(fragment)
+    assert 0.0 <= w <= 1.0
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_fragments_are_literal_substrings_of_escaped(s):
+    """Every fragment extracted from re.escape(s) is a substring of s —
+    escaping makes the whole string literal, so fragments must come from
+    its text."""
+    for frag in extract_fragments(re.escape(s)):
+        assert frag in s
+
+
+@given(st.lists(texts, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_match_is_rowwise_pure(lines):
+    """Batch matching equals per-row matching (no cross-row state)."""
+    m = default_matcher()
+    s = pd.Series(lines, dtype=object)
+    batch = m.match_series(s)
+    for i, line in enumerate(lines):
+        single = m.match_one(line)
+        got = None if pd.isna(batch.iloc[i]) else int(batch.iloc[i])
+        assert got == single
+
+
+@given(st.lists(texts, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_match_invariant_under_row_order(lines):
+    m = default_matcher()
+    fwd = list(m.match_series(pd.Series(lines, dtype=object)).fillna(-1))
+    rev = list(m.match_series(pd.Series(lines[::-1], dtype=object)).fillna(-1))
+    assert fwd == rev[::-1]
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_roundtrip(s):
+    """Char-run tokens concatenate back to the input exactly."""
+    assert "".join(tokenize_char_runs(s)) == s
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=2, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_learned_pattern_matches_its_samples(values):
+    samples = [f"job {v} finished with rc {v % 7}" for v in values]
+    learned = learn_pattern(samples)
+    assert learned is not None
+    pattern, _ = learned
+    rx = re.compile(pattern)
+    for s in samples:
+        assert rx.fullmatch(s), (pattern, s)
+
+
+@given(st.lists(texts, min_size=1, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_enlarging_pool_never_unmatches(lines):
+    """Adding templates can change assignments (a better-scoring new
+    template may win) but can never turn a matched line into unmatched."""
+    base = default_matcher()
+    bigger = base.with_templates([LogTemplate(999, r"zz unique probe (\d+) qq")])
+    s = pd.Series(lines, dtype=object)
+    before = base.match_series(s)
+    after = bigger.match_series(s)
+    for i in range(len(lines)):
+        if not pd.isna(before.iloc[i]):
+            assert not pd.isna(after.iloc[i])

@@ -47,6 +47,39 @@ def test_stream_routing(spark, tmp_path):
     assert matched == batch_matched
 
 
+def test_windowed_template_counts(spark, tmp_path):
+    """Watermarked tumbling-window counts equal the batch groupBy on the
+    same input (complete output after processAllAvailable)."""
+    from log_analysis_spark.matcher import with_template_id
+    from log_analysis_spark.streaming.stream import windowed_template_counts
+
+    in_dir = str(tmp_path / "in")
+    df = synth_transcripts(spark, n_convs=15)
+    df.write.mode("overwrite").parquet(in_dir)
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+
+    agg = windowed_template_counts(
+        file_transcript_stream(spark, in_dir), spark, box, window="1 minute")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_counts").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["template_id"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected_df = (
+        with_template_id(spark.read.parquet(in_dir), spark, box.get())
+        .groupBy(F.window("ts", "1 minute").alias("win"), "template_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {(r["win"]["start"], r["template_id"]): r["n"] for r in expected_df}
+    assert got == expected and len(got) > 5
+
+
 def test_stream_matcher_swap(spark, tmp_path):
     """ST3: swapping the matcher between micro-batches changes routing of
     subsequent batches only (RCU semantics)."""
