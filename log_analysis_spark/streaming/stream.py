@@ -115,6 +115,38 @@ def windowed_template_counts(
     )
 
 
+def conversation_progress_stream(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation turn counter.
+
+    ``applyInPandasWithState`` keeps (n_turns, max_turn_idx) per conv_id
+    across micro-batches — the streaming analog of the per-conversation
+    histogram, and the pattern for any custom stateful operator the
+    built-ins can't express. Emits one update row per conversation per
+    batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]})
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="conv_id string, n_turns long, max_turn_idx long",
+            stateStructType="n_turns long, max_turn_idx long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     """File-source stream of transcript parquet drops (the sandbox stand-in
     for the reference's HTTP ingest endpoint / Kafka)."""

@@ -80,6 +80,39 @@ def test_windowed_template_counts(spark, tmp_path):
     assert got == expected and len(got) > 5
 
 
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState keeps per-conversation counters across
+    micro-batches: after two file drops the latest update per conv equals
+    the batch ground truth over both drops."""
+    from log_analysis_spark.streaming.stream import conversation_progress_stream
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    d1 = synth_transcripts(spark, n_convs=6, seed=11)
+    d1.write.mode("append").parquet(in_dir)
+
+    q = (conversation_progress_stream(file_transcript_stream(spark, in_dir))
+         .writeStream.outputMode("update").format("memory")
+         .queryName("conv_progress").start())
+    try:
+        q.processAllAvailable()
+        d2 = synth_transcripts(spark, n_convs=6, seed=11)  # same convs again
+        d2.write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM conv_progress").collect()
+    latest = {}
+    for r in rows:  # update mode appends; keep the max per conv
+        latest[r["conv_id"]] = max(latest.get(r["conv_id"], 0), r["n_turns"])
+    truth = {
+        r["conv_id"]: r["n"] * 2  # both drops are identical
+        for r in d1.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert latest == truth
+
+
 def test_stream_matcher_swap(spark, tmp_path):
     """ST3: swapping the matcher between micro-batches changes routing of
     subsequent batches only (RCU semantics)."""
