@@ -347,6 +347,31 @@ def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: syslog component extraction (ts, host, service, pid, message)
+    over constructed syslog-shaped lines (src/log_format_detector.rs:64-78)."""
+    from .functions.format_detect import extract_syslog_cols
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_FMT_LINE_SQL.format(S="STRING"))
+    return (
+        ev.filter(F.col("event_id") % 4 == 0)
+        .select("event_id", *extract_syslog_cols(line))
+        .orderBy("event_id")
+    )
+
+
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star histogram: bucketed value distribution per event type
+    (floor-bucket groupBy, the turn-histogram pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", (F.floor(F.col("value") / 10) * 10).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 def q_variable_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: per-template regex capture of variables (pandas UDF grouped by
     template); oracle = DuckDB regexp_extract with the same patterns."""
@@ -526,6 +551,7 @@ _DUCK_SHINGLES = (
 def oracle_sql_map() -> dict[str, str]:
     m = entry_matcher()
     line_duck = _LINE_SQL.format(S="VARCHAR")
+    fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")
     sql: dict[str, str] = {}
 
     sql["template_counts_topk"] = """
@@ -642,6 +668,25 @@ SELECT event_id, template_id FROM _assign ORDER BY event_id
     from .functions.masks import mask_sql_duck
 
     fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")
+    from .functions.format_detect import SYSLOG_EXTRACT_RE
+
+    rx = SYSLOG_EXTRACT_RE.replace("'", "''")
+    sql["syslog_extract"] = f"""
+WITH l AS (SELECT event_id, {fmt_line_duck} AS line FROM events WHERE event_id % 4 = 0)
+SELECT event_id,
+       regexp_extract(line, '{rx}', 1) AS ts_str,
+       regexp_extract(line, '{rx}', 2) AS host,
+       regexp_extract(line, '{rx}', 3) AS service,
+       regexp_extract(line, '{rx}', 4) AS pid,
+       regexp_extract(line, '{rx}', 5) AS message
+FROM l ORDER BY event_id
+""".strip()
+
+    sql["event_histogram"] = """
+SELECT event_type, CAST(floor(value / 10) * 10 AS BIGINT) AS bucket, count(*) AS n_rows
+FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+""".strip()
+
     v1_cases, v2_cases = [], []
     for t in m.templates:
         rx = t.pattern.replace("'", "''")
@@ -790,4 +835,6 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
         "variable_extraction": q_variable_extraction,
         "induced_templates": q_induced_templates,     # rows-only (applyInPandas)
+        "syslog_extract": q_syslog_extract,
+        "event_histogram": q_event_histogram,
     }
