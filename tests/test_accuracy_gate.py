@@ -41,6 +41,22 @@ def test_grouping_accuracy_gate(spark):
     assert groups == len(truth_template_id())
 
 
+def test_accuracy_after_induction(spark):
+    """The full match-else-generate flow (§3.3): after induction closes
+    the unknown cluster, grouping accuracy reaches 100% — the two-phase
+    batch restatement matches the reference's online loop semantics."""
+    from log_analysis_spark.induction import induce_and_rematch
+
+    df = synth_transcripts(spark, n_convs=50, with_truth=True)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    rematched, _, new_templates = induce_and_rematch(spark, df, matcher)
+    assert new_templates
+    assigned = rematched.withColumnRenamed("truth_event", "event_id")
+    acc = grouping_accuracy(assigned).collect()[0]
+    assert acc["unmatched"] == 0
+    assert acc["accuracy_pct"] == 100.0, dict(acc.asDict())
+
+
 def test_stratified_split(spark):
     df = synth_transcripts(spark, n_convs=60, with_truth=True)
     out = stratified_split(df, "truth_event", ("conv_id", "turn_idx"), test_fraction=0.25)
