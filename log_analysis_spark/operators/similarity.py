@@ -144,6 +144,105 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_cap: int = 4096,
+    iters: int = 8,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (md5-bucket, not rand — reproducible under any
+    partitioning). Returns unit-norm centroids [k, dim].
+
+    At 10^12 rows the sample is still a single bounded collect; training
+    cost is independent of table size.
+    """
+    from .dedup import md5_long
+
+    bucket = md5_long(F.col(id_col).cast("string"), salt=f"ivf{seed}:")
+    rows = (
+        df.select(vec_col, bucket.alias("_b"))
+        .orderBy("_b").limit(sample_cap).collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid cell id per vector, JVM-side (k dot products with
+    literal centroid arrays; deterministic tie-break: lowest cell id).
+    At scale the corpus is written partitioned by cell once."""
+    unit_df = with_unit_vector(df, vec_col, "_u") if "_u" not in df.columns else df
+    pairs = F.array(*[
+        F.struct(
+            F.round(_dot(F.col("_u"), F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    mx = F.array_max(F.transform(pairs, lambda s: s["dot"]))
+    cell = F.array_min(F.filter(pairs, lambda s: s["dot"] >= mx))["cell"]
+    return unit_df.withColumn(out_col, cell).drop("_u")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its n_probe nearest cells; exact
+    cosine re-scoring on cell members only. Recall rises with n_probe
+    (n_probe = k cells -> exact)."""
+    corpus = with_unit_vector(df, vec_col, "unit")
+    corpus = with_ivf_cell(corpus.withColumn("_u", F.col("unit")), centroids) \
+        .select(id_col, "unit", "cell")
+
+    qs = with_unit_vector(queries, vec_col, "unit").withColumn("_u", F.col("unit"))
+    # per-query probe list: top n_probe centroid dots, exploded
+    pairs = F.array(*[
+        F.struct(
+            F.round(_dot(F.col("_u"), F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
+    qs = (qs.select(query_id_col, F.col("unit").alias("_qunit"),
+                    F.explode(probes).alias("_p"))
+          .select(query_id_col, "_qunit", F.col("_p.cell").alias("cell")))
+
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def brute_force_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

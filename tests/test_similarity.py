@@ -99,6 +99,37 @@ def test_lsh_bucket_deterministic(spark, emb):
     assert all(0 <= v < 64 for v in a.values())
 
 
+def test_ivf_topk(spark, emb):
+    from log_analysis_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    C = ivf_centroids(emb, k=8)
+    assert C.shape[1] == DIM
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    # full probe (n_probe = k cells) must equal brute force exactly
+    full = ivf_topk(emb, queries, C, k=3, n_probe=8).collect()
+    assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in full) == \
+        sorted((r["query_id"], r["vec_id"], r["rank"]) for r in exact)
+    # partial probe: planted near-dup of query 0 (vec 10) shares its cell
+    part = ivf_topk(emb, queries, C, k=3, n_probe=2).collect()
+    assert (0, 10) in {(r["query_id"], r["vec_id"]) for r in part}
+    cos = _np_cosine_matrix()
+    for r in part:
+        assert r["cosine"] == pytest.approx(cos[r["query_id"], r["vec_id"]], abs=1e-6)
+
+
+def test_ivf_deterministic(spark, emb):
+    from log_analysis_spark.operators.similarity import ivf_centroids, with_ivf_cell
+
+    C1 = ivf_centroids(emb, k=8)
+    C2 = ivf_centroids(emb, k=8)
+    assert (C1 == C2).all()
+    a = {r["vec_id"]: r["cell"] for r in with_ivf_cell(emb, C1).collect()}
+    b = {r["vec_id"]: r["cell"] for r in with_ivf_cell(emb, C1).collect()}
+    assert a == b
+
+
 def test_on_embeddings_table(spark):
     df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     queries = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
