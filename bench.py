@@ -107,6 +107,15 @@ def main() -> None:
                 "template_id IS NOT NULL").count()
             timings[key] = round(time.time() - t0, 3)
 
+        # match + ONE durable sink: the reference's actual e2e shape
+        # (match + buffered ClickHouse insert, src/benchmark_runner.rs +
+        # src/buffered_writer.rs) — the like-for-like e2e comparison row.
+        t0 = time.time()
+        (with_template_id(transcripts, spark, matcher)
+         .filter("template_id IS NOT NULL")
+         .write.mode("overwrite").parquet(os.path.join(work, "single_sink")))
+        timings["match_single_sink"] = round(time.time() - t0, 3)
+
         # large-pool matching (reference ultra datasets carry ~50-123
         # templates): 210-template pool routes through the vectorized
         # Aho-Corasick + sparse scoring path
@@ -140,6 +149,7 @@ def main() -> None:
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
         "match_only_turns_per_sec": round(n_turns / timings["match_only"], 1),
+        "match_single_sink_turns_per_sec": round(n_turns / timings["match_single_sink"], 1),
         "matched_rows": matched_rows,
         "cpus": cpus,
     }

@@ -120,11 +120,15 @@ def q_template_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/T2: group-by count + 5 deterministic samples, top-20
     (src/clickhouse_client.rs:199-218)."""
     ev = _t(spark, sf_dir, "events")
+    # sample_messages is emitted as a unit-separator-joined string (not
+    # array<string>) so the driver's canonicalizer can hash it.
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("log_count"),
-            F.slice(F.sort_array(F.collect_list("props")), 1, 5).alias("sample_messages"),
+            F.concat_ws(
+                "\x1f", F.slice(F.sort_array(F.collect_list("props")), 1, 5)
+            ).alias("sample_messages"),
         )
         .orderBy(F.desc("log_count"), F.asc("event_type"))
         .limit(20)
@@ -361,6 +365,55 @@ def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: two-level token taxonomy signatures
+    (src/token_classifier.rs:49-229). Level-1 = static tokens only (log
+    type); level-2 = static + typed parameter markers (template variant).
+    Pure JVM-side higher-order-function expressions on both engines."""
+    from .functions.token_classes import log_type_signature_col, template_signature_col
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line"))
+    return (
+        lines.select(
+            log_type_signature_col("line").alias("log_type_sig"),
+            template_signature_col("line").alias("template_sig"),
+        )
+        .groupBy("log_type_sig", "template_sig")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("log_type_sig", "template_sig")
+    )
+
+
+# Line construction for the induction-coverage query: most lines follow
+# known templates; every 50th is a singleton novel line (an 8-char hex id
+# unique per row) that only the single-line fallback generator can cover.
+_INDUCT_LINE_SQL = """
+CASE WHEN event_id % 50 = 0
+  THEN concat('job ', substr(md5(CAST(event_id AS {S})), 1, 8), ' spawned worker ', CAST(user_id AS {S}))
+  ELSE {base}
+END
+""".strip()
+
+
+def q_induction_full_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-else-generate lifecycle parity (src/benchmark_runner.rs:84-105
+    + src/smart_template_generator.rs): after two-phase induction with the
+    single-line fallback, EVERY line — including per-row singleton novel
+    lines — is matched. The oracle states that expectation directly."""
+    from .induction import induce_and_rematch
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    line = _INDUCT_LINE_SQL.format(S="STRING", base=_LINE_SQL.format(S="STRING"))
+    lines = ev.select(F.expr(line).alias("text"))
+    rematched, _, _ = induce_and_rematch(spark, lines, m)
+    return rematched.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("template_id").isNotNull().cast("long")).alias("n_matched"),
+    )
+
+
 def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """north_star histogram: bucketed value distribution per event type
     (floor-bucket groupBy, the turn-histogram pattern)."""
@@ -402,9 +455,11 @@ def q_induced_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = ev.select(F.expr(_LINE_SQL.format(S="STRING")).alias("text"))
     unmatched = with_template_id(lines, spark, m).filter(F.col("template_id").isNull())
     new_templates = induce_templates(spark, unmatched, m)
+    # variables as a joined string (not array<string>) so the driver's
+    # canonicalizer can sort/hash the rows.
     return spark.createDataFrame(
-        [(t.template_id, t.pattern, list(t.variables)) for t in new_templates],
-        "template_id long, pattern string, variables array<string>",
+        [(t.template_id, t.pattern, "|".join(t.variables)) for t in new_templates],
+        "template_id long, pattern string, variables string",
     )
 
 
@@ -557,7 +612,7 @@ def oracle_sql_map() -> dict[str, str]:
     sql["template_counts_topk"] = """
 SELECT event_type,
        count(*) AS log_count,
-       (list_sort(list(props)))[1:5] AS sample_messages
+       array_to_string((list_sort(list(props)))[1:5], chr(31)) AS sample_messages
 FROM events GROUP BY event_type
 ORDER BY log_count DESC, event_type ASC LIMIT 20
 """.strip()
@@ -571,7 +626,7 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
 
     sql["broadcast_enrich_join"] = """
 SELECT n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -606,7 +661,7 @@ WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c),
 m AS (SELECT user_id, event_type AS maj FROM r WHERE rn = 1)
 SELECT count(*) AS total,
-       sum(CASE WHEN e.event_type = m.maj THEN 1 ELSE 0 END) AS correct
+       CAST(sum(CASE WHEN e.event_type = m.maj THEN 1 ELSE 0 END) AS BIGINT) AS correct
 FROM events e JOIN m USING (user_id)
 """.strip()
 
@@ -616,8 +671,8 @@ FROM events e JOIN m USING (user_id)
 
     sql["user_histogram"] = """
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS n_known,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+       CAST(sum(CASE WHEN event_type IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events GROUP BY user_id ORDER BY user_id
 """.strip()
 
@@ -643,10 +698,10 @@ ORDER BY event_id
 
     sql["tpch_q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_cents2,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_cents3,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_cents2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_cents3,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -682,19 +737,45 @@ SELECT event_id,
 FROM l ORDER BY event_id
 """.strip()
 
+    from .functions.token_classes import (
+        log_type_signature_sql_duck,
+        template_signature_sql_duck,
+    )
+
+    sql["token_signatures"] = f"""
+WITH l AS (SELECT {fmt_line_duck} AS line FROM events)
+SELECT {log_type_signature_sql_duck('line')} AS log_type_sig,
+       {template_signature_sql_duck('line')} AS template_sig,
+       count(*) AS n_rows
+FROM l GROUP BY 1, 2 ORDER BY log_type_sig, template_sig
+""".strip()
+
+    # The oracle encodes the lifecycle guarantee itself: after induction
+    # with the single-line fallback, matched == total.
+    sql["induction_full_match"] = """
+SELECT count(*) AS n_lines, CAST(count(*) AS BIGINT) AS n_matched FROM events
+""".strip()
+
     sql["event_histogram"] = """
 SELECT event_type, CAST(floor(value / 10) * 10 AS BIGINT) AS bucket, count(*) AS n_rows
 FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
 """.strip()
 
+    # Gate each extract on regexp_matches so a legitimately-empty capture
+    # (e.g. a trailing (.*) matching '') stays '' like the Spark side,
+    # while a non-matching line yields NULL.
     v1_cases, v2_cases = [], []
     for t in m.templates:
         rx = t.pattern.replace("'", "''")
         n_groups = __import__("re").compile(t.pattern).groups
         if n_groups >= 1:
-            v1_cases.append(f"WHEN {t.template_id} THEN nullif(regexp_extract(line, '{rx}', 1), '')")
+            v1_cases.append(
+                f"WHEN {t.template_id} THEN CASE WHEN regexp_matches(line, '{rx}') "
+                f"THEN regexp_extract(line, '{rx}', 1) ELSE NULL END")
         if n_groups >= 2:
-            v2_cases.append(f"WHEN {t.template_id} THEN nullif(regexp_extract(line, '{rx}', 2), '')")
+            v2_cases.append(
+                f"WHEN {t.template_id} THEN CASE WHEN regexp_matches(line, '{rx}') "
+                f"THEN regexp_extract(line, '{rx}', 2) ELSE NULL END")
     sql["variable_extraction"] = f"""
 WITH _assign AS ({assignments})
 SELECT event_id, template_id,
@@ -710,17 +791,21 @@ SELECT doc_id, d.digest, (doc_id <> rep_id) AS is_duplicate
 FROM d JOIN r ON d.digest = r.digest ORDER BY doc_id
 """.strip()
 
+    # Docs with < n words produce zero shingles; the Spark side (explode ->
+    # groupBy) emits no row for them, so both oracles drop them too.
     sql["shingle_counts"] = f"""
-SELECT doc_id, len({_DUCK_SHINGLES}) AS n_shingles
-FROM documents ORDER BY doc_id
+WITH s AS (SELECT doc_id, len({_DUCK_SHINGLES}) AS n_shingles FROM documents)
+SELECT doc_id, n_shingles FROM s WHERE n_shingles > 0 ORDER BY doc_id
 """.strip()
 
     mh = ", ".join(
-        "list_min(list_transform({sh}, s -> CAST(('0x' || substr(md5('mh{i}:' || s), 1, 15)) AS BIGINT))) AS h{i}".format(
-            sh=_DUCK_SHINGLES, i=i)
+        "list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('mh{i}:' || s), 1, 15)) AS BIGINT))) AS h{i}".format(i=i)
         for i in range(4)
     )
-    sql["minhash_signatures"] = f"SELECT doc_id, {mh} FROM documents ORDER BY doc_id"
+    sql["minhash_signatures"] = f"""
+WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+SELECT doc_id, {mh} FROM s WHERE len(sh) > 0 ORDER BY doc_id
+""".strip()
 
     sql["embedding_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -837,4 +922,6 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_templates": q_induced_templates,     # rows-only (applyInPandas)
         "syslog_extract": q_syslog_extract,
         "event_histogram": q_event_histogram,
+        "token_signatures": q_token_signatures,
+        "induction_full_match": q_induction_full_match,
     }

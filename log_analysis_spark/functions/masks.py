@@ -23,6 +23,9 @@ MASK_RULES: tuple[tuple[str, str], ...] = (
     (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
     (r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>"),
     (r"0x[0-9a-fA-F]+", "<HEX>"),
+    # bare md5/sha hex hashes (src/smart_template_generator.rs:73) — without
+    # this, hash-bearing lines shatter into per-hash singleton signatures
+    (r"\b[a-f0-9]{32,64}\b", "<HASH>"),
     (r"(/[A-Za-z0-9_.\-]+){2,}", "<PATH>"),
     (r"\d+\.\d+", "<NUM>"),
     (r"\d+", "<INT>"),

@@ -1,0 +1,92 @@
+"""Single-line template generation: mint a usable typed-regex template
+from ONE unmatched log line.
+
+Behavioral parity with /root/reference/src/smart_template_generator.rs:
+- format-aware dispatch (:10-23): syslog lines get structured
+  timestamp/hostname/pid captures + an escaped service literal; ISO /
+  delimited / unstructured lines get the generic message pattern,
+- message pattern (:64-117): non-overlapping variable spans detected in
+  priority order (IP, UUID, 0xhex, bare hash, path, decimal, int), each
+  replaced by a typed capture group, static text regex-escaped; a line
+  with no detectable variables becomes one ``(.+)`` capture.
+
+This is the fallback that guarantees the match-else-generate lifecycle
+(src/benchmark_runner.rs:84-105) terminates with every novel line owning
+a template — clusters too small or too ragged for the aligning
+PatternLearner still produce one.
+
+Driver/executor-side pure Python (runs inside the induction
+``applyInPandas``); never in the per-row match hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..templates import LogTemplate
+from .format_detect import SYSLOG_EXTRACT_RE
+
+# (type name, detect regex, capture replacement) in priority order
+# (src/smart_template_generator.rs:69-78 + the 32-64 hash rule at :73).
+VARIABLE_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+     r"(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"),
+    ("uuid",
+     r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+     r"([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})"),
+    ("hex", r"\b0x[0-9a-fA-F]+\b", r"(0x[0-9a-fA-F]+)"),
+    ("hash", r"\b[a-f0-9]{32,64}\b", r"([a-f0-9]{32,64})"),
+    ("path", r"/[\w/.\-]+", r"([\w/.\-]+)"),
+    ("decimal", r"\b\d+\.\d+\b", r"(\d+\.\d+)"),
+    ("int", r"\b\d+\b", r"(\d+)"),
+)
+_VARIABLE_COMPILED = [(n, re.compile(d), r) for n, d, r in VARIABLE_PATTERNS]
+
+_SYSLOG_EXTRACT = re.compile(SYSLOG_EXTRACT_RE)
+_TS_CAPTURE = r"([A-Z][a-z]{2}\s+\d{1,2}\s+\d{2}:\d{2}:\d{2})"
+_HOST_CAPTURE = r"([\w.\-]+)"
+
+
+def message_pattern(message: str) -> tuple[str, list[str]]:
+    """(regex, variable names) for one message: typed captures over
+    detected variable spans, escaped static text between them."""
+    spans: list[tuple[int, int, str, str]] = []  # (start, end, name, capture)
+    for name, rx, repl in _VARIABLE_COMPILED:
+        for m in rx.finditer(message):
+            if not any(m.start() < e and m.end() > s for s, e, _, _ in spans):
+                spans.append((m.start(), m.end(), name, repl))
+    spans.sort(key=lambda t: t[0])
+
+    parts: list[str] = []
+    variables: list[str] = []
+    last = 0
+    for start, end, name, repl in spans:
+        if start > last:
+            parts.append(re.escape(message[last:start]))
+        parts.append(repl)
+        variables.append(f"{name}_{len(variables) + 1}")
+        last = end
+    if last < len(message):
+        parts.append(re.escape(message[last:]))
+    if not variables:
+        return r"(.+)", ["message"]
+    return "".join(parts), variables
+
+
+def generate_single_line_template(line: str, template_id: int) -> LogTemplate:
+    """Format-aware single-line template (smart_template_generator.rs:10-62)."""
+    m = _SYSLOG_EXTRACT.match(line)
+    if m is not None:
+        _ts, _host, service, pid, message = m.groups()
+        msg_rx, msg_vars = message_pattern(message)
+        if pid is not None:
+            pattern = (rf"{_TS_CAPTURE}\s+{_HOST_CAPTURE}\s+"
+                       rf"{re.escape(service)}\[(\d+)\]:\s+{msg_rx}")
+            variables = ["timestamp", "hostname", "pid", *msg_vars]
+        else:
+            pattern = (rf"{_TS_CAPTURE}\s+{_HOST_CAPTURE}\s+"
+                       rf"{re.escape(service)}:\s+{msg_rx}")
+            variables = ["timestamp", "hostname", *msg_vars]
+        return LogTemplate(template_id, pattern, tuple(variables), line)
+    pattern, variables = message_pattern(line)
+    return LogTemplate(template_id, pattern, tuple(variables), line)

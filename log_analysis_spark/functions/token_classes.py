@@ -1,0 +1,173 @@
+"""F14: two-level token taxonomy — STATIC / EPHEMERAL / PARAMETER.
+
+Behavioral parity with /root/reference/src/token_classifier.rs:49-229:
+
+- STATIC: structure-defining keywords (service names, action verbs,
+  field names) — never masked.
+- EPHEMERAL: values that always change (numbers, IPs, timestamps,
+  dates, month names, UUIDs, hex ids) — carry no clustering signal.
+- PARAMETER: business values (usernames, resources, actions,
+  hostnames) typed by the previous token's context, else by shape.
+
+Two signatures (token_classifier.rs:205-229):
+- level 1, *log type*  = the static tokens joined ("sshd authentication
+  failure") — the coarse cluster key;
+- level 2, *template*  = static tokens + typed parameter markers
+  ("sshd authentication failure <User> <Location>") — the template
+  variant key used inside induction.
+
+Both are generated twice from ONE rule table: a Spark SQL expression
+(higher-order functions, whole-stage codegen, no Python) and the same
+logic in DuckDB dialect for the correctness oracle. All regexes avoid
+backslashes ([0-9], [.]) so the identical pattern string is valid in
+both engines' string literals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# keyword tables (token_classifier.rs:70-95)
+SERVICES: tuple[str, ...] = (
+    "sshd", "kernel", "cups", "ftpd", "su", "gpm", "systemd",
+    "pam_unix", "cron", "nginx", "apache", "mysql", "postgres",
+)
+ACTIONS: tuple[str, ...] = (
+    "authentication", "failure", "success", "opened", "closed",
+    "started", "stopped", "connected", "disconnected", "failed",
+    "session", "connection", "registered", "unregistered",
+)
+FIELD_NAMES: tuple[str, ...] = (
+    "uid", "euid", "tty", "ruser", "rhost", "logname",
+    "pid", "user", "from", "to", "port", "status",
+)
+MONTHS: tuple[str, ...] = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+# backslash-free regexes (valid verbatim in Spark SQL AND DuckDB literals)
+_RX_INT = "^[0-9]+$"
+_RX_IP = "^[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}$"
+_RX_TIME = "^[0-9]{2}:[0-9]{2}:[0-9]{2}$"
+_RX_DATE_ISO = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+_RX_DATE_US = "^[0-9]{2}/[0-9]{2}/[0-9]{4}$"
+_RX_UUID = ("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-"
+            "[0-9a-f]{4}-[0-9a-f]{12}$")
+_RX_HEX = "^[0-9a-fA-F]+$"
+_RX_ALPHA = "[A-Za-z]"
+
+
+def _in_list(expr: str, values: tuple[str, ...]) -> str:
+    return f"{expr} IN ({', '.join(repr(v) for v in values)})"
+
+
+def _contains_any(expr: str, values: tuple[str, ...], rlike: Callable[[str, str], str]) -> str:
+    return rlike(expr, "|".join(values))
+
+
+def token_class_sql(t: str, p: str, rlike: Callable[[str, str], str]) -> str:
+    """CASE expression classifying token ``t`` with previous token ``p``.
+
+    Returns 'S' (static), 'E' (ephemeral), or a parameter type name
+    ('User', 'Resource', 'Action', 'Location', 'Generic'). ``rlike`` maps
+    (expr, pattern) to the engine's regex-match predicate.
+    """
+    lt, lp = f"lower({t})", f"lower({p})"
+    static = (
+        f"{_contains_any(lt, SERVICES, rlike)} OR {_contains_any(lt, ACTIONS, rlike)}"
+        f" OR {_in_list(lt, FIELD_NAMES)}"
+        f" OR {_in_list(lt, tuple(f + '=' for f in FIELD_NAMES))}"
+    )
+    ephemeral = " OR ".join([
+        rlike(t, _RX_INT),
+        rlike(t, _RX_IP),
+        f"position('::' IN {t}) > 0",
+        f"length({t}) - length(replace({t}, ':', '')) > 2",
+        rlike(t, _RX_TIME),
+        rlike(t, _RX_DATE_ISO),
+        rlike(t, _RX_DATE_US),
+        _in_list(t, MONTHS),
+        rlike(t, _RX_UUID),
+        f"{t} LIKE '0x%'",
+        f"(length({t}) > 8 AND {rlike(t, _RX_HEX)})",
+    ])
+    param = f"""CASE
+      WHEN {lp} LIKE '%user%' OR {lp} LIKE '%uid%' OR {lp} LIKE '%login%' THEN 'User'
+      WHEN {lp} LIKE '%file%' OR {lp} LIKE '%path%' OR {lp} LIKE '%table%' THEN 'Resource'
+      WHEN {lp} LIKE '%status%' OR {lp} LIKE '%code%' OR {lp} LIKE '%result%' THEN 'Action'
+      WHEN {lp} LIKE '%host%' OR {lp} LIKE '%server%' THEN 'Location'
+      WHEN {lt} LIKE '%root%' OR {lt} LIKE '%admin%' OR {lt} LIKE '%guest%' THEN 'User'
+      WHEN position('.' IN {t}) > 0 AND {rlike(t, _RX_ALPHA)} THEN 'Location'
+      WHEN {t} LIKE '/%' THEN 'Resource'
+      WHEN {t} LIKE 'ERR%' OR {t} LIKE 'OK%' OR {t} IN ('200', '404', '500') THEN 'Action'
+      ELSE 'Generic'
+    END"""
+    return (
+        f"CASE WHEN {static} THEN 'S' "
+        f"WHEN {ephemeral} THEN 'E' "
+        f"ELSE {param} END"
+    )
+
+
+def _spark_rlike(expr: str, pattern: str) -> str:
+    return f"{expr} RLIKE '{pattern}'"
+
+
+def _duck_rlike(expr: str, pattern: str) -> str:
+    return f"regexp_matches({expr}, '{pattern}')"
+
+
+# per-token output for each signature level, given the class expr `c`
+def _level1_elem(tok: str, cls: str) -> str:
+    return f"CASE WHEN ({cls}) = 'S' THEN {tok} ELSE NULL END"
+
+
+def _level2_elem(tok: str, cls: str) -> str:
+    return (f"CASE WHEN ({cls}) = 'S' THEN {tok} "
+            f"WHEN ({cls}) = 'E' THEN NULL "
+            f"ELSE concat('<', ({cls}), '>') END")
+
+
+def _spark_signature_expr(col_sql: str, elem) -> str:
+    toks = f"split(trim({col_sql}), '\\\\s+')"
+    tok = f"element_at({toks}, CAST(i AS INT))"
+    prev = f"CASE WHEN i > 1 THEN element_at({toks}, CAST(i - 1 AS INT)) ELSE '' END"
+    cls = token_class_sql(tok, prev, _spark_rlike)
+    mapped = f"transform(sequence(1, size({toks})), i -> {elem(tok, cls)})"
+    return f"array_join(filter({mapped}, x -> x IS NOT NULL), ' ')"
+
+
+def _duck_signature_expr(col_sql: str, elem) -> str:
+    toks = f"regexp_split_to_array(trim({col_sql}), '\\s+')"
+    tok = f"{toks}[i]"
+    prev = f"CASE WHEN i > 1 THEN {toks}[i - 1] ELSE '' END"
+    cls = token_class_sql(tok, prev, _duck_rlike)
+    mapped = f"list_transform(range(1, len({toks}) + 1), i -> {elem(tok, cls)})"
+    # coalesce: DuckDB's array_to_string yields NULL for an empty list,
+    # Spark's array_join yields '' — normalize to ''
+    return f"coalesce(array_to_string(list_filter({mapped}, x -> x IS NOT NULL), ' '), '')"
+
+
+def log_type_signature_col(col_sql: str) -> Column:
+    """Level-1 signature: static tokens only (the log *type*).
+
+    ``col_sql`` is a Spark-SQL expression string (e.g. a column name).
+    """
+    return F.expr(_spark_signature_expr(col_sql, _level1_elem))
+
+
+def template_signature_col(col_sql: str) -> Column:
+    """Level-2 signature: static tokens + typed parameter markers."""
+    return F.expr(_spark_signature_expr(col_sql, _level2_elem))
+
+
+def log_type_signature_sql_duck(col_expr: str) -> str:
+    return _duck_signature_expr(col_expr, _level1_elem)
+
+
+def template_signature_sql_duck(col_expr: str) -> str:
+    return _duck_signature_expr(col_expr, _level2_elem)

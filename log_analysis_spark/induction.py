@@ -154,12 +154,38 @@ def induce_templates(
     unmatched: DataFrame,
     matcher: CompiledMatcher,
     text_col: str = "text",
-    min_cluster_size: int = 2,
+    min_cluster_size: int = 1,
     max_samples_per_cluster: int = 64,
+    signature_mode: str = "mask",
 ) -> list[LogTemplate]:
-    """Learn new templates from unmatched lines; deterministic ids."""
-    sig = unmatched.select(
-        F.col(text_col).alias("_text"), mask_col(F.col(text_col)).alias("_sig")
+    """Learn new templates from unmatched lines; deterministic ids.
+
+    Clusters the aligning learner can't handle — singletons and ragged
+    token shapes — fall back to single-line typed-mask generation
+    (functions/single_line.py ≈ smart_template_generator.rs:64-117), so
+    every unmatched cluster yields a template, matching the reference's
+    every-novel-line-gets-a-template lifecycle
+    (src/benchmark_runner.rs:84-105). Patterns identical to an existing
+    template are dropped (no id churn on re-induction).
+
+    ``signature_mode``:
+    - 'mask' (default): cluster by the typed ephemeral mask
+      (functions/masks.py) — parameter *keywords* stay verbatim, so
+      value variants become separate templates.
+    - 'token': cluster by the level-2 template signature
+      (functions/token_classes.py ≈ token_classifier.rs:219-229) —
+      parameter keywords collapse to their type, so lines differing only
+      in a parameter value share one template while static-keyword
+      variants stay distinct.
+    """
+    if signature_mode == "token":
+        from .functions.token_classes import template_signature_col
+
+        sig_expr = template_signature_col("_t0")
+    else:
+        sig_expr = mask_col(F.col("_t0"))
+    sig = unmatched.select(F.col(text_col).alias("_t0")).select(
+        F.col("_t0").alias("_text"), sig_expr.alias("_sig")
     ).filter(F.col("_text").isNotNull() & (F.length("_text") > 0))
 
     # per-cluster support (full count) computed separately from the capped
@@ -175,16 +201,25 @@ def induce_templates(
     )
 
     def _learn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .functions.single_line import generate_single_line_template
+
         sig_val = pdf["_sig"].iloc[0]
-        learned = learn_pattern(list(pdf["_text"]))
+        distinct = sorted(set(pdf["_text"]))
+        example = distinct[0]
+        # alignment needs >= 2 distinct samples to tell static from
+        # variable; a singleton cluster goes straight to the typed-mask
+        # single-line generator (a 1-sample alignment would emit a
+        # degenerate fully-literal pattern)
+        learned = learn_pattern(distinct) if len(distinct) >= 2 else None
         if learned is None:
-            return pd.DataFrame(columns=["_sig", "pattern", "variables", "example"])
+            t = generate_single_line_template(example, 0)
+            learned = (t.pattern, list(t.variables))
         pattern, variables = learned
         return pd.DataFrame({
             "_sig": [sig_val],
             "pattern": [pattern],
             "variables": [variables],
-            "example": [sorted(pdf["_text"])[0]],
+            "example": [example],
         })
 
     learned = capped.groupBy("_sig").applyInPandas(
@@ -197,10 +232,15 @@ def induce_templates(
         .collect()
     )
     base = matcher.next_template_id()
-    return [
-        LogTemplate(base + i, r["pattern"], tuple(r["variables"]), r["example"])
-        for i, r in enumerate(rows)
-    ]
+    known = {t.pattern for t in matcher.templates}
+    out: list[LogTemplate] = []
+    for r in rows:
+        if r["pattern"] in known:
+            continue
+        known.add(r["pattern"])
+        out.append(LogTemplate(base + len(out), r["pattern"],
+                               tuple(r["variables"]), r["example"]))
+    return out
 
 
 def induce_and_rematch(
@@ -208,14 +248,16 @@ def induce_and_rematch(
     df: DataFrame,
     matcher: CompiledMatcher,
     text_col: str = "text",
-    min_cluster_size: int = 2,
+    min_cluster_size: int = 1,
+    signature_mode: str = "mask",
 ) -> tuple[DataFrame, CompiledMatcher, list[LogTemplate]]:
     """Two-phase match-else-generate (§3.3): match, induce on the misses,
     re-match everything with the enlarged matcher."""
     phase1 = with_template_id(df, spark, matcher, text_col=text_col)
     unmatched = phase1.filter(F.col("template_id").isNull())
     new_templates = induce_templates(
-        spark, unmatched, matcher, text_col=text_col, min_cluster_size=min_cluster_size
+        spark, unmatched, matcher, text_col=text_col,
+        min_cluster_size=min_cluster_size, signature_mode=signature_mode,
     )
     if not new_templates:
         return phase1, matcher, []

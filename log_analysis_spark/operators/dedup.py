@@ -74,39 +74,44 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) word n-grams, distinct per doc. JVM-side only:
-    split -> transform over a position sequence -> explode."""
+    split -> transform over a position sequence -> array_distinct ->
+    explode. Distinctness is established *inside the row* (one doc = one
+    array), so the set semantics every consumer needs costs zero shuffles
+    — the exploded table, the largest intermediate at 100 TB, is never
+    re-shuffled just to dedup.
+    """
     words = F.split(normalized_text(F.col(text_col)), " ")
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
-    )
+    # guard: sequence(0, negative) would generate a *descending* sequence,
+    # so docs with < n words get an explicit empty array (explode drops them)
+    shingles = F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    n: int = 3,
-    threshold: float = 0.8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+def _jaccard_from_shingles(sh: DataFrame, threshold: float,
+                           id_col: str = "doc_id",
+                           max_doc_freq: int | None = None) -> DataFrame:
+    """Jaccard pairs (a < b) from an (id, shingle) relation via self-join.
 
-    |A ∩ B| via self-join on shingle; |A ∪ B| = |A|+|B|-∩. The self-join
-    is the scale hazard: at 100TB, cut candidate space first with a
-    frequency cap on shingles (drop shingles appearing in > F docs —
-    they only create quadratic fan-out and never distinguish docs).
+    ``max_doc_freq``: drop *stop-shingles* appearing in more than F docs
+    from the intersection join (a shingle in F docs creates F^2/2 join
+    rows and distinguishes nothing). Sizes still count every shingle, so
+    dropped shingles can only lower the reported jaccard — the cap never
+    creates false positives, it prunes fan-out.
     """
-    sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        joinable = sh.join(freq.filter(F.col("_df") <= max_doc_freq)
+                           .select("shingle"), "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -122,6 +127,24 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    |A ∩ B| via self-join on shingle; |A ∪ B| = |A|+|B|-∩. The self-join
+    is the scale hazard: at 100TB, set ``max_doc_freq`` to cap the
+    quadratic fan-out of stop-shingles (see _jaccard_from_shingles).
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    return _jaccard_from_shingles(sh, threshold, id_col, max_doc_freq)
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -174,9 +197,22 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, n=n, threshold=0.0, text_col=text_col, id_col=id_col)
+    # Verification is candidates-only: restrict the shingle table to docs
+    # that appear in any candidate pair (broadcast semi-join — the LSH
+    # candidate id set is tiny relative to the corpus by construction:
+    # ~near-dup-rate x N) and compute true Jaccard on that subset. The
+    # full-corpus shingle self-join — the O(N^2 f) blow-up LSH exists to
+    # avoid — never runs.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = word_shingles(df, n, text_col, id_col)
+    sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verified = _jaccard_from_shingles(sh_c, threshold=0.0, id_col=id_col)
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        candidates.join(verified, ["id_a", "id_b"])
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

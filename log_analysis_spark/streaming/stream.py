@@ -157,3 +157,43 @@ def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(in_dir)
     )
+
+
+def rate_transcript_stream(
+    spark: SparkSession,
+    rows_per_second: int = 10_000,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """Network-style unbounded source (S1): Spark's rate source mapped to
+    the transcript shape.
+
+    The reference's ingest endpoint (src/bin/log-ingest-service.rs:346-443)
+    receives an unbounded request stream; the rate source is the built-in
+    unbounded analog available without a broker. In production the same
+    downstream graph attaches to a Kafka source unchanged — only this
+    readStream stanza differs (format("kafka") + from_json over value).
+    Rows are synthesized deterministically from the monotonically
+    increasing ``value``, reusing the batch synth line renderers.
+    """
+    from ..synth import render_text
+
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    v = F.col("value")
+    conv = F.concat(F.lit("conv-"), (v % 1000).cast("string"))
+    turn = (v / 1000).cast("int")
+    text, _truth = render_text(42, conv, turn.cast("long"))
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    tools = F.array(*[F.lit(t) for t in ("bash", "search", "browser", "none", "python", "editor")])
+    return raw.select(
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.element_at(roles, (v % 4 + 1).cast("int")).alias("role"),
+        text.alias("text"),
+        F.element_at(tools, (v % 6 + 1).cast("int")).alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )

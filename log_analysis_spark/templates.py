@@ -286,7 +286,7 @@ class CompiledMatcher:
         """Return (best_template_id_or_-1, best_score) per row, vectorized."""
         n = len(texts)
         if len(self.templates) == 0 or n == 0:
-            return (np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64))
+            return (np.full(n, -1, dtype=np.int64), np.full(n, -1.0, dtype=np.float64))
         M = self._containment_matrix(texts)
         if len(self.templates) >= 32:
             return self._score_sparse(M, n)
@@ -322,7 +322,7 @@ class CompiledMatcher:
         n_tmpl = len(self.templates)
         rows_nz, frag_nz = np.nonzero(M)
         if len(rows_nz) == 0:
-            return (np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64))
+            return (np.full(n, -1, dtype=np.int64), np.full(n, -1.0, dtype=np.float64))
         ptr, adj_t, adj_w = self._frag_adjacency
         lens = ptr[frag_nz + 1] - ptr[frag_nz]
         total = int(lens.sum())
@@ -358,8 +358,10 @@ class CompiledMatcher:
         best_scores_u = score_u[o2][first]
         best_t = t_u[o2][first]
 
+        # rows with zero candidate fragments report -1.0, matching the
+        # dense path (and the generated SQL oracle's no-vote convention)
         ids = np.full(n, -1, dtype=np.int64)
-        scores = np.zeros(n, dtype=np.float64)
+        scores = np.full(n, -1.0, dtype=np.float64)
         ok = best_scores_u >= self.threshold
         ids[best_rows[ok]] = self.template_ids[best_t[ok]]
         scores[best_rows] = best_scores_u

@@ -112,3 +112,39 @@ def test_dedup_on_documents_table(spark):
     out = exact_dedup(df)
     assert out.count() == df.count()
     assert out.filter(~F.col("is_duplicate")).count() <= df.count()
+
+
+def test_ngram_jaccard_frequency_cap(spark):
+    """A stop-shingle present in every doc is excluded from the
+    intersection join by max_doc_freq; sizes still count it, so capped
+    jaccard is a lower bound of the true jaccard (never a false positive)."""
+    rows = [
+        (0, "common prefix here alpha beta gamma"),
+        (1, "common prefix here alpha beta delta"),
+        (2, "common prefix here zeta eta theta"),
+        (3, "common prefix here iota kappa lambda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(df, n=3, threshold=0.0,
+                                           max_doc_freq=2).collect()}
+    # "common prefix here" (and overlapping 3-grams) appear in all 4 docs
+    # -> dropped from the join; every capped score <= the true score
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert v <= uncapped[k] + 1e-12
+    # the all-docs shingles alone produced pairs in the uncapped run that
+    # the cap prunes entirely (docs 2 & 3 share only stop-shingles)
+    assert (2, 3) in uncapped
+    assert (2, 3) not in capped
+
+
+def test_minhash_lsh_verification_is_candidates_only(spark, docs):
+    """The verification path must restrict the shingle self-join to LSH
+    candidate ids (broadcast semi-join) — never the full corpus. The
+    physical plan shows the semi-join; the full-corpus variant had none."""
+    df = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

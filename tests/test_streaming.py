@@ -148,3 +148,40 @@ def test_stream_matcher_swap(spark, tmp_path):
     assert unmatched_2 == unmatched_1
     matched = spark.read.parquet(os.path.join(out_dir, "matched"))
     assert matched.filter(F.col("template_id") == 900).count() > 0
+
+
+def test_rate_source_routing(spark, tmp_path):
+    """S1 against the unbounded rate source: route_stream consumes a
+    network-style stream (not file drops) and every consumed row is routed
+    to exactly one of matched/unmatched."""
+    from log_analysis_spark.streaming.stream import rate_transcript_stream
+
+    out_dir = str(tmp_path / "rate_out")
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+    stream = rate_transcript_stream(spark, rows_per_second=5000, num_partitions=2)
+    assert stream.isStreaming
+    q = route_stream(spark, stream, box, out_dir, trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            time.sleep(1)
+            dirs = [d for d in ("matched", "unmatched")
+                    if os.path.isdir(os.path.join(out_dir, d))]
+            if len(dirs) == 2:
+                try:
+                    m = spark.read.parquet(os.path.join(out_dir, "matched")).count()
+                    u = spark.read.parquet(os.path.join(out_dir, "unmatched")).count()
+                except Exception:
+                    continue
+                if m > 0 and u > 0:
+                    break
+    finally:
+        q.stop()
+    matched = spark.read.parquet(os.path.join(out_dir, "matched"))
+    unmatched = spark.read.parquet(os.path.join(out_dir, "unmatched"))
+    assert matched.count() > 0 and unmatched.count() > 0
+    # routed rows carry the transcript schema + template_id and the split
+    # predicate held exactly
+    assert matched.filter(F.col("template_id").isNull()).count() == 0
+    assert unmatched.filter(F.col("template_id").isNotNull()).count() == 0
+    assert {"conv_id", "turn_idx", "role", "text", "tool", "ts"} <= set(matched.columns)
