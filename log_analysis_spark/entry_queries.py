@@ -798,10 +798,9 @@ WITH s AS (SELECT doc_id, len({_DUCK_SHINGLES}) AS n_shingles FROM documents)
 SELECT doc_id, n_shingles FROM s WHERE n_shingles > 0 ORDER BY doc_id
 """.strip()
 
-    mh = ", ".join(
-        "list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('mh{i}:' || s), 1, 15)) AS BIGINT))) AS h{i}".format(i=i)
-        for i in range(4)
-    )
+    from .operators.dedup import minhash_affine_sql_duck
+
+    mh = ", ".join(minhash_affine_sql_duck("sh", 4))
     sql["minhash_signatures"] = f"""
 WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
 SELECT doc_id, {mh} FROM s WHERE len(sh) > 0 ORDER BY doc_id
@@ -857,20 +856,24 @@ SELECT doc_id, ws_tokens, bpe_ish_tokens,
 FROM g ORDER BY doc_id
 """.strip()
 
+    # generated from the same STOPWORDS table as the Spark side; the CASE
+    # walks languages in sorted order = the documented asc tie-break
     lang_exprs = []
     from .operators.text_analysis import STOPWORDS
 
-    for lang in sorted(STOPWORDS):
-        ws = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    langs = sorted(STOPWORDS)
+    for lang in langs:
+        ws = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang])
         lang_exprs.append(
             f"len(list_filter(list_distinct(words), w -> w IN ({ws}))) * 1.0 / greatest(len(words), 1) AS s_{lang}")
+    greatest_all = ", ".join(f"s_{l}" for l in langs)
+    pick = " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs[:-1])
     sql["lang_id"] = f"""
 WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents),
 s AS (SELECT {', '.join(lang_exprs)} FROM f),
-b AS (SELECT greatest(s_de, s_en, s_es, s_fr) AS mx, * FROM s),
+b AS (SELECT greatest({greatest_all}) AS mx, * FROM s),
 l AS (SELECT CASE WHEN mx < 0.01 THEN 'unknown'
-                  WHEN s_de >= mx THEN 'de' WHEN s_en >= mx THEN 'en'
-                  WHEN s_es >= mx THEN 'es' ELSE 'fr' END AS lang_id FROM b)
+                  {pick} ELSE '{langs[-1]}' END AS lang_id FROM b)
 SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
 """.strip()
 

@@ -16,13 +16,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# tiny per-language stopword seed sets (n-gram-free heuristic langid:
-# share of tokens hitting each language's function-word set)
+# per-language stopword seed sets (n-gram-free heuristic langid: share of
+# tokens hitting each language's function-word set). Function words are
+# the standard high-frequency closed-class terms of each language.
 STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für", "von", "zu"),
     "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans", "que", "des"),
     "es": ("el", "la", "los", "las", "y", "de", "un", "una", "es", "por", "que", "con"),
+    "it": ("il", "lo", "che", "di", "e", "un", "una", "per", "non", "sono", "della", "nel"),
+    "pt": ("o", "os", "as", "que", "de", "um", "uma", "para", "não", "com", "por", "mais"),
+    "nl": ("de", "het", "een", "en", "van", "ik", "dat", "niet", "op", "te", "zijn", "voor"),
+    "ru": ("и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "по", "его"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada"),
+    "tr": ("bir", "ve", "bu", "da", "ne", "için", "ben", "de", "mi", "ama", "gibi", "çok"),
 }
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,29 @@ class MatcherBox:
             self._matcher = matcher
 
 
+def write_with_retry(write_fn, max_retries: int = 3, base_backoff_s: float = 0.5,
+                     sleep=time.sleep):
+    """ST4: bounded retry with exponential backoff around a sink write
+    (semantics of the reference's buffered insert retry,
+    src/buffered_writer.rs / src/bin/log-ingest-service.rs retry loop).
+
+    Spark task retries cover executor-side failures; this wraps the
+    *driver-side* write call (sink connection refused, transient FS
+    errors). After the budget is exhausted the exception propagates, the
+    micro-batch fails, and checkpointLocation replays it — at-least-once
+    into an idempotent (epoch-keyed) sink = effectively-once.
+    """
+    attempt = 0
+    while True:
+        try:
+            return write_fn()
+        except Exception:
+            if attempt >= max_retries:
+                raise
+            sleep(base_backoff_s * (2 ** attempt))
+            attempt += 1
+
+
 def route_stream(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -56,11 +80,13 @@ def route_stream(
     out_dir: str,
     trigger_seconds: int = 5,
     text_col: str = "text",
+    max_retries: int = 3,
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
     Each micro-batch appends to matched/ and unmatched/ parquet dirs;
-    checkpointLocation makes replays idempotent per epoch.
+    checkpointLocation makes replays idempotent per epoch; each sink write
+    is retried with backoff (ST4).
     """
     roles = role_dict(spark)
     tools = tool_dict(spark)
@@ -73,10 +99,14 @@ def route_stream(
         )
         parsed.persist()
         try:
-            (parsed.filter(F.col("template_id").isNotNull())
-             .write.mode("append").parquet(os.path.join(out_dir, "matched")))
-            (parsed.filter(F.col("template_id").isNull())
-             .write.mode("append").parquet(os.path.join(out_dir, "unmatched")))
+            write_with_retry(
+                lambda: (parsed.filter(F.col("template_id").isNotNull())
+                         .write.mode("append").parquet(os.path.join(out_dir, "matched"))),
+                max_retries=max_retries)
+            write_with_retry(
+                lambda: (parsed.filter(F.col("template_id").isNull())
+                         .write.mode("append").parquet(os.path.join(out_dir, "unmatched"))),
+                max_retries=max_retries)
         finally:
             parsed.unpersist()
 

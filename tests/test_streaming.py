@@ -185,3 +185,30 @@ def test_rate_source_routing(spark, tmp_path):
     assert matched.filter(F.col("template_id").isNull()).count() == 0
     assert unmatched.filter(F.col("template_id").isNotNull()).count() == 0
     assert {"conv_id", "turn_idx", "role", "text", "tool", "ts"} <= set(matched.columns)
+
+
+def test_write_with_retry_backoff():
+    """ST4: transient sink failures are retried with exponential backoff;
+    the budget is bounded and the final failure propagates."""
+    from log_analysis_spark.streaming.stream import write_with_retry
+
+    calls, sleeps = [], []
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise IOError("transient")
+        return "ok"
+    assert write_with_retry(flaky, max_retries=3, base_backoff_s=0.5,
+                            sleep=sleeps.append) == "ok"
+    assert len(calls) == 3 and sleeps == [0.5, 1.0]
+
+    def dead():
+        calls.append(1)
+        raise IOError("permanent")
+    calls.clear(); sleeps.clear()
+    try:
+        write_with_retry(dead, max_retries=2, base_backoff_s=0.1, sleep=sleeps.append)
+        assert False, "should raise"
+    except IOError:
+        pass
+    assert len(calls) == 3 and sleeps == [0.1, 0.2]

@@ -29,10 +29,17 @@ def test_lang_id(spark):
         (2, "le chat est dans la maison et il dort pour une heure"),
         (3, "el perro es un animal y la casa es grande por que si"),
         (4, "zzz qqq xxx yyy www"),
+        (5, "il gatto non è nel giardino e sono sicuro che dorme per ore della notte"),
+        (6, "o cachorro não está em casa para brincar com os gatos por mais tempo"),
+        (7, "ik weet dat het een goede dag is en niet te koud voor de winter"),
+        (8, "я не знаю что он делает в доме и как это по его мнению"),
+        (9, "bu bir deneme ve ben bunu çok ama çok iyi biliyorum gibi"),
+        (10, "saya tahu yang ini dan itu tidak akan sama dengan yang lain di dalam"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["lang"] for r in df.select("id", lang_id_col(F.col("text")).alias("lang")).collect()}
-    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown"}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown",
+                   5: "it", 6: "pt", 7: "nl", 8: "ru", 9: "tr", 10: "id"}
 
 
 def test_quality_score_ordering(spark):

@@ -137,3 +137,27 @@ def test_induction_token_mode_merges_parameter_values(spark):
     _, _, mask_templates = induce_and_rematch(
         spark, df, matcher, signature_mode="mask")
     assert [t.pattern for t in mask_templates] == ["(.+)"]
+
+
+def test_hash_mask_rule(spark):
+    """F11 + the 32-64-hex hash rule (smart_template_generator.rs:73):
+    md5/sha-bearing lines collapse to ONE signature instead of shattering
+    into per-hash singletons; Spark and the DuckDB mirror agree."""
+    import duckdb
+
+    from log_analysis_spark.functions.masks import mask_col, mask_sql_duck
+
+    lines = [
+        "blob d41d8cd98f00b204e9800998ecf8427e stored",                       # md5
+        "blob 5d41402abc4b2a76b9719d911017c592 stored",                       # md5
+        "blob a94a8fe5ccb19ba61c4c0873d391e987982fbbd3 stored",               # sha1
+        "addr 0xdeadbeef kept",                                               # 0xhex stays <HEX>
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    got = [r[0] for r in df.select(mask_col(F.col("line"))).collect()]
+    assert got[0] == got[1] == got[2] == "blob <HASH> stored"
+    assert got[3] == "addr <HEX> kept"
+    con = duckdb.connect()
+    for l, g in zip(lines, got):
+        lit = "'" + l + "'"
+        assert con.execute("SELECT " + mask_sql_duck(lit)).fetchone()[0] == g
