@@ -57,9 +57,9 @@ def main() -> None:
         "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
         "majority_vote", "recent_per_user", "match_assignments",
         "mask_signature", "user_histogram", "exact_dedup_digest",
-        "minhash_signatures", "embedding_topk",
+        "minhash_signatures", "shingle_counts", "embedding_topk",
         "text_quality", "variable_extraction", "induced_templates",
-        "simhash_sigs",
+        "simhash_sigs", "token_signatures", "lang_id",
     ):
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
@@ -80,6 +80,15 @@ def main() -> None:
     t0 = time.time()
     cosine_neardup_pairs(emb, planes, threshold=0.4).count()
     timings["embedding_neardup_lsh"] = round(time.time() - t0, 3)
+
+    # text near-dup scale path: MinHash-LSH end-to-end (signatures ->
+    # banded buckets -> candidates -> candidates-only Jaccard verify)
+    from log_analysis_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6).count()
+    timings["minhash_lsh_pairs"] = round(time.time() - t0, 3)
 
     # --- e2e transcript pipeline -----------------------------------------
     # ~17.6 expected turns per conv (Zipf-skewed); input materialized to

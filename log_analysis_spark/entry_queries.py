@@ -365,6 +365,17 @@ def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/test split coverage (src/dataset_splitter.rs:69-208):
+    per-group train/test counts under the hash-deterministic 20% split.
+    Row-level reproducible across engines (md5-ranked within group)."""
+    from .operators.split import split_counts, stratified_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_split(ev, "event_type", ("event_id",), test_fraction=0.2)
+    return split_counts(out, "event_type").orderBy("event_type")
+
+
 def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: two-level token taxonomy signatures
     (src/token_classifier.rs:49-229). Level-1 = static tokens only (log
@@ -483,13 +494,15 @@ def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc distinct word-3-gram count (the dedup shingle kernel)."""
-    from .operators.dedup import word_shingles
+    """Per-doc distinct word-3-gram count (the dedup shingle kernel).
+    Row-local expression — no explode, no shuffle (the exploded relation
+    exists only where a join needs it)."""
+    from .operators.dedup import shingle_count_col
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        word_shingles(docs, n=3).groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        docs.select("doc_id", shingle_count_col().cast("long").alias("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
         .orderBy("doc_id")
     )
 
@@ -737,6 +750,24 @@ SELECT event_id,
 FROM l ORDER BY event_id
 """.strip()
 
+    sql["stratified_split"] = """
+WITH h AS (
+  SELECT event_type, event_id,
+         CAST(('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN n >= 2 AND rk <= ceil(n * 0.2) THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN n >= 2 AND rk <= ceil(n * 0.2) THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM r GROUP BY event_type ORDER BY event_type
+""".strip()
+
     from .functions.token_classes import (
         log_type_signature_sql_duck,
         template_signature_sql_duck,
@@ -927,4 +958,5 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "token_signatures": q_token_signatures,
         "induction_full_match": q_induction_full_match,
+        "stratified_split": q_stratified_split,
     }

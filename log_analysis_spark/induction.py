@@ -187,6 +187,10 @@ def induce_templates(
     sig = unmatched.select(F.col(text_col).alias("_t0")).select(
         F.col("_t0").alias("_text"), sig_expr.alias("_sig")
     ).filter(F.col("_text").isNotNull() & (F.length("_text") > 0))
+    # persist: support, the capped sample set, and the learner all branch
+    # from here — without it each branch re-runs the upstream match-UDF
+    # pass that produced `unmatched`
+    sig = sig.persist()
 
     # per-cluster support (full count) computed separately from the capped
     # sample set shipped into the learner
@@ -231,6 +235,7 @@ def induce_templates(
         .orderBy(F.desc("_support"), F.asc("_sig"))
         .collect()
     )
+    sig.unpersist()
     base = matcher.next_template_id()
     known = {t.pattern for t in matcher.templates}
     out: list[LogTemplate] = []

@@ -129,6 +129,19 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float,
     )
 
 
+def shingle_count_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word-n-gram count per doc as a row-local expression —
+    size(array_distinct(grams)); no explode, no shuffle. Docs with < n
+    words count 0 (callers filter to mirror the exploded relation)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(words) >= n,
+                  F.size(F.array_distinct(grams))).otherwise(F.lit(0))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,

@@ -30,8 +30,13 @@ def stratified_split(
     ceil(n * test_fraction) go to test — except groups with a single row,
     which always go to train (the reference keeps every label represented
     in train; test coverage then holds for every group with >= 2 rows).
+
+    The rank hash is md5-derived (engine-portable) so the split is
+    reproducible across engines — the DuckDB oracle replays it exactly.
     """
-    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in row_key_cols])
+    from .dedup import md5_long
+
+    h = md5_long(F.concat_ws(":", F.lit(str(seed)), *[F.col(c) for c in row_key_cols]))
     w = Window.partitionBy(group_col).orderBy(h, *row_key_cols)
     n = Window.partitionBy(group_col)
     ranked = (

@@ -63,3 +63,24 @@ def test_aggregate_is_partial(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _plan(ev.groupBy("event_type").count())
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """MinHash is row-local math: the operator must plan as a narrow
+    projection (scan -> Arrow-batched UDF -> filter) with ZERO Exchanges."""
+    from log_analysis_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, k=8))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_shingle_counts_narrow(spark):
+    """Per-doc shingle counts are row-local — no explode/groupBy shuffle
+    (the only Exchange allowed is the final presentation orderBy)."""
+    from log_analysis_spark.entry_queries import q_shingle_counts
+
+    plan = _plan(q_shingle_counts(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "Generate" not in plan  # no explode
