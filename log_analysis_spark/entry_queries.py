@@ -365,6 +365,17 @@ def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end-game: near-dup pairs (3-gram Jaccard >= 0.5) -> connected
+    components -> canonical representative (min doc id). Spark side =
+    iterative min-label propagation; oracle = recursive CTE closure."""
+    from .operators.dedup import neardup_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return neardup_components(pairs).orderBy("doc_id")
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/test split coverage (src/dataset_splitter.rs:69-208):
     per-group train/test counts under the hash-deterministic 20% split.
@@ -750,6 +761,24 @@ SELECT event_id,
 FROM l ORDER BY event_id
 """.strip()
 
+    sql["neardup_components"] = f"""
+WITH RECURSIVE s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS rep_id FROM reach GROUP BY node ORDER BY doc_id
+""".strip()
+
     sql["stratified_split"] = """
 WITH h AS (
   SELECT event_type, event_id,
@@ -959,4 +988,5 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_signatures": q_token_signatures,
         "induction_full_match": q_induction_full_match,
         "stratified_split": q_stratified_split,
+        "neardup_components": q_neardup_components,
     }

@@ -295,6 +295,58 @@ def minhash_lsh_pairs(
     )
 
 
+# -- near-dup clustering ------------------------------------------------------
+
+def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, rep_id) with
+    rep_id = min doc id of the component — the dedup end-game (pairs ->
+    clusters -> one canonical representative to keep).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors (one join + one
+    partial-aggregating groupBy per round), converging in O(component
+    diameter) rounds — near-dup clusters are shallow (dups of a common
+    source), so a handful of rounds suffice. The loop early-exits on a
+    converged round. At extreme scale swap in the published
+    large-star/small-star variant (same join primitive, fewer rounds on
+    high-diameter graphs); the relation shapes here are identical.
+
+    Only nodes that appear in >= 1 pair are returned (singletons are
+    their own representative by definition).
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("rep", F.col("node")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("rep").alias("_nbr_rep"))
+            )
+            new_labels = (
+                labels.join(nbr, "node", "left")
+                .select("node",
+                        F.least(F.col("rep"), F.coalesce("_nbr_rep", F.col("rep"))).alias("rep"))
+                .persist()
+            )
+            changed = (
+                labels.withColumnRenamed("rep", "_old")
+                .join(new_labels, "node")
+                .filter(F.col("_old") != F.col("rep"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+    finally:
+        edges.unpersist()
+
+
 # -- SimHash ----------------------------------------------------------------
 
 def simhash_udf(spark):

@@ -72,8 +72,12 @@ def test_sparse_scoring_equals_dense():
     M = m._containment_matrix(s)
     ids_dense, sc_dense = m._score_dense(M, len(s))
     assert (ids_sparse == ids_dense).all()
-    matched = ids_dense >= 0
-    assert np.allclose(sc_sparse[matched], sc_dense[matched])
+    # ALL rows, including no-candidate rows: both paths report -1.0 there
+    # (the normalized no-vote convention shared with the SQL oracle)
+    assert np.allclose(sc_sparse, sc_dense)
+    no_candidate = ~(M @ m._indicator_matrix).any(axis=1)
+    assert no_candidate.any()
+    assert (sc_sparse[no_candidate] == -1.0).all()
 
 
 def test_density_guard_falls_back():

@@ -148,3 +148,32 @@ def test_minhash_lsh_verification_is_candidates_only(spark, docs):
     df = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_neardup_components_vs_union_find(spark):
+    """Min-label propagation equals a driver-side union-find on the same
+    pair set, including multi-hop chains (a-b, b-c => one component)."""
+    from log_analysis_spark.operators.dedup import neardup_components
+
+    pair_rows = [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9), (20, 21)]
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pair_rows], "id_a long, id_b long, jaccard double")
+    got = {r["doc_id"]: r["rep_id"] for r in neardup_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pair_rows:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+    # chain 1-2-3-9-8 collapses to rep 1
+    assert got[8] == 1 and got[9] == 1 and got[3] == 1
