@@ -392,15 +392,14 @@ def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/token_classifier.rs:49-229). Level-1 = static tokens only (log
     type); level-2 = static + typed parameter markers (template variant).
     Pure JVM-side higher-order-function expressions on both engines."""
-    from .functions.token_classes import log_type_signature_col, template_signature_col
+    from .functions.token_classes import signatures_udf
 
     ev = _t(spark, sf_dir, "events")
     lines = ev.select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line"))
+    sig = signatures_udf(spark)(F.col("line"))
     return (
-        lines.select(
-            log_type_signature_col("line").alias("log_type_sig"),
-            template_signature_col("line").alias("template_sig"),
-        )
+        lines.select(sig["log_type_sig"].alias("log_type_sig"),
+                     sig["template_sig"].alias("template_sig"))
         .groupBy("log_type_sig", "template_sig")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("log_type_sig", "template_sig")
@@ -506,13 +505,13 @@ def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shingle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc distinct word-3-gram count (the dedup shingle kernel).
-    Row-local expression — no explode, no shuffle (the exploded relation
-    exists only where a join needs it)."""
-    from .operators.dedup import shingle_count_col
+    Row-local — no explode, no shuffle (the exploded relation exists only
+    where a join needs it); Arrow-batched kernel, not interpreted HOFs."""
+    from .operators.dedup import shingle_count_udf
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", shingle_count_col().cast("long").alias("n_shingles"))
+        docs.select("doc_id", shingle_count_udf(spark)(F.col("text")).alias("n_shingles"))
         .filter(F.col("n_shingles") > 0)
         .orderBy("doc_id")
     )

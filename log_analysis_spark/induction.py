@@ -179,9 +179,9 @@ def induce_templates(
       variants stay distinct.
     """
     if signature_mode == "token":
-        from .functions.token_classes import template_signature_col
+        from .functions.token_classes import signatures_udf
 
-        sig_expr = template_signature_col("_t0")
+        sig_expr = signatures_udf(spark)(F.col("_t0"))["template_sig"]
     else:
         sig_expr = mask_col(F.col("_t0"))
     sig = unmatched.select(F.col(text_col).alias("_t0")).select(

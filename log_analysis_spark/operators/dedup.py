@@ -129,6 +129,29 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float,
     )
 
 
+def shingle_count_udf(spark, n: int = 3):
+    """pandas UDF text -> distinct word-n-gram count. The hot-path
+    rendering of shingle_count_col (HOF gram construction is interpreted
+    in Spark; the Python set build per Arrow batch measured ~10x faster)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.LongType())
+    def _cnt(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not isinstance(t, str):
+                out.append(0)
+                continue
+            w = t.lower().split()
+            out.append(len({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)})
+                       if len(w) >= n else 0)
+        return pd.Series(out, dtype="int64")
+
+    return _cnt
+
+
 def shingle_count_col(text_col: str = "text", n: int = 3) -> Column:
     """Distinct word-n-gram count per doc as a row-local expression —
     size(array_distinct(grams)); no explode, no shuffle. Docs with < n

@@ -50,16 +50,17 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id_col(col: Column, min_score: float = 0.01) -> Column:
     """Best-scoring language, 'unknown' when nothing clears min_score.
-    Deterministic tie-break: score desc, language code asc."""
+    Deterministic tie-break: score desc, language code asc.
+
+    Plain greatest() + a chained when() in sorted language order (the
+    first language reaching the max wins = asc tie-break) — no
+    higher-order array lambdas, which Spark evaluates interpreted."""
     scores = lang_scores(col)
-    pairs = F.array(*[
-        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
-        for lang in sorted(STOPWORDS)
-    ])
-    # winner = max score; on ties the lexicographically smallest language
-    # (array_min over the equal-score subset compares lang second)
-    mx = F.array_max(F.transform(pairs, lambda s: s["score"]))
-    winner = F.array_min(F.filter(pairs, lambda s: s["score"] >= mx))["lang"]
+    langs = sorted(STOPWORDS)
+    mx = F.greatest(*[scores[l] for l in langs])
+    winner = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        winner = F.when(scores[lang] >= mx, F.lit(lang)).otherwise(winner)
     return F.when(mx >= min_score, winner).otherwise(F.lit("unknown"))
 
 

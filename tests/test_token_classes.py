@@ -161,3 +161,28 @@ def test_hash_mask_rule(spark):
     for l, g in zip(lines, got):
         lit = "'" + l + "'"
         assert con.execute("SELECT " + mask_sql_duck(lit)).fetchone()[0] == g
+
+
+def test_kernel_matches_sql_renderings(spark):
+    """The Python kernel (hot path) and the Spark-SQL rendering (oracle
+    twin) of the taxonomy must agree token-for-token — both are generated
+    from the same rule tables."""
+    from log_analysis_spark.functions.token_classes import signatures_py, signatures_udf
+
+    extra = [
+        "Jun 14 15:16:01 combo sshd(pam_unix)[19939]: authentication failure",
+        "GET /api/v1/users 200 at 2024-01-01 12:00:05",
+        "deploy to server-7 by admin via cron OK done",
+        "a,1,b,2,c",
+    ]
+    lines = [l for l in LINES if l] + extra + [""]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    sql_rows = df.select(
+        log_type_signature_col("line").alias("l1"),
+        template_signature_col("line").alias("l2")).collect()
+    sig = signatures_udf(spark)(F.col("line"))
+    udf_rows = df.select(sig["log_type_sig"].alias("l1"),
+                         sig["template_sig"].alias("l2")).collect()
+    py_rows = [signatures_py(l) for l in lines]
+    assert [(r.l1, r.l2) for r in sql_rows] == py_rows
+    assert [(r.l1, r.l2) for r in udf_rows] == py_rows
