@@ -278,7 +278,12 @@ def minhash_lsh_pairs(
     pairs carry the true n-gram Jaccard.
     """
     r = k // bands
-    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    # persist: the signature kernel feeds both sides of the bucket
+    # self-join, and the candidate relation feeds three consumers (two
+    # id projections + the final join) — without persist each consumer
+    # re-executes the upstream UDF pass. Both relations are tiny
+    # (k longs per doc; ~near-dup-rate x N pair rows).
+    sigs = minhash_signatures(df, k, n, text_col, id_col).persist()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -296,23 +301,43 @@ def minhash_lsh_pairs(
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
-    )
-    # Verification is candidates-only: restrict the shingle table to docs
-    # that appear in any candidate pair (broadcast semi-join — the LSH
-    # candidate id set is tiny relative to the corpus by construction:
-    # ~near-dup-rate x N) and compute true Jaccard on that subset. The
-    # full-corpus shingle self-join — the O(N^2 f) blow-up LSH exists to
-    # avoid — never runs.
+    ).persist()
+    # Verification is candidates-only: bring the two texts of each
+    # candidate pair together (semi-join the corpus to the candidate id
+    # set — tiny by LSH construction: ~near-dup-rate x N — then join the
+    # bounded candidate relation to it twice) and compute the true
+    # n-gram Jaccard per pair in an Arrow-batched kernel. The full-corpus
+    # shingle self-join — the O(N^2 f) blow-up LSH exists to avoid —
+    # never runs, and no exploded shingle relation is materialized at all.
+    from ..session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+
+    @F.pandas_udf(T.DoubleType())
+    def _jaccard_pair(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def sh_set(t):
+            w = t.lower().split() if isinstance(t, str) else []
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        out = []
+        for a, b in zip(ta, tb):
+            sa, sb = sh_set(a), sh_set(b)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = word_shingles(df, n, text_col, id_col)
-    sh_c = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    verified = _jaccard_from_shingles(sh_c, threshold=0.0, id_col=id_col)
+    cand_texts = df.select(F.col(id_col), F.col(text_col)) \
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+    ta = cand_texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = cand_texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     return (
-        candidates.join(verified, ["id_a", "id_b"])
+        candidates.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", _jaccard_pair(F.col("_ta"), F.col("_tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
