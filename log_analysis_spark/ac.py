@@ -83,15 +83,15 @@ class VectorizedAhoCorasick:
         self.has_out = self.out_mask.any(axis=1)
 
     def contains_matrix(self, texts: pd.Series) -> np.ndarray:
-        """bool-as-float64 [n_rows, n_patterns]: pattern j occurs in row i."""
+        """bool [n_rows, n_patterns]: pattern j occurs in row i."""
         n = len(texts)
         M = np.zeros((n, self.n_patterns), dtype=bool)
         if n == 0:
-            return M.astype(np.float64)
+            return M
         encoded = texts.fillna("").astype(str).str.encode("utf-8").to_numpy()
         maxlen = max((len(b) for b in encoded), default=0)
         if maxlen == 0:
-            return M.astype(np.float64)
+            return M
         # numpy bytes dtype zero-pads; view as a uint8 matrix
         buf = np.array(list(encoded), dtype=f"S{maxlen}").view(np.uint8).reshape(n, maxlen)
         state = np.zeros(n, dtype=np.int64)
@@ -105,4 +105,4 @@ class VectorizedAhoCorasick:
             hot = has_out[state]
             if hot.any():
                 M[hot] |= out_mask[state[hot]]
-        return M.astype(np.float64)
+        return M
