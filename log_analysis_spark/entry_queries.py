@@ -365,6 +365,16 @@ def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel (dedup -> lang -> quality) as ONE
+    single-pass aggregate over documents; the canonical LLM-data
+    composition, one shuffle total."""
+    from .operators.curation import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(docs)
+
+
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup end-game: near-dup pairs (3-gram Jaccard >= 0.5) -> connected
     components -> canonical representative (min doc id). Spark side =
@@ -626,6 +636,20 @@ _DUCK_SHINGLES = (
     f"string_split({_DUCK_NORM}, ' ')[i+1] || ' ' || string_split({_DUCK_NORM}, ' ')[i+2]))"
 )
 
+def _duck_lang_parts() -> tuple[list[str], list[str], str]:
+    """(sorted langs, per-lang score exprs over a `words` list column,
+    greatest(...) expr) — shared by the lang_id and curation oracles."""
+    from .operators.text_analysis import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    exprs = []
+    for lang in langs:
+        ws = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang])
+        exprs.append(
+            f"len(list_filter(list_distinct(words), w -> w IN ({ws}))) * 1.0 / greatest(len(words), 1) AS s_{lang}")
+    return langs, exprs, ", ".join(f"s_{l}" for l in langs)
+
+
 def oracle_sql_map() -> dict[str, str]:
     m = entry_matcher()
     line_duck = _LINE_SQL.format(S="VARCHAR")
@@ -758,6 +782,62 @@ SELECT event_id,
        regexp_extract(line, '{rx}', 4) AS pid,
        regexp_extract(line, '{rx}', 5) AS message
 FROM l ORDER BY event_id
+""".strip()
+
+    # curation funnel: per-doc quality (same formula as text_quality),
+    # lang (same generated CASE as lang_id), digest + window rep
+    from .operators.text_analysis import STOPWORDS as _SW
+
+    langs, lang_exprs, greatest_all = _duck_lang_parts()
+    en_ws = ", ".join("'" + w + "'" for w in _SW["en"])
+    lang_case = (
+        "CASE WHEN mx < 0.01 THEN 'unknown' "
+        + " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    sql["curation_funnel"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         length(text) AS n_chars,
+         {_DUCK_DIGEST} AS digest
+  FROM documents
+),
+g AS (
+  SELECT doc_id, digest,
+         len(words) AS n_words,
+         len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS uniq_ratio,
+         len(list_filter(list_distinct(words), w -> w IN ({en_ws}))) * 1.0 / greatest(len(words), 1) AS stop_ratio,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS digit_ratio,
+         {', '.join(lang_exprs)}
+  FROM f
+),
+h AS (
+  SELECT doc_id, digest,
+         round(
+           (CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 WHEN n_words > 0 THEN 0.4 ELSE 0.0 END) * 0.3
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 4) END) * 0.2
+           + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - (digit_ratio - 0.3) * 3) END) * 0.2
+           + least(1.0, uniq_ratio * 1.25) * 0.15
+           + least(1.0, stop_ratio * 10) * 0.15
+         , 6) AS q,
+         greatest({greatest_all}) AS mx, {', '.join(f's_{l}' for l in langs)}
+  FROM g
+),
+r AS (
+  SELECT doc_id, q, ({lang_case}) AS lang,
+         (doc_id = min(doc_id) OVER (PARTITION BY digest)) AS is_rep
+  FROM h
+)
+SELECT 'after_dedup' AS stage, CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs FROM r
+UNION ALL
+SELECT 'after_lang', CAST(sum(CASE WHEN is_rep AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) FROM r
+UNION ALL
+SELECT 'after_quality', CAST(sum(CASE WHEN is_rep AND lang = 'en' AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+UNION ALL
+SELECT 'total', count(*) FROM r
+ORDER BY stage
 """.strip()
 
     sql["neardup_components"] = f"""
@@ -917,15 +997,7 @@ FROM g ORDER BY doc_id
 
     # generated from the same STOPWORDS table as the Spark side; the CASE
     # walks languages in sorted order = the documented asc tie-break
-    lang_exprs = []
-    from .operators.text_analysis import STOPWORDS
-
-    langs = sorted(STOPWORDS)
-    for lang in langs:
-        ws = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lang])
-        lang_exprs.append(
-            f"len(list_filter(list_distinct(words), w -> w IN ({ws}))) * 1.0 / greatest(len(words), 1) AS s_{lang}")
-    greatest_all = ", ".join(f"s_{l}" for l in langs)
+    langs, lang_exprs, greatest_all = _duck_lang_parts()
     pick = " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs[:-1])
     sql["lang_id"] = f"""
 WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents),
@@ -988,4 +1060,5 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induction_full_match": q_induction_full_match,
         "stratified_split": q_stratified_split,
         "neardup_components": q_neardup_components,
+        "curation_funnel": q_curation_funnel,
     }

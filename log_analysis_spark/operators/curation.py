@@ -1,0 +1,72 @@
+"""Training-data curation funnel: the composition every LLM data
+pipeline runs over a raw corpus — exact dedup -> language filter ->
+quality filter — expressed as ONE single-pass aggregate.
+
+Each document is annotated with (is_rep, lang_id, quality_score) in a
+single projection (no joins for the flags except the dedup representative
+min, which is one window/shuffle on the digest), and the funnel counts
+are conditional sums — so the whole funnel costs one shuffle + one
+aggregate regardless of how many stages it reports. At 100 TB this is the
+difference between one pass and four.
+
+Stage semantics (sequential — each row survives a stage only if it
+survived the previous ones):
+  total          all documents
+  after_dedup    normalized-text exact-dedup representatives only
+  after_lang     ... and language identified as `keep_lang`
+  after_quality  ... and heuristic quality >= `min_quality`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, normalized_text
+from .text_analysis import lang_id_col, quality_score_col
+
+
+def curation_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   keep_lang: str = "en", min_quality: float = 0.5) -> DataFrame:
+    """df + (is_rep, lang_ok, quality_ok) boolean flags."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    digest = md5_long(normalized_text(c))
+    w = Window.partitionBy(digest)
+    return df.select(
+        "*",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_rep"),
+        (lang_id_col(c) == keep_lang).alias("lang_ok"),
+        # compare on the 6-dp rounding both engines agree on exactly
+        # (raw doubles at the threshold could differ in the last ulp)
+        (F.round(quality_score_col(c), 6) >= min_quality).alias("quality_ok"),
+    )
+
+
+def curation_funnel(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    keep_lang: str = "en", min_quality: float = 0.5) -> DataFrame:
+    """(stage, n_docs) funnel counts in one aggregate pass."""
+    flags = curation_flags(df, text_col, id_col, keep_lang, min_quality)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("is_rep").cast("long")).alias("after_dedup"),
+        F.sum((F.col("is_rep") & F.col("lang_ok")).cast("long")).alias("after_lang"),
+        F.sum((F.col("is_rep") & F.col("lang_ok") & F.col("quality_ok")).cast("long")
+              ).alias("after_quality"),
+    )
+    stages = ["total", "after_dedup", "after_lang", "after_quality"]
+    stack = ", ".join(f"'{s}', {s}" for s in stages)
+    return (
+        agg.selectExpr(f"stack({len(stages)}, {stack}) AS (stage, n_docs)")
+        .orderBy("stage")
+    )
+
+
+def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           keep_lang: str = "en", min_quality: float = 0.5) -> DataFrame:
+    """The kept corpus: representatives in the target language above the
+    quality bar (the funnel's final stage, as rows)."""
+    flags = curation_flags(df, text_col, id_col, keep_lang, min_quality)
+    return (flags.filter(F.col("is_rep") & F.col("lang_ok") & F.col("quality_ok"))
+            .drop("is_rep", "lang_ok", "quality_ok"))

@@ -189,6 +189,34 @@ def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized text digest was
+    already seen within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keeps per-digest state only until the
+    watermark passes (bounded state — the streaming analog of the batch
+    exact-dedup digest), so an unbounded ingest stream can be deduped with
+    O(active-window) memory instead of O(history). Beyond the reference
+    (it has no streaming dedup); the digest column is the same
+    engine-portable md5 as the batch path, so batch backfill and streaming
+    ingest agree on what is a duplicate.
+    """
+    from ..operators.dedup import md5_long, normalized_text
+
+    with_digest = stream_df.withColumn(
+        "_digest", md5_long(normalized_text(F.col(text_col))))
+    return (
+        with_digest.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def rate_transcript_stream(
     spark: SparkSession,
     rows_per_second: int = 10_000,

@@ -212,3 +212,28 @@ def test_write_with_retry_backoff():
     except IOError:
         pass
     assert len(calls) == 3 and sleeps == [0.1, 0.2]
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup equals the batch digest dedup on the same
+    input (one row per distinct normalized text within the watermark)."""
+    from log_analysis_spark.operators.dedup import md5_long, normalized_text
+    from log_analysis_spark.streaming.stream import dedup_stream, file_transcript_stream
+
+    in_dir = str(tmp_path / "in")
+    df = synth_transcripts(spark, n_convs=15)
+    df.write.mode("overwrite").parquet(in_dir)
+
+    deduped = dedup_stream(file_transcript_stream(spark, in_dir))
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM dedup_out")
+    n_distinct = (df.select(md5_long(normalized_text(F.col("text"))).alias("d"))
+                  .distinct().count())
+    assert got.count() == n_distinct
+    # every surviving text is unique under normalization
+    assert got.select(md5_long(normalized_text(F.col("text")))).distinct().count() == n_distinct

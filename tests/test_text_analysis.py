@@ -126,3 +126,27 @@ def test_real_codec_stub():
 
     with pytest.raises(NotImplementedError):
         RealCodec().decode_features(b"x", "image")
+
+
+def test_curation_funnel_and_curate(spark):
+    """Funnel counts are sequential and consistent with the kept corpus."""
+    from log_analysis_spark.operators.curation import curate, curation_funnel
+
+    rows = [
+        (0, "the cat sat on the mat and it was happy for a while today"),
+        (1, "the cat sat on the mat and it was happy for a while today"),   # dup of 0
+        (2, "der hund ist nicht auf der couch und das ist gut heute ja"),   # german
+        (3, "the !!!!!!!! ????????"),                                       # en, junk
+        (4, "we walked to the store and bought some bread for the family"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    funnel = {r["stage"]: r["n_docs"]
+              for r in curation_funnel(df, min_quality=0.7).collect()}
+    assert funnel["total"] == 5
+    assert funnel["after_dedup"] == 4          # doc 1 deduped
+    assert funnel["after_lang"] == 3           # doc 2 is german
+    assert funnel["after_quality"] == 2        # doc 3 short punct junk
+    assert funnel["total"] >= funnel["after_dedup"] >= funnel["after_lang"] >= funnel["after_quality"]
+    kept = curate(df, min_quality=0.7)
+    assert kept.count() == funnel["after_quality"]
+    assert {r["doc_id"] for r in kept.collect()} == {0, 4}
