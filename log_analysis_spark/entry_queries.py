@@ -365,6 +365,30 @@ def q_syslog_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing manifest: documents hash-bucketed, packed in
+    id order, cut every 8192 BPE-ish tokens; per-(bucket, bin) doc and
+    token counts. Pure window arithmetic — one shuffle."""
+    from .operators.packing import pack_stats
+    from .operators.text_analysis import token_count_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count_cols(F.col("text"))["bpe_ish_tokens"].alias("n_tok"))
+    return pack_stats(with_tokens, "n_tok", max_tokens=8192, n_buckets=8)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs sharing word 3-grams with a held-out
+    eval slice (doc_id % 20 == 0), with shared-gram counts."""
+    from .operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train_df = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_overlap(train_df, eval_df, n=3)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel (dedup -> lang -> quality) as ONE
     single-pass aggregate over documents; the canonical LLM-data
@@ -784,6 +808,38 @@ SELECT event_id,
 FROM l ORDER BY event_id
 """.strip()
 
+    sql["sequence_packing"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS n_tok,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS pack_bucket
+  FROM documents
+),
+c AS (
+  SELECT pack_bucket, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS preceding
+  FROM t
+)
+SELECT pack_bucket, CAST(floor(preceding / 8192) AS BIGINT) AS pack_bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2 ORDER BY pack_bucket, pack_bin
+""".strip()
+
+    sql["contamination"] = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 20 = 0
+),
+tr AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 20 <> 0
+)
+SELECT tr.doc_id AS train_doc_id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id ORDER BY train_doc_id
+""".strip()
+
     # curation funnel: per-doc quality (same formula as text_quality),
     # lang (same generated CASE as lang_id), digest + window rep
     from .operators.text_analysis import STOPWORDS as _SW
@@ -1061,4 +1117,6 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "neardup_components": q_neardup_components,
         "curation_funnel": q_curation_funnel,
+        "sequence_packing": q_sequence_packing,
+        "contamination": q_contamination,
     }

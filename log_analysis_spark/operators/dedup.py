@@ -395,6 +395,37 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.unpersist()
 
 
+# -- decontamination ----------------------------------------------------------
+
+def contamination_overlap(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval overlap report: for every training document sharing at
+    least one word n-gram with the eval corpus, (train doc id, number of
+    distinct shared n-grams) — the decontamination primitive every
+    benchmark-safe training pipeline runs.
+
+    Plan shape: the eval corpus is the small side by construction, so its
+    distinct n-gram set broadcasts; the training corpus streams through
+    one map-side semi-join-like inner join + partial-agg groupBy on its
+    own id — no shuffle of the (huge) exploded training relation on the
+    n-gram key.
+    """
+    eval_grams = word_shingles(eval_df, n, text_col, id_col) \
+        .select("shingle").distinct()
+    train_grams = word_shingles(train_df, n, text_col, id_col)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "shingle")
+        .groupBy(F.col(id_col).alias("train_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("train_doc_id")
+    )
+
+
 # -- SimHash ----------------------------------------------------------------
 
 def simhash_udf(spark):

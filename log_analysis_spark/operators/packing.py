@@ -1,0 +1,69 @@
+"""Sequence packing for LLM training: concatenate documents in a
+deterministic order and cut every `max_tokens` tokens (GPT-style packing
+— documents may straddle a boundary; a document belongs to the bin where
+it starts).
+
+Spark-first formulation: a running token sum per *pack bucket* (window
+cumulative sum), bin id = floor(preceding_total / max_tokens). A single
+global ordering would serialize into one partition, so documents are
+first hash-bucketed (engine-portable md5) and packed within buckets —
+at 100 TB each bucket packs independently and in parallel, and adding
+buckets is how the operator scales out. Everything is plain window
+arithmetic: one shuffle on the bucket key, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int = 8192,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """df + (pack_bucket, pack_bin, bin_start_offset) columns.
+
+    Deterministic: bucket = md5(id) % n_buckets; docs pack within their
+    bucket in id order; ``pack_bin`` is the training-example index the
+    document STARTS in; ``bin_start_offset`` its token offset there.
+    """
+    bucket = (md5_long(F.col(id_col).cast("string"), salt="pack:") % n_buckets) \
+        .alias("pack_bucket")
+    w = (Window.partitionBy("pack_bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_b = df.select("*", bucket)
+    cum = F.sum(token_col).over(w)
+    preceding = (cum - F.col(token_col)).alias("_preceding")
+    return (
+        with_b.select("*", preceding)
+        .select(
+            "*",
+            F.floor(F.col("_preceding") / max_tokens).cast("long").alias("pack_bin"),
+            (F.col("_preceding") % max_tokens).cast("long").alias("bin_start_offset"),
+        )
+        .drop("_preceding")
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int = 8192,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per (bucket, bin): docs started and tokens contributed — the
+    packing manifest a downstream example-writer consumes."""
+    packed = pack_sequences(df, token_col, max_tokens, n_buckets, id_col)
+    return (
+        packed.groupBy("pack_bucket", "pack_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_col).cast("long").alias("n_tokens"))
+        .orderBy("pack_bucket", "pack_bin")
+    )

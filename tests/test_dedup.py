@@ -177,3 +177,47 @@ def test_neardup_components_vs_union_find(spark):
     assert got == expected
     # chain 1-2-3-9-8 collapses to rep 1
     assert got[8] == 1 and got[9] == 1 and got[3] == 1
+
+
+def test_contamination_overlap(spark):
+    """Known-overlap corpus: a train doc embedding an eval doc's phrase is
+    flagged with the exact shared-gram count; disjoint docs are absent."""
+    from log_analysis_spark.operators.dedup import contamination_overlap
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    train_df = spark.createDataFrame([
+        (0, "prefix words then the quick brown fox jumps suffix"),
+        (1, "completely disjoint content nothing shared here at all"),
+        (2, "the quick brown dog runs"),   # shares only "the quick brown"
+    ], "doc_id long, text string")
+    got = {r["train_doc_id"]: r["n_shared_grams"]
+           for r in contamination_overlap(train_df, eval_df, n=3).collect()}
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert got[0] == 3
+    assert got[2] == 1
+    assert 1 not in got
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a partition of each bucket's docs into contiguous bins:
+    bins are dense from 0, a doc's offset is its preceding total mod N,
+    and every bin except a bucket's last starts at or before max_tokens."""
+    from log_analysis_spark.operators.packing import pack_sequences, pack_stats
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = pack_sequences(df, "n_tok", max_tokens=1000, n_buckets=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: (r["pack_bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    assert len(by_bucket) == 4
+    for rows_b in by_bucket.values():
+        cum = 0
+        for r in rows_b:
+            assert r["pack_bin"] == cum // 1000
+            assert r["bin_start_offset"] == cum % 1000
+            cum += r["n_tok"]
+    stats = pack_stats(df, "n_tok", max_tokens=1000, n_buckets=4).collect()
+    assert sum(r["n_docs"] for r in stats) == 200
+    assert sum(r["n_tokens"] for r in stats) == sum(t for _, t in rows)
