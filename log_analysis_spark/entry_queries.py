@@ -808,6 +808,22 @@ SELECT event_id,
 FROM l ORDER BY event_id
 """.strip()
 
+    # simhash: bit-majority over md5 token hashes, replayed bit-by-bit in
+    # SQL (UBIGINT shifts; two's-complement conversion at the end) — the
+    # python kernel's exact values (upgrades simhash from rows-only to
+    # hash-gated)
+    bits_sum = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {k}) & 1) = 1)) > len(hs) "
+        f"THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) * {1 << k}"
+        for k in range(64))
+    sql["simhash_sigs"] = f"""
+WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), w -> w <> '') AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 16)) AS UBIGINT)) AS hs FROM t),
+s AS (SELECT doc_id, ({bits_sum}) AS u FROM h)
+SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
+FROM s ORDER BY doc_id
+""".strip()
+
     sql["sequence_packing"] = """
 WITH t AS (
   SELECT doc_id,
@@ -1106,7 +1122,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "simhash_sigs": q_simhash_sigs,          # rows-only (python kernel)
+        "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
         "variable_extraction": q_variable_extraction,
         "induced_templates": q_induced_templates,     # rows-only (applyInPandas)
