@@ -93,8 +93,13 @@ def main() -> None:
     # --- e2e transcript pipeline -----------------------------------------
     # ~17.6 expected turns per conv (Zipf-skewed); input materialized to
     # parquet first so generation cost is excluded from the measurement.
+    # Workdir defaults to tmpfs (the single-box stand-in for cluster
+    # storage, same as scripts/paired_scaling.py): host *disk* interference
+    # measured up to 3x drift on the write path, tmpfs stays stable.
     n_convs = max(1000, int(target_turns / 17.6))
-    work = tempfile.mkdtemp(prefix="bench_pipe_")
+    base = os.environ.get("BENCH_WORK_DIR",
+                          "/dev/shm" if os.path.isdir("/dev/shm") else None)
+    work = tempfile.mkdtemp(prefix="bench_pipe_", dir=base)
     try:
         in_path = os.path.join(work, "transcripts")
         synth_transcripts(spark, n_convs=n_convs, partitions=cpus * 2).write.mode(
