@@ -93,3 +93,66 @@ def test_enlarging_pool_never_unmatches(lines):
     for i in range(len(lines)):
         if not pd.isna(before.iloc[i]):
             assert not pd.isna(after.iloc[i])
+
+
+# --- cross-engine fuzz: python kernels vs their DuckDB SQL twins ----------
+
+def _duck():
+    import duckdb
+
+    return duckdb.connect()
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                        min_size=1, max_size=12), max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_token_signatures_kernel_vs_duckdb(words):
+    """signatures_py (hot path) == the DuckDB SQL rendering for arbitrary
+    printable token soups — both generated from the same rule tables."""
+    from log_analysis_spark.functions.token_classes import (
+        log_type_signature_sql_duck,
+        signatures_py,
+        template_signature_sql_duck,
+    )
+
+    line = " ".join(words)
+    lit = "'" + line.replace("'", "''") + "'"
+    got = _duck().execute(
+        f"SELECT {log_type_signature_sql_duck(lit)}, "
+        f"{template_signature_sql_duck(lit)}").fetchone()
+    assert tuple(got) == signatures_py(line)
+
+
+@given(st.lists(st.text(alphabet="abcdefgh123 ", min_size=1, max_size=8),
+                min_size=3, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_minhash_kernel_vs_duckdb(words):
+    """The one-md5 affine minhash arithmetic agrees across engines for
+    arbitrary word streams (>= 3 words so a shingle set exists)."""
+    import hashlib
+
+    import numpy as np
+
+    from log_analysis_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_affine_params,
+        minhash_affine_sql_duck,
+    )
+
+    text = " ".join(w.strip() or "x" for w in words)
+    w = text.lower().split()
+    if len(w) < 3:
+        return
+    sh = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    a, b = minhash_affine_params(4)
+    A = np.array(a, dtype=np.int64)[:, None]
+    B = np.array(b, dtype=np.int64)[:, None]
+    base = np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P for s in sh),
+        dtype=np.int64, count=len(sh))
+    py = ((A * base[None, :] + B) % MINHASH_P).min(axis=1).tolist()
+
+    sh_list = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(sh)) + "]"
+    exprs = ", ".join(minhash_affine_sql_duck(sh_list, 4))
+    got = list(_duck().execute("SELECT " + exprs).fetchone())
+    assert got == py
