@@ -217,6 +217,35 @@ def dedup_stream(
     )
 
 
+def socket_transcript_stream(
+    spark: SparkSession,
+    host: str = "localhost",
+    port: int = 9999,
+) -> DataFrame:
+    """True network ingest (S1): newline-delimited JSON transcript rows
+    over TCP, the closest sandbox analog of the reference's HTTP ingest
+    endpoint (src/bin/log-ingest-service.rs:346-443 — it also receives
+    line-framed payloads over a socket). Each line parses against
+    TRANSCRIPT_SCHEMA; malformed lines yield null columns (the router's
+    unmatched side-channel picks them up) rather than failing the stream.
+
+    The socket source is not replayable, so exactly-once holds only from
+    the foreachBatch checkpoint forward — same at-least-once-into-
+    idempotent-sink contract as the reference's buffered writer. For a
+    replayable broker swap in format("kafka"); the downstream graph is
+    unchanged.
+    """
+    from ..sources.readers import TRANSCRIPT_SCHEMA
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host).option("port", port)
+        .load()
+    )
+    parsed = raw.select(F.from_json(F.col("value"), TRANSCRIPT_SCHEMA).alias("r"))
+    return parsed.select("r.*")
+
+
 def rate_transcript_stream(
     spark: SparkSession,
     rows_per_second: int = 10_000,

@@ -237,3 +237,67 @@ def test_dedup_stream(spark, tmp_path):
     assert got.count() == n_distinct
     # every surviving text is unique under normalization
     assert got.select(md5_long(normalized_text(F.col("text")))).distinct().count() == n_distinct
+
+
+def test_socket_source_routing(spark, tmp_path):
+    """S1 over a real TCP socket: a server thread feeds JSON transcript
+    lines; the stream parses them and route_stream splits them exactly."""
+    import json
+    import socket
+    import threading
+
+    from log_analysis_spark.streaming.stream import socket_transcript_stream
+
+    lines = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "cpu_usage: 45.2% - load normal", "tool": "none",
+         "ts": "2024-01-01T00:00:00.000Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "utterly novel unmatched line", "tool": "none",
+         "ts": "2024-01-01T00:00:01.000Z"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "tool",
+         "text": "disk_io: 250MB/s - activity moderate", "tool": "bash",
+         "ts": "2024-01-01T00:00:02.000Z"},
+    ] * 4
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("localhost", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        payload = "".join(json.dumps(l) + "\n" for l in lines)
+        conn.sendall(payload.encode())
+        stop.wait(45)  # keep the connection open while the stream drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out_dir = str(tmp_path / "sock_out")
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+    q = route_stream(spark, socket_transcript_stream(spark, port=port),
+                     box, out_dir, trigger_seconds=1)
+    try:
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline and total < len(lines):
+            time.sleep(1)
+            total = 0
+            for d in ("matched", "unmatched"):
+                try:
+                    total += spark.read.parquet(os.path.join(out_dir, d)).count()
+                except Exception:
+                    pass
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+    matched = spark.read.parquet(os.path.join(out_dir, "matched"))
+    unmatched = spark.read.parquet(os.path.join(out_dir, "unmatched"))
+    assert matched.count() == 8     # cpu + disk lines x4
+    assert unmatched.count() == 4   # the novel line x4
+    assert {r["conv_id"] for r in matched.collect()} == {"c1", "c2"}
