@@ -451,6 +451,26 @@ END
 """.strip()
 
 
+def q_unmatched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induction front-end, hash-gated: the mask-signature clusters of the
+    lines the matcher leaves unmatched, with support counts — exactly what
+    feeds the per-cluster pattern learner (steps 1-2 of §3.3). The oracle
+    composes the generated SQL matcher with the DuckDB mask chain."""
+    from .functions.masks import mask_col
+    from .matcher import with_template_id
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    unmatched = with_template_id(lines, spark, m, text_col="line") \
+        .filter(F.col("template_id").isNull())
+    return (
+        unmatched.select(mask_col(F.col("line")).alias("signature"))
+        .groupBy("signature").agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("signature"))
+    )
+
+
 def q_induction_full_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match-else-generate lifecycle parity (src/benchmark_runner.rs:84-105
     + src/smart_template_generator.rs): after two-phase induction with the
@@ -961,6 +981,13 @@ SELECT {log_type_signature_sql_duck('line')} AS log_type_sig,
 FROM l GROUP BY 1, 2 ORDER BY log_type_sig, template_sig
 """.strip()
 
+    sql["unmatched_clusters"] = f"""
+WITH _assign AS ({assignments})
+SELECT {mask_sql_duck('line')} AS signature, count(*) AS support
+FROM _assign WHERE template_id IS NULL
+GROUP BY 1 ORDER BY support DESC, signature ASC
+""".strip()
+
     # The oracle encodes the lifecycle guarantee itself: after induction
     # with the single-line fallback, matched == total.
     sql["induction_full_match"] = """
@@ -1135,4 +1162,5 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "sequence_packing": q_sequence_packing,
         "contamination": q_contamination,
+        "unmatched_clusters": q_unmatched_clusters,
     }
