@@ -37,6 +37,37 @@ def deterministic_sample(df: DataFrame, rate_pct: int, row_key_cols: tuple[str, 
     return df.filter(bucket < rate_pct)
 
 
+def estimate_write_partitions(
+    df: DataFrame,
+    bytes_per_task: int = 64 * 1024 * 1024,
+) -> int | None:
+    """Write-task count: max(input_bytes / 64MB, cores / 4).
+
+    The byte term keeps tasks well-fed (dominates at 100 TB); the
+    parallelism floor keeps a big box/cluster busy on small inputs
+    without shattering the write into per-core slivers (zstd writers are
+    compression-CPU-bound; measured optimum on local[32] ≈ cores/4).
+    Driver-side metadata only; None when the frame isn't file-backed
+    (caller falls back to defaultParallelism)."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            return None
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(2, cores // 4, -(-total // bytes_per_task))
+
+
 def route_and_write(
     df: DataFrame,
     out_dir: str,
@@ -62,13 +93,25 @@ def route_and_write(
     range-boundary sampling EXECUTES THE CHILD PLAN A SECOND TIME, which
     here means running the match UDF twice over the full input — measured
     as the single largest cost in the pipeline). The salt spreads a hot
-    role/template over ~n/n_keys tasks (skew-safe, deterministic).
+    role/template over many tasks (skew-safe, deterministic).
+
+    Write-task sizing: the partition count is derived from the INPUT's
+    byte size (driver-side file-size sum over ``df.inputFiles()``, no
+    extra job) at ~64 MB of source data per write task with a cores/4
+    floor — well-fed writers at bench scale, proportionally wide at
+    100 TB. Paired same-window runs on local[32] measured this equal to
+    one-task-per-core when warm and up to 2x faster cold (fewer zstd
+    writer initializations); unpaired cross-window sweeps exaggerate the
+    gap. Pass ``cluster_partitions`` to pin explicitly; non-file-backed
+    inputs fall back to defaultParallelism.
 
     Returns {sink_name: path}.
     """
     sinks: dict[str, str] = {}
     spark = df.sparkSession
     n = cluster_partitions or spark.sparkContext.defaultParallelism
+    n_write = cluster_partitions or estimate_write_partitions(df) or n
+    part_args = [n_write]
 
     # Primary sink first: the ONLY pass that runs the match UDF over the
     # input. Every other sink is derived by re-reading this columnar table
@@ -76,7 +119,7 @@ def route_and_write(
     # afford to re-run the parse per sink.
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n, 1)))
     p_primary = os.path.join(out_dir, "by_role")
-    (df.repartition(n, F.col("role"), salt)
+    (df.repartition(*part_args, F.col("role"), salt)
      .write.mode(mode).option("compression", compression)
      .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
@@ -96,7 +139,7 @@ def route_and_write(
     matched_out = matched if full_rows_in_matched else matched.select(*key_cols)
 
     p = os.path.join(out_dir, "matched")
-    (matched_out.repartition(n, F.col("template_id"), salt)
+    (matched_out.repartition(*part_args, F.col("template_id"), salt)
      .write.mode(mode).option("compression", compression)
      .partitionBy("template_id").parquet(p))
     sinks["matched"] = p
