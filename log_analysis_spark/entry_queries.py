@@ -97,7 +97,9 @@ def matcher_oracle_sql(matcher: CompiledMatcher, source_sql: str, line_col: str 
             score = f"(({' + '.join(wsum) or '0.0'}) / {total!r})"
         else:
             score = f"(CAST(({votes}) AS DOUBLE) / {max(len(frag_rows), 1)})"
-        score_exprs.append((tid, f"CASE WHEN ({votes}) > 0 THEN {score} ELSE -1.0 END AS _s{tid}"))
+        # round to the same 1e-9 grid as the numpy matcher: summation-order
+        # ulp drift must not decide an argmax differently across engines
+        score_exprs.append((tid, f"CASE WHEN ({votes}) > 0 THEN round({score}, 9) ELSE -1.0 END AS _s{tid}"))
 
     best = "GREATEST(" + ", ".join(f"_s{tid}" for tid in ids) + ")"
     pick = "CASE "
@@ -386,7 +388,8 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train_df = docs.filter(F.col("doc_id") % 20 != 0)
-    return contamination_overlap(train_df, eval_df, n=3)
+    # the global sort lives here in the gate query, not in the operator
+    return contamination_overlap(train_df, eval_df, n=3).orderBy("train_doc_id")
 
 
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +452,47 @@ CASE WHEN event_id % 50 = 0
   ELSE {base}
 END
 """.strip()
+
+
+# Line construction for the row-level induced-assignments gate: base
+# template traffic plus TWO novel families chosen to exercise BOTH
+# induction paths — family A ('job <hex mod 97> spawned worker <uid>')
+# repeats each hex across rows with different worker ids, so its mask
+# clusters carry >= 2 distinct samples and go through the ALIGNING
+# pattern learner; family B ('task <per-row hex> finished') is
+# singleton-per-row and variable-free, so it exercises the single-line
+# fallback's escaped-literal path end-to-end.
+_ASSIGN_LINE_SQL = """
+CASE
+  WHEN event_id % 77 = 0
+    THEN concat('task ', substr(md5(concat('t', CAST(event_id AS {S}))), 1, 8), ' finished')
+  WHEN event_id % 50 = 0
+    THEN concat('job ', substr(md5(CAST(event_id % 97 AS {S})), 1, 8), ' spawned worker ', CAST(user_id AS {S}))
+  ELSE {base}
+END
+""".strip()
+
+
+def q_induced_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level gate on the PATTERN LEARNER'S OUTPUT (the round-2
+    verdict's #1 gap): two-phase induce-and-rematch, then emit
+    (event_id, template_id) for every line under the ENLARGED pool.
+
+    The oracle is a generated SQL matcher parameterized by a
+    single-process DuckDB+Python replay of the induction
+    (induction_oracle.py) — any divergence in clustering, sampling,
+    learned patterns, id assignment, or re-matching between the
+    distributed path and the replay fails the hash gate. Reference
+    semantics: src/pattern_learner.rs:10-156 + the match-else-generate
+    lifecycle src/benchmark_runner.rs:84-105."""
+    from .induction import induce_and_rematch
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    line = _ASSIGN_LINE_SQL.format(S="STRING", base=_LINE_SQL.format(S="STRING"))
+    lines = ev.select("event_id", F.expr(line).alias("text"))
+    rematched, _, _ = induce_and_rematch(spark, lines, m)
+    return rematched.select("event_id", "template_id").orderBy("event_id")
 
 
 def q_unmatched_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,8 +563,10 @@ def q_variable_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_induced_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 two-phase induction on unmatched lines (applyInPandas pattern
-    learner — python kernel, rows-only driver check). Deterministic:
-    hash-built lines + support-ordered max+1 ids."""
+    learner). Deterministic: hash-built lines + support-ordered max+1
+    ids. Hash-gated since round 3: the oracle is a VALUES literal
+    computed by the single-process replay (induction_oracle.py), so the
+    distributed clustering/sampling/id choreography is value-verified."""
     from .induction import induce_templates
 
     m = entry_matcher()
@@ -988,6 +1034,53 @@ FROM _assign WHERE template_id IS NULL
 GROUP BY 1 ORDER BY support DESC, signature ASC
 """.strip()
 
+    # Induced-pool oracles: the applyInPandas pattern learner is not
+    # SQL-expressible, so these two oracles are PARAMETERIZED by a
+    # single-process DuckDB+Python replay of the induction run at
+    # oracle-generation time (induction_oracle.py has the full
+    # independence argument). The replay reads the same events parquet
+    # the driver's gate runs against (sf0.01 by default; override via
+    # SPARK_GRAFT_ORACLE_SF_DIR when gating other scales). When the
+    # table is absent the entries are omitted and the driver falls back
+    # to its rows-only check.
+    import os as _os
+
+    _oracle_sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _events_pq = f"{_oracle_sf}/events.parquet"
+    if _os.path.exists(_events_pq):
+        import duckdb as _duckdb
+
+        from .induction_oracle import replay_induction
+
+        _con = _duckdb.connect()
+        try:
+            _con.execute(
+                f"CREATE VIEW events AS SELECT * FROM read_parquet('{_events_pq}')")
+            # induced_templates: VALUES literal of the replayed pool over
+            # the base line source (same source as the Spark query)
+            base_src = f"SELECT event_id, {line_duck} AS line FROM events"
+            new_base = replay_induction(_con, matcher_oracle_sql(m, base_src), m)
+            if new_base:
+                vals = ", ".join(
+                    f"(CAST({t.template_id} AS BIGINT), {_sql_quote(t.pattern)}, "
+                    f"{_sql_quote('|'.join(t.variables))})"
+                    for t in new_base)
+                sql["induced_templates"] = (
+                    f"SELECT * FROM (VALUES {vals}) AS t(template_id, pattern, variables)")
+            # induced_assignments: generated fragment-vote matcher oracle
+            # under the replay's ENLARGED pool — row-level verification of
+            # the learner's output via the re-match assignments
+            assign_line_duck = _ASSIGN_LINE_SQL.format(S="VARCHAR", base=line_duck)
+            assign_src = f"SELECT event_id, {assign_line_duck} AS line FROM events"
+            new_assign = replay_induction(_con, matcher_oracle_sql(m, assign_src), m)
+            enlarged = m.with_templates(new_assign)
+            sql["induced_assignments"] = f"""
+WITH _assign AS ({matcher_oracle_sql(enlarged, assign_src)})
+SELECT event_id, template_id FROM _assign ORDER BY event_id
+""".strip()
+        finally:
+            _con.close()
+
     # The oracle encodes the lifecycle guarantee itself: after induction
     # with the single-line fallback, matched == total.
     sql["induction_full_match"] = """
@@ -1152,7 +1245,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
         "variable_extraction": q_variable_extraction,
-        "induced_templates": q_induced_templates,     # rows-only (applyInPandas)
+        "induced_templates": q_induced_templates,
+        "induced_assignments": q_induced_assignments,
         "syslog_extract": q_syslog_extract,
         "event_histogram": q_event_histogram,
         "token_signatures": q_token_signatures,

@@ -7,8 +7,10 @@ Behavioral parity with /root/reference/src/smart_template_generator.rs:
   delimited / unstructured lines get the generic message pattern,
 - message pattern (:64-117): non-overlapping variable spans detected in
   priority order (IP, UUID, 0xhex, bare hash, path, decimal, int), each
-  replaced by a typed capture group, static text regex-escaped; a line
-  with no detectable variables becomes one ``(.+)`` capture.
+  replaced by a typed capture group, static text regex-escaped; a
+  variable-free line stays a fully-escaped literal (so its template
+  carries matchable fragments for the fragment-vote matcher); only an
+  EMPTY message falls back to one ``(.+)`` capture (:111-114).
 
 This is the fallback that guarantees the match-else-generate lifecycle
 (src/benchmark_runner.rs:84-105) terminates with every novel line owning
@@ -68,7 +70,11 @@ def message_pattern(message: str) -> tuple[str, list[str]]:
         last = end
     if last < len(message):
         parts.append(re.escape(message[last:]))
-    if not variables:
+    if not parts:
+        # only an empty message degrades to the generic capture
+        # (smart_template_generator.rs:111-114); a variable-free literal
+        # keeps its escaped text so the template has votable fragments —
+        # a bare (.+) has zero literals and can never win fragment voting.
         return r"(.+)", ["message"]
     return "".join(parts), variables
 

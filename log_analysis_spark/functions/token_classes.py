@@ -78,8 +78,11 @@ def token_class_sql(t: str, p: str, rlike: Callable[[str, str], str]) -> str:
     (expr, pattern) to the engine's regex-match predicate.
     """
     lt, lp = f"lower({t})", f"lower({p})"
+    # the empty token is Static (token_classifier.rs:50-52) — it carries
+    # structure (a blank line), not a value
     static = (
-        f"{_contains_any(lt, SERVICES, rlike)} OR {_contains_any(lt, ACTIONS, rlike)}"
+        f"{t} = ''"
+        f" OR {_contains_any(lt, SERVICES, rlike)} OR {_contains_any(lt, ACTIONS, rlike)}"
         f" OR {_in_list(lt, FIELD_NAMES)}"
         f" OR {_in_list(lt, tuple(f + '=' for f in FIELD_NAMES))}"
     )
@@ -133,8 +136,25 @@ def _level2_elem(tok: str, cls: str) -> str:
             f"ELSE concat('<', ({cls}), '>') END")
 
 
+# Tokenization must agree char-for-char across the THREE renderings
+# (Spark SQL, DuckDB SQL, Python kernel). Each engine's \s differs (Java
+# includes \x0B, RE2 doesn't, Python's is Unicode-wide) and even trim()
+# disagrees (DuckDB strips Unicode whitespace like NBSP, Spark strips
+# ASCII spaces only), so all sides first normalize the same explicit
+# ASCII whitespace class to spaces, then trim/split on spaces only via
+# regex (never the engine's trim). Unicode spaces (e.g. NBSP) are
+# uniformly treated as token characters.
+_WS_CLASS = "[\t\n\x0b\f\r]"  # literal control chars: valid in both regex engines
+
+
+def _space_trim(expr: str) -> str:
+    """Strip leading/trailing ASCII spaces — identical in both engines."""
+    return f"regexp_replace(regexp_replace({expr}, '^ +', ''), ' +$', '')"
+
+
 def _spark_signature_expr(col_sql: str, elem) -> str:
-    toks = f"split(trim({col_sql}), '\\\\s+')"
+    norm = f"regexp_replace({col_sql}, '{_WS_CLASS}', ' ')"
+    toks = f"split({_space_trim(norm)}, ' +')"
     tok = f"element_at({toks}, CAST(i AS INT))"
     prev = f"CASE WHEN i > 1 THEN element_at({toks}, CAST(i - 1 AS INT)) ELSE '' END"
     cls = token_class_sql(tok, prev, _spark_rlike)
@@ -143,7 +163,8 @@ def _spark_signature_expr(col_sql: str, elem) -> str:
 
 
 def _duck_signature_expr(col_sql: str, elem) -> str:
-    toks = f"regexp_split_to_array(trim({col_sql}), '\\s+')"
+    norm = f"regexp_replace({col_sql}, '{_WS_CLASS}', ' ', 'g')"
+    toks = f"regexp_split_to_array({_space_trim(norm)}, ' +')"
     tok = f"{toks}[i]"
     prev = f"CASE WHEN i > 1 THEN {toks}[i - 1] ELSE '' END"
     cls = token_class_sql(tok, prev, _duck_rlike)
@@ -198,7 +219,8 @@ _MONTH_SET = set(MONTHS)
 def classify_token_py(t: str, p: str) -> str:
     """Pure-Python mirror of token_class_sql (same tables, same order)."""
     lt, lp = t.lower(), p.lower()
-    if (any(s in lt for s in SERVICES) or any(a in lt for a in ACTIONS)
+    if (t == ""  # empty token is Static (token_classifier.rs:50-52)
+            or any(s in lt for s in SERVICES) or any(a in lt for a in ACTIONS)
             or lt in _FIELD_SET):
         return "S"
     if (_INT_C.search(t) or _IP_C.search(t) or "::" in t
@@ -225,11 +247,17 @@ def classify_token_py(t: str, p: str) -> str:
     return "Generic"
 
 
+_WS_TRANS = str.maketrans({c: " " for c in "\t\n\x0b\f\r"})
+
+
 def signatures_py(text: str) -> tuple[str, str]:
     """(level-1 log-type sig, level-2 template sig) for one line.
-    Tokenization mirrors split(trim(x), '\\s+') — '' yields one empty
-    token, like both SQL engines."""
-    toks = _re.split(r"\s+", (text or "").strip())
+    Tokenization mirrors the SQL renderings exactly: normalize the ASCII
+    control-whitespace class to spaces, trim spaces, split on space runs
+    — '' yields one empty token, like both SQL engines. Python's
+    Unicode-wide .strip()/\\s are deliberately NOT used (Java and RE2
+    would disagree on e.g. NBSP or vertical tab)."""
+    toks = _re.split(" +", (text or "").translate(_WS_TRANS).strip(" "))
     l1: list[str] = []
     l2: list[str] = []
     prev = ""

@@ -1,0 +1,94 @@
+"""Single-process replay of the distributed template induction, used to
+GENERATE the correctness oracle for the induced-template queries.
+
+Why this exists: the driver's correctness gate compares every query
+against a DuckDB-runnable SQL string. The pattern learner itself
+(``induction.learn_pattern``, an ``applyInPandas`` kernel on the Spark
+side — reference semantics ``src/pattern_learner.rs:10-156``) is not
+SQL-expressible, so round 2 could only rows-check its output. This
+module closes that gap: at oracle-generation time it replays the whole
+induction flow single-process —
+
+1. line construction + fragment-vote matching in DuckDB SQL (the
+   *generated* matcher oracle, zero shared code with the numpy matcher),
+2. mask-signature clustering in DuckDB SQL (``mask_sql_duck``),
+3. per-cluster sampling / support / ordering / id assignment in plain
+   Python (re-implementing the Spark job's window + groupBy + collect
+   choreography without Spark),
+4. the learner kernel itself (``learn_pattern`` / the single-line
+   generator — shared pure functions, unit- and property-tested
+   separately).
+
+The induced pool from this replay then parameterizes a second generated
+matcher oracle, so the gate verifies ROW-LEVEL (event_id, template_id)
+assignments under the enlarged template set: if the distributed path
+(persist boundaries, applyInPandas grouping, deterministic sampling, id
+assignment) diverges from this replay in any way, the hash gate fails.
+
+What is and isn't independent: steps 1-3 are fully independent
+implementations; step 4 reuses the pure learner functions (duplicating
+a token-alignment learner line-for-line would verify nothing extra —
+the learner's own behavior is pinned by goldens + hypothesis in
+tests/test_induction.py and tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from .functions.masks import mask_sql_duck
+from .functions.single_line import generate_single_line_template
+from .induction import learn_pattern
+from .templates import CompiledMatcher, LogTemplate
+
+
+def replay_induction(
+    con,
+    assignments_sql: str,
+    matcher: CompiledMatcher,
+    max_samples_per_cluster: int = 64,
+    min_cluster_size: int = 1,
+) -> list[LogTemplate]:
+    """Replay ``induction.induce_templates`` on a DuckDB connection.
+
+    ``assignments_sql`` must be a matcher-oracle query yielding
+    (..., line, template_id); unmatched lines (template_id IS NULL) are
+    clustered by mask signature exactly like the Spark job. Returns the
+    induced templates with the same deterministic ids the Spark path
+    assigns: clusters ordered by (support desc, signature asc), ids
+    max(existing)+1.., patterns identical to an existing template dropped.
+    """
+    q = f"""
+WITH _a AS ({assignments_sql})
+SELECT {mask_sql_duck('line')} AS sig, line
+FROM _a
+WHERE template_id IS NULL AND line IS NOT NULL AND length(line) > 0
+""".strip()
+    clusters: dict[str, list[str]] = {}
+    for sig, line in con.execute(q).fetchall():
+        clusters.setdefault(sig, []).append(line)
+
+    entries: list[tuple[int, str, str, list[str], str]] = []
+    for sig, texts in clusters.items():
+        support = len(texts)  # full count, like the Spark-side support agg
+        if support < min_cluster_size:
+            continue
+        # the Spark job caps the sample set at the first
+        # max_samples_per_cluster DISTINCT texts in ascending order
+        # (window row_number over _text) before shipping to the learner
+        distinct = sorted(set(texts))[:max_samples_per_cluster]
+        learned = learn_pattern(distinct) if len(distinct) >= 2 else None
+        if learned is None:
+            t = generate_single_line_template(distinct[0], 0)
+            learned = (t.pattern, list(t.variables))
+        entries.append((support, sig, learned[0], learned[1], distinct[0]))
+
+    # deterministic ids: (support desc, signature asc), max(existing)+1..
+    entries.sort(key=lambda e: (-e[0], e[1]))
+    base = matcher.next_template_id()
+    known = {t.pattern for t in matcher.templates}
+    out: list[LogTemplate] = []
+    for _support, _sig, pattern, variables, example in entries:
+        if pattern in known:
+            continue
+        known.add(pattern)
+        out.append(LogTemplate(base + len(out), pattern, tuple(variables), example))
+    return out

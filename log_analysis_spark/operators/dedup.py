@@ -326,13 +326,18 @@ def minhash_lsh_pairs(
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out, dtype="float64")
 
+    # No broadcast hint on cand_ids: its cardinality is ~near-dup-rate x N
+    # — on a dup-heavy web corpus that is billions of ids, and a forced
+    # broadcast would OOM the driver instead of degrading gracefully. The
+    # LeftSemi stays; AQE picks broadcast vs shuffle from the measured
+    # candidate size at runtime.
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     cand_texts = df.select(F.col(id_col), F.col(text_col)) \
-        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .join(cand_ids, id_col, "left_semi")
     ta = cand_texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     tb = cand_texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     return (
@@ -345,7 +350,8 @@ def minhash_lsh_pairs(
 
 # -- near-dup clustering ------------------------------------------------------
 
-def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_components(pairs: DataFrame, max_iter: int = 20,
+                       checkpoint_every: int = 5) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, rep_id) with
     rep_id = min doc id of the component — the dedup end-game (pairs ->
     clusters -> one canonical representative to keep).
@@ -359,6 +365,17 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     large-star/small-star variant (same join primitive, fewer rounds on
     high-diameter graphs); the relation shapes here are identical.
 
+    Lineage control: every ``checkpoint_every`` rounds the label relation
+    is ``localCheckpoint``-ed, truncating the per-round join/agg chain —
+    without it the plan depth (and Catalyst analysis time) grows linearly
+    with rounds, which on a diameter-50 graph stalls the driver long
+    before the executors. The final labels are checkpointed too, so every
+    intermediate cached round can be unpersisted before returning.
+
+    Raises RuntimeError when the loop exhausts ``max_iter`` without
+    converging — silently returning partially-propagated representatives
+    would corrupt the dedup downstream.
+
     Only nodes that appear in >= 1 pair are returned (singletons are
     their own representative by definition).
     """
@@ -368,7 +385,8 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("rep", F.col("node")).persist()
     try:
-        for _ in range(max_iter):
+        changed = 0
+        for it in range(max_iter):
             nbr = (
                 edges.join(labels, edges["src"] == labels["node"])
                 .groupBy(F.col("dst").alias("node"))
@@ -378,8 +396,10 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 labels.join(nbr, "node", "left")
                 .select("node",
                         F.least(F.col("rep"), F.coalesce("_nbr_rep", F.col("rep"))).alias("rep"))
-                .persist()
             )
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
             changed = (
                 labels.withColumnRenamed("rep", "_old")
                 .join(new_labels, "node")
@@ -390,7 +410,16 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("node").alias("doc_id"), F.col("rep").alias("rep_id"))
+        if changed != 0:
+            labels.unpersist()
+            raise RuntimeError(
+                f"neardup_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing) — component diameter "
+                f"exceeds max_iter; raise max_iter or use large-star/small-star")
+        result = labels.select(F.col("node").alias("doc_id"),
+                               F.col("rep").alias("rep_id")).localCheckpoint()
+        labels.unpersist()
+        return result
     finally:
         edges.unpersist()
 
@@ -409,11 +438,18 @@ def contamination_overlap(
     distinct shared n-grams) — the decontamination primitive every
     benchmark-safe training pipeline runs.
 
-    Plan shape: the eval corpus is the small side by construction, so its
-    distinct n-gram set broadcasts; the training corpus streams through
-    one map-side semi-join-like inner join + partial-agg groupBy on its
-    own id — no shuffle of the (huge) exploded training relation on the
-    n-gram key.
+    Plan shape: the eval corpus is the small side BY CONSTRUCTION (eval
+    benchmarks are a few thousand docs, bounded by human curation — unlike
+    LSH candidate sets this never scales with the corpus), so its distinct
+    n-gram set broadcasts; the training corpus streams through one
+    map-side semi-join-like inner join + partial-agg groupBy on its own
+    id — no shuffle of the (huge) exploded training relation on the
+    n-gram key. If an unusually large eval side is ever passed, drop the
+    hint and AQE falls back to a shuffle join.
+
+    The report is returned UNORDERED — it is potentially corpus-sized
+    (every contaminated training doc), and a global sort belongs in the
+    consumer (display/gate query), not inside the operator.
     """
     eval_grams = word_shingles(eval_df, n, text_col, id_col) \
         .select("shingle").distinct()
@@ -422,7 +458,6 @@ def contamination_overlap(
         train_grams.join(F.broadcast(eval_grams), "shingle")
         .groupBy(F.col(id_col).alias("train_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-        .orderBy("train_doc_id")
     )
 
 

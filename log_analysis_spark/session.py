@@ -21,10 +21,14 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    arrow_batch_rows: int = 10_000,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``arrow_batch_rows`` sizes Arrow transfer batches for pandas UDFs —
+    pass ``MatcherConfig.streaming().batch_rows`` etc. to mirror the
+    reference's batch presets (/root/reference/src/matcher_config.rs:36-55).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -44,9 +48,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch size ≈ the reference's bulk batch preset
+        # Arrow batch size = MatcherConfig batch preset
         # (/root/reference/src/matcher_config.rs:36-55).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # Throughput-batch workload: ParallelGC beats G1 here — measured
         # 42-78s vs 25-35s per 8M-turn pipeline run at 32 threads (G1's

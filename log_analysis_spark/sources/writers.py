@@ -117,7 +117,11 @@ def route_and_write(
     # input. Every other sink is derived by re-reading this columnar table
     # (predicate/column pushdown, no Python) — at 10^12 rows you cannot
     # afford to re-run the parse per sink.
-    salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n, 1)))
+    # Salt key space must match the write-task count: modulo n_write, not
+    # core count — with byte-derived n_write > cores, a smaller modulus
+    # would leave (n_write - cores) x roles write tasks empty and silently
+    # cap the scale-out the byte sizing exists to provide.
+    salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n_write, 1)))
     p_primary = os.path.join(out_dir, "by_role")
     (df.repartition(*part_args, F.col("role"), salt)
      .write.mode(mode).option("compression", compression)

@@ -50,24 +50,47 @@ class MatcherBox:
             self._matcher = matcher
 
 
+def _default_no_retry() -> tuple[type[BaseException], ...]:
+    """Non-transient error types a retry can never fix (bad plan / bad
+    arguments): fail fast instead of burning the backoff budget."""
+    out: list[type[BaseException]] = [ValueError, TypeError]
+    try:
+        from pyspark.errors import (
+            AnalysisException,
+            IllegalArgumentException,
+            ParseException,
+        )
+
+        out += [AnalysisException, IllegalArgumentException, ParseException]
+    except ImportError:
+        pass
+    return tuple(out)
+
+
 def write_with_retry(write_fn, max_retries: int = 3, base_backoff_s: float = 0.5,
-                     sleep=time.sleep):
+                     sleep=time.sleep,
+                     no_retry: tuple[type[BaseException], ...] | None = None):
     """ST4: bounded retry with exponential backoff around a sink write
     (semantics of the reference's buffered insert retry,
     src/buffered_writer.rs / src/bin/log-ingest-service.rs retry loop).
 
     Spark task retries cover executor-side failures; this wraps the
     *driver-side* write call (sink connection refused, transient FS
-    errors). After the budget is exhausted the exception propagates, the
-    micro-batch fails, and checkpointLocation replays it — at-least-once
-    into an idempotent (epoch-keyed) sink = effectively-once.
+    errors). Non-transient types (``no_retry``: AnalysisException and
+    friends by default) propagate immediately — retrying a bad plan is
+    pure waste. After the budget is exhausted the exception propagates,
+    the micro-batch fails, and checkpointLocation replays it —
+    at-least-once into the epoch-keyed (overwrite-per-batch) sinks that
+    route_stream writes = effectively-once.
     """
+    if no_retry is None:
+        no_retry = _default_no_retry()
     attempt = 0
     while True:
         try:
             return write_fn()
-        except Exception:
-            if attempt >= max_retries:
+        except Exception as exc:
+            if isinstance(exc, no_retry) or attempt >= max_retries:
                 raise
             sleep(base_backoff_s * (2 ** attempt))
             attempt += 1
@@ -84,9 +107,15 @@ def route_stream(
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
-    Each micro-batch appends to matched/ and unmatched/ parquet dirs;
-    checkpointLocation makes replays idempotent per epoch; each sink write
-    is retried with backoff (ST4).
+    Each micro-batch OVERWRITES its own ``epoch=<batch_id>`` subdirectory
+    of matched/ and unmatched/ (Hive-style partition dirs, so readers of
+    the parent see one table with an ``epoch`` column). Overwrite-per-epoch
+    makes both retry paths idempotent: a driver-side retry after some
+    tasks committed, and a checkpointLocation replay of a partially
+    written batch, each rewrite the same directory instead of appending
+    duplicates — at-least-once delivery into an idempotent sink =
+    effectively-once. Each write is retried with backoff on transient
+    errors only (ST4).
     """
     roles = role_dict(spark)
     tools = tool_dict(spark)
@@ -101,11 +130,13 @@ def route_stream(
         try:
             write_with_retry(
                 lambda: (parsed.filter(F.col("template_id").isNotNull())
-                         .write.mode("append").parquet(os.path.join(out_dir, "matched"))),
+                         .write.mode("overwrite")
+                         .parquet(os.path.join(out_dir, "matched", f"epoch={epoch_id}"))),
                 max_retries=max_retries)
             write_with_retry(
                 lambda: (parsed.filter(F.col("template_id").isNull())
-                         .write.mode("append").parquet(os.path.join(out_dir, "unmatched"))),
+                         .write.mode("overwrite")
+                         .parquet(os.path.join(out_dir, "unmatched", f"epoch={epoch_id}"))),
                 max_retries=max_retries)
         finally:
             parsed.unpersist()
@@ -235,15 +266,67 @@ def socket_transcript_stream(
     replayable broker swap in format("kafka"); the downstream graph is
     unchanged.
     """
-    from ..sources.readers import TRANSCRIPT_SCHEMA
-
     raw = (
         spark.readStream.format("socket")
         .option("host", host).option("port", port)
         .load()
     )
-    parsed = raw.select(F.from_json(F.col("value"), TRANSCRIPT_SCHEMA).alias("r"))
+    return parse_transcript_json(raw)
+
+
+def parse_transcript_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Line-framed JSON payload -> transcript columns (shared by the
+    socket and Kafka S1 variants). Malformed lines yield all-null columns
+    (from_json's PERMISSIVE default) so the router's unmatched
+    side-channel picks them up instead of failing the stream."""
+    from ..sources.readers import TRANSCRIPT_SCHEMA
+
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), TRANSCRIPT_SCHEMA).alias("r"))
     return parsed.select("r.*")
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath (it is
+    a separate artifact shipped via --packages; this sandbox lacks it)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+def kafka_transcript_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 replayable-broker variant: Kafka topic of line-framed JSON
+    transcript rows. Identical downstream graph to the socket/rate
+    sources — only this readStream stanza differs — but offsets make the
+    source replayable, so foreachBatch checkpoint recovery upgrades the
+    socket source's at-least-once to end-to-end effectively-once against
+    the epoch-keyed sinks.
+
+    Raises RuntimeError when the connector jar is absent (probe with
+    ``kafka_source_available``); the value parsing itself
+    (``parse_transcript_json``) is connector-independent and unit-tested
+    against the socket tests' payloads.
+    """
+    if not kafka_source_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; submit with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>")
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_transcript_json(raw)
 
 
 def rate_transcript_stream(

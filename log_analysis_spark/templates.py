@@ -32,6 +32,47 @@ DEFAULT_MIN_FRAGMENT_LENGTH = 1  # /root/reference/src/matcher_config.rs:23
 
 
 @dataclass(frozen=True)
+class MatcherConfig:
+    """Matcher tuning surface — parity with the reference's config struct
+    (/root/reference/src/matcher_config.rs:12-55).
+
+    - ``threshold`` / ``min_fragment_length``: scoring knobs (rs:23-27).
+    - ``batch_rows``: rows per scoring unit. The reference presets size
+      its insert/scan batches (streaming 1k / batch 10k / bulk 50k,
+      rs:36-55); here the same number caps the matcher's per-chunk
+      [rows x fragments] containment matrix AND is the recommended Arrow
+      ``maxRecordsPerBatch`` (session.get_spark forwards it). Chunking
+      never changes results — matching is row-wise pure (property-tested).
+    - match kind: the reference's AC MatchKind knob does not transfer —
+      candidate generation here is containment-based (a documented
+      superset of leftmost-longest AC hits, order-independent; see
+      CompiledMatcher). The tie-break (score desc, template_id asc) is
+      likewise fixed, not configurable, so results are reproducible.
+    """
+
+    threshold: float = DEFAULT_FRAGMENT_MATCH_THRESHOLD
+    min_fragment_length: int = DEFAULT_MIN_FRAGMENT_LENGTH
+    batch_rows: int = 10_000
+
+    @classmethod
+    def streaming(cls) -> "MatcherConfig":
+        """Low-latency micro-batches (matcher_config.rs streaming preset)."""
+        return cls(batch_rows=1_000)
+
+    @classmethod
+    def batch(cls) -> "MatcherConfig":
+        """The default balanced preset (matcher_config.rs batch preset)."""
+        return cls(batch_rows=10_000)
+
+    @classmethod
+    def bulk(cls) -> "MatcherConfig":
+        """Throughput-first backfill (matcher_config.rs bulk preset).
+        batch_rows is capped at the measured cache-friendly chunk ceiling
+        inside score_batch, so 50k never regresses the kernel."""
+        return cls(batch_rows=50_000)
+
+
+@dataclass(frozen=True)
 class LogTemplate:
     """One log type: a regex whose capture groups are the variables.
 
@@ -177,11 +218,23 @@ class CompiledMatcher:
 
     Tie-break (the reference leaves this to hash order,
     src/log_matcher.rs:257-259): score desc, then template_id asc.
+
+    Scores are quantized to a 1e-9 grid before comparison: weighted sums
+    accumulate in different orders across the dense matmul, the sparse
+    reduceat path, and the generated SQL oracle, so two algebraically
+    equal scores can differ by a few ulp (e.g. 1.0 vs 1.0000000000000002)
+    — enough to flip an argmax. Rounding makes algebraic ties exact ties
+    on every path, so the documented template-id tie-break decides them
+    identically everywhere; genuinely different scores (weights are
+    ~1e-2..1 magnitudes) are never 1e-9-close.
     """
 
     templates: tuple[LogTemplate, ...]
     threshold: float = DEFAULT_FRAGMENT_MATCH_THRESHOLD
     min_fragment_length: int = DEFAULT_MIN_FRAGMENT_LENGTH
+    # rows per scoring chunk (MatcherConfig.batch_rows); the effective
+    # chunk is min(batch_rows, _CHUNK_ROWS_CEIL) — see score_batch
+    batch_rows: int = 10_000
 
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
@@ -282,20 +335,27 @@ class CompiledMatcher:
             M[:, j] = pc.match_substring(arr, frag).to_numpy(zero_copy_only=False)
         return M
 
-    # past this many rows, big fragment pools process in slices: caps the
-    # [rows x n_frag] matrix at a cache-friendly size (a 100k x 219
-    # allocation measured up to 20x slower *and* erratic vs 10k slices)
-    _CHUNK_ROWS = 16384
+    # chunk-size ceiling: big fragment pools process in slices that cap
+    # the [rows x n_frag] matrix at a cache-friendly size (a 100k x 219
+    # allocation measured up to 20x slower *and* erratic vs 10k slices);
+    # MatcherConfig.batch_rows can lower it (streaming preset) but a
+    # bulk preset never raises it past this measured optimum
+    _CHUNK_ROWS_CEIL = 16384
+
+    @property
+    def _chunk_rows(self) -> int:
+        return max(1, min(self.batch_rows, self._CHUNK_ROWS_CEIL))
 
     def score_batch(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         """Return (best_template_id_or_-1, best_score) per row, vectorized."""
         n = len(texts)
         if len(self.templates) == 0 or n == 0:
             return (np.full(n, -1, dtype=np.int64), np.full(n, -1.0, dtype=np.float64))
-        if n > self._CHUNK_ROWS and len(self.fragments) >= 64:
+        chunk = self._chunk_rows
+        if n > chunk and len(self.fragments) >= 64:
             ids_parts, score_parts = [], []
-            for i in range(0, n, self._CHUNK_ROWS):
-                ids_c, sc_c = self.score_batch(texts.iloc[i:i + self._CHUNK_ROWS])
+            for i in range(0, n, chunk):
+                ids_c, sc_c = self.score_batch(texts.iloc[i:i + chunk])
                 ids_parts.append(ids_c)
                 score_parts.append(sc_c)
             return np.concatenate(ids_parts), np.concatenate(score_parts)
@@ -315,6 +375,7 @@ class CompiledMatcher:
             matched_w / denom,
             matched_c / np.maximum(self._required_count, 1.0),
         )
+        scores = np.round(scores, 9)  # 1e-9 grid: cross-path tie stability
         scores = np.where(matched_c > 0.0, scores, -1.0)  # candidates need >=1 vote
         best = np.argmax(scores, axis=1)  # ties -> lowest index = lowest template_id
         rows = np.arange(n)
@@ -364,6 +425,7 @@ class CompiledMatcher:
         tw = self._total_weight[t_u]
         score_u = np.where(tw > 0.0, w_sum / np.where(tw > 0.0, tw, 1.0),
                            c_sum / np.maximum(self._required_count[t_u], 1.0))
+        score_u = np.round(score_u, 9)  # 1e-9 grid: cross-path tie stability
         # per-row best: sort by (row asc, score desc, template idx asc)
         o2 = np.lexsort((t_u, -score_u, r_u))
         r_o = r_u[o2]
@@ -402,6 +464,17 @@ class CompiledMatcher:
             templates=self.templates + tuple(new_templates),
             threshold=self.threshold,
             min_fragment_length=self.min_fragment_length,
+            batch_rows=self.batch_rows,
+        )
+
+    @classmethod
+    def from_config(cls, templates, config: MatcherConfig) -> "CompiledMatcher":
+        """Compile under a MatcherConfig preset (matcher_config.rs:36-55)."""
+        return cls(
+            templates=tuple(templates),
+            threshold=config.threshold,
+            min_fragment_length=config.min_fragment_length,
+            batch_rows=config.batch_rows,
         )
 
     def next_template_id(self) -> int:

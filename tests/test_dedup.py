@@ -179,6 +179,25 @@ def test_neardup_components_vs_union_find(spark):
     assert got[8] == 1 and got[9] == 1 and got[3] == 1
 
 
+def test_neardup_components_long_chain_and_nonconvergence(spark):
+    """Diameter-15 path graph: converges past the localCheckpoint
+    boundaries (plan depth bounded, labels correct); an insufficient
+    max_iter raises instead of silently returning wrong representatives."""
+    import pytest
+
+    from log_analysis_spark.operators.dedup import neardup_components
+
+    chain = [(i, i + 1) for i in range(15)]  # 0-1-...-15, diameter 15
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in chain], "id_a long, id_b long, jaccard double")
+    got = {r["doc_id"]: r["rep_id"]
+           for r in neardup_components(pairs, checkpoint_every=3).collect()}
+    assert got == {i: 0 for i in range(16)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, max_iter=3)
+
+
 def test_contamination_overlap(spark):
     """Known-overlap corpus: a train doc embedding an eval doc's phrase is
     flagged with the exact shared-gram count; disjoint docs are absent."""

@@ -72,3 +72,36 @@ def test_synth_skew_present(spark):
         F.max("count").alias("mx"), F.expr("percentile_approx(count, 0.5)").alias("med")
     ).collect()[0]
     assert sizes["mx"] >= 50 * sizes["med"], dict(sizes.asDict())
+
+
+def test_matcher_config_presets_identical_results():
+    """MatcherConfig presets (streaming/batch/bulk — matcher_config.rs:36-55)
+    change ONLY chunking, never results: identical assignments and scores
+    across presets, including across the internal chunk boundary."""
+    import numpy as np
+
+    from log_analysis_spark.templates import MatcherConfig
+
+    # 70+ fragments so score_batch takes the chunked path; > 1k rows so
+    # the streaming preset actually splits into multiple chunks
+    from log_analysis_spark.templates import LogTemplate
+
+    extra = [LogTemplate(100 + i, rf"svc{i:02d} request (\d+) done", ("n",))
+             for i in range(70)]
+    lines = [f"svc{i % 70:02d} request {i} done" for i in range(2500)]
+    lines += ["cpu_usage: 45.2% - ok", "unmatched junk", ""] * 10
+    s = pd.Series(lines, dtype=object)
+
+    results = {}
+    for name in ("streaming", "batch", "bulk"):
+        cfg = getattr(MatcherConfig, name)()
+        m = CompiledMatcher.from_config(
+            tuple(default_matcher().templates) + tuple(extra), cfg)
+        ids, scores = m.score_batch(s)
+        results[name] = (ids, scores)
+        assert m._chunk_rows == min(cfg.batch_rows, m._CHUNK_ROWS_CEIL)
+    base_ids, base_scores = results["batch"]
+    for name in ("streaming", "bulk"):
+        ids, scores = results[name]
+        assert np.array_equal(ids, base_ids), name
+        assert np.array_equal(scores, base_scores), name

@@ -104,18 +104,24 @@ def _duck():
 
 
 @given(st.lists(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
-                        min_size=1, max_size=12), max_size=10))
+                        min_size=1, max_size=12), max_size=10),
+       st.sampled_from([" ", "\t", "\n", "  ", " \t ", "\r\n", "\x0b", "\f"]),
+       st.sampled_from(["", " ", "\t\t", "\n", " ", " "]))
 @settings(max_examples=60, deadline=None)
-def test_token_signatures_kernel_vs_duckdb(words):
+def test_token_signatures_kernel_vs_duckdb(words, sep, edge):
     """signatures_py (hot path) == the DuckDB SQL rendering for arbitrary
-    printable token soups — both generated from the same rule tables."""
+    printable token soups — both generated from the same rule tables.
+    Separators cover tabs/newlines/CR/FF/VT and the edges carry Unicode
+    spaces (NBSP, EM space), which all renderings must treat identically
+    (control whitespace normalizes to spaces; Unicode spaces are token
+    chars)."""
     from log_analysis_spark.functions.token_classes import (
         log_type_signature_sql_duck,
         signatures_py,
         template_signature_sql_duck,
     )
 
-    line = " ".join(words)
+    line = edge + sep.join(words) + edge
     lit = "'" + line.replace("'", "''") + "'"
     got = _duck().execute(
         f"SELECT {log_type_signature_sql_duck(lit)}, "

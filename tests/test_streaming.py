@@ -47,6 +47,37 @@ def test_stream_routing(spark, tmp_path):
     assert matched == batch_matched
 
 
+def test_stream_replay_idempotent(spark, tmp_path):
+    """Epoch-keyed overwrite sinks: replaying a batch (simulated by wiping
+    the checkpoint and re-running over the same single input file, so it
+    re-lands as epoch 0) rewrites the same epoch directory instead of
+    appending duplicates — the at-least-once -> effectively-once
+    contract the docstring claims."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    df = synth_transcripts(spark, n_convs=10)
+    df.coalesce(1).write.mode("overwrite").parquet(in_dir)  # one file = one batch
+    total = df.count()
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+
+    for _run in range(2):
+        q = route_stream(spark, file_transcript_stream(spark, in_dir), box,
+                         out_dir, trigger_seconds=1)
+        try:
+            _wait_done(q)
+        finally:
+            q.stop()
+        shutil.rmtree(os.path.join(out_dir, "_checkpoint"))  # force full replay
+
+    matched = spark.read.parquet(os.path.join(out_dir, "matched"))
+    unmatched_n = spark.read.parquet(os.path.join(out_dir, "unmatched")).count()
+    assert matched.count() + unmatched_n == total  # not 2x total
+    assert "epoch" in matched.columns
+    assert [r["epoch"] for r in matched.select("epoch").distinct().collect()] == [0]
+
+
 def test_windowed_template_counts(spark, tmp_path):
     """Watermarked tumbling-window counts equal the batch groupBy on the
     same input (complete output after processAllAvailable)."""
@@ -301,3 +332,41 @@ def test_socket_source_routing(spark, tmp_path):
     assert matched.count() == 8     # cpu + disk lines x4
     assert unmatched.count() == 4   # the novel line x4
     assert {r["conv_id"] for r in matched.collect()} == {"c1", "c2"}
+
+
+def test_parse_transcript_json_and_kafka_stanza(spark):
+    """The shared S1 value parser (socket + Kafka variants) maps JSON
+    payloads to transcript columns, null-rows malformed lines, and the
+    Kafka stanza degrades with a clear error when the connector jar is
+    absent (this sandbox has no broker or connector)."""
+    import json
+
+    import pytest
+
+    from log_analysis_spark.streaming.stream import (
+        kafka_source_available,
+        kafka_transcript_stream,
+        parse_transcript_json,
+    )
+
+    payloads = [
+        json.dumps({"conv_id": "c1", "turn_idx": 0, "role": "user",
+                    "text": "cpu_usage: 45.2% - load normal", "tool": "none",
+                    "ts": "2024-01-01T00:00:00.000Z"}),
+        json.dumps({"conv_id": "c2", "turn_idx": 3, "role": "tool",
+                    "text": "disk_io: 250MB/s - activity moderate",
+                    "tool": "bash", "ts": "2024-01-01T00:00:02.000Z"}),
+        "{not json at all",
+    ]
+    raw = spark.createDataFrame([(p,) for p in payloads], "value string")
+    rows = {r["conv_id"]: r for r in parse_transcript_json(raw).collect()}
+    assert set(rows) == {"c1", "c2", None}
+    assert rows["c1"]["turn_idx"] == 0 and rows["c1"]["role"] == "user"
+    assert rows["c2"]["tool"] == "bash" and rows["c2"]["turn_idx"] == 3
+    assert rows[None]["text"] is None  # malformed -> all-null row
+
+    if not kafka_source_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_transcript_stream(spark, "localhost:9092", "transcripts")
+    else:  # connector present (cluster deployment): stanza must build
+        kafka_transcript_stream(spark, "localhost:9092", "transcripts")

@@ -73,8 +73,12 @@ def test_message_pattern_typed_captures():
     assert variables == ["ip_1", "hash_2", "decimal_3", "int_4"]
     m = re.fullmatch(rx, "fail from 9.9.9.9 hash " + "a" * 32 + " took 0.1 sec code 42")
     assert m and m.group(1) == "9.9.9.9" and m.group(4) == "42"
-    # no detectable variables -> single (.+) capture (ref :112-115)
-    assert message_pattern("plain words only") == (r"(.+)", ["message"])
+    # no detectable variables -> escaped literal, NOT (.+): the template
+    # keeps votable fragments (ref falls back to (.+) only when the
+    # pattern is empty, smart_template_generator.rs:111-114)
+    assert message_pattern("plain words only") == (re.escape("plain words only"), [])
+    # only an empty message degrades to the generic capture
+    assert message_pattern("") == (r"(.+)", ["message"])
 
 
 def test_generate_syslog_template():
@@ -131,12 +135,15 @@ def test_induction_token_mode_merges_parameter_values(spark):
         assert re.fullmatch(p, p.replace(r"(\w+)", "dave").replace("\\", ""))
 
     # default mask mode keeps parameter keywords verbatim: four singleton
-    # clusters of variable-free lines all fall back to the generic (.+)
-    # template (ref :112-115), deduped to one — the taxonomy mode is what
-    # rescues this corpus
-    _, _, mask_templates = induce_and_rematch(
+    # clusters of variable-free lines each become an escaped-literal
+    # template (ref :111-114 emits the literal when no variables are
+    # detected) — matchable by fragment voting, unlike a bare (.+). The
+    # taxonomy mode is what merges this corpus down to two.
+    rematched_mask, _, mask_templates = induce_and_rematch(
         spark, df, matcher, signature_mode="mask")
-    assert [t.pattern for t in mask_templates] == ["(.+)"]
+    assert sorted(t.pattern for t in mask_templates) == sorted(
+        re.escape(t) for _, t in rows)
+    assert rematched_mask.filter(F.col("template_id").isNull()).count() == 0
 
 
 def test_hash_mask_rule(spark):
