@@ -9,6 +9,18 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_TURNS          approx synthetic transcript turns for the pipeline
                        benchmark (default 1_000_000)
+
+Modes:
+  (default)            headline queries + e2e pipeline
+  --datasets [N]       multi-dataset accuracy x throughput sweep: 16
+                       heterogeneous LogHub-style corpora (N lines each,
+                       default 20000), match + match-else-induce per
+                       dataset, per-dataset rows persisted to
+                       BENCH/datasets.{json,csv} (the reference's
+                       ultra/accuracy benchmark modes,
+                       tests/benchmarks.rs:264-608). Accuracy floor
+                       (>70%) asserted per dataset.
+  --datasets-quick     3-dataset smoke variant
 """
 
 from __future__ import annotations
@@ -23,7 +35,49 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def run_datasets_mode(quick: bool, lines_per_dataset: int) -> None:
+    """--datasets: per-dataset accuracy x throughput sweep."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from log_analysis_spark.benchmark_suite import quick_specs, run_suite, ultra_specs
+    from log_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_datasets", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    specs = (quick_specs(lines_per_dataset) if quick
+             else ultra_specs(lines_per_dataset))
+    base = os.environ.get("BENCH_WORK_DIR",
+                          "/dev/shm" if os.path.isdir("/dev/shm") else None)
+    work = tempfile.mkdtemp(prefix="bench_ds_", dir=base)
+    results_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        t0 = time.time()
+        rows = run_suite(spark, specs, work, results_dir=results_dir)
+        total = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({
+        "metric": "datasets_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": "synthetic",
+        "queries": {r["dataset"]: r["match_sec"] for r in rows},
+        "datasets": rows,
+        "min_accuracy_pct": min(r["accuracy_pct"] for r in rows),
+        "min_accuracy_after_induction_pct": min(
+            r["accuracy_after_induction_pct"] for r in rows),
+        "total_lines_per_sec": round(
+            sum(r["n_lines"] for r in rows) / max(
+                sum(r["match_sec"] for r in rows), 1e-9), 1),
+        "cpus": cpus,
+    }))
+
+
 def main() -> None:
+    if "--datasets" in sys.argv or "--datasets-quick" in sys.argv:
+        quick = "--datasets-quick" in sys.argv
+        tail = [a for a in sys.argv[1:] if a.isdigit()]
+        run_datasets_mode(quick, int(tail[0]) if tail else (4_000 if quick else 20_000))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     target_turns = int(os.environ.get("BENCH_TURNS", "1000000"))

@@ -1,0 +1,240 @@
+"""Multi-dataset accuracy x throughput benchmark suite.
+
+Re-expresses the reference's benchmark modes (quick / accuracy / ultra /
+mixed over 16 heterogeneous datasets, /root/reference/tests/benchmarks.rs:264-608)
+and its persisted per-dataset results sink (:219-257): N synthetic
+LogHub-style corpora with different template mixes are generated
+deterministically, matched (and match-else-induced for a withheld
+template slice), and a per-dataset row of
+(lines, templates, throughput, grouping accuracy, induced count) is
+persisted as JSON + CSV.
+
+Generation is all Spark-expression-side (no Python in the render), and
+corpora are materialized to parquet BEFORE timing so the measured number
+is pure match throughput, same as bench.py's protocol. Accuracy is the
+reference's grouping accuracy (majority-vote template per ground-truth
+event, tests/openstack_accuracy_test.rs:269-274) with its >70% floor.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import random
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.aggregates import grouping_accuracy
+from .sources.readers import loghub_template_to_regex
+from .templates import CompiledMatcher, LogTemplate
+
+ACCURACY_FLOOR_PCT = 70.0  # tests/openstack_accuracy_test.rs:269-274
+
+_VERBS = ("spawned", "deleted", "attached", "migrated", "cached", "granted",
+          "rejected", "throttled", "completed", "restarted", "flushed",
+          "registered", "evicted", "replicated", "fenced", "promoted")
+_NOUNS = ("instance", "volume", "snapshot", "tenant", "endpoint", "worker",
+          "shard", "replica", "segment", "session", "request", "bucket",
+          "lease", "queue", "token", "probe")
+_PREFIXES = ("", "", "")  # plain format; syslog/kv variants add their own
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    """One synthetic corpus: a distinct template mix + traffic shape
+    (the analog of one LogHub dataset row in benchmarks.rs:264-311)."""
+
+    name: str
+    n_templates: int
+    n_lines: int
+    skew: float          # 0 = uniform, >0 = zipf-ish exponent
+    fmt: str             # 'plain' | 'syslog' | 'kv'
+    seed: int
+    withheld: int = 2    # templates removed from the matcher -> induction path
+
+
+def ultra_specs(lines_per_dataset: int = 20_000) -> list[DatasetSpec]:
+    """16 heterogeneous datasets (the ultra mode's 16-dataset sweep,
+    benchmarks.rs:264-311): template pool sizes from 8 to 123, three line
+    formats, flat and skewed traffic."""
+    sizes = (8, 12, 24, 48, 96, 123, 16, 32, 64, 20, 40, 80, 10, 30, 50, 100)
+    fmts = ("plain", "syslog", "kv")
+    out = []
+    for i, n_tmpl in enumerate(sizes):
+        out.append(DatasetSpec(
+            name=f"ds{i:02d}_{fmts[i % 3]}_{n_tmpl}t",
+            n_templates=n_tmpl,
+            n_lines=lines_per_dataset,
+            skew=0.0 if i % 2 == 0 else 1.2,
+            fmt=fmts[i % 3],
+            seed=1000 + i,
+        ))
+    return out
+
+
+def quick_specs(lines_per_dataset: int = 4_000) -> list[DatasetSpec]:
+    """3-dataset smoke sweep (the quick mode)."""
+    return ultra_specs(lines_per_dataset)[:3]
+
+
+def make_templates(spec: DatasetSpec) -> list[str]:
+    """Distinct LogHub-style `<*>` templates for one dataset. Every
+    template carries a dataset+template-unique service token (real log
+    types do: 'sshd', 'nova.compute', ...) so corpora are separable; the
+    surrounding vocabulary is shared across templates to keep fragment
+    voting honest (common words carry low weight)."""
+    rng = random.Random(spec.seed)
+    out: list[str] = []
+    seen: set[str] = set()
+    while len(out) < spec.n_templates:
+        i = len(out)
+        svc = f"{spec.name.split('_')[0]}svc{i:02d}"
+        noun, noun2 = rng.choice(_NOUNS), rng.choice(_NOUNS)
+        verb = rng.choice(_VERBS)
+        shape = rng.randrange(4)
+        if shape == 0:
+            t = f"{svc}: {noun} <*> {verb} on {noun2} <*>"
+        elif shape == 1:
+            t = f"{svc}: {verb} {noun} <*> after <*> retries"
+        elif shape == 2:
+            t = f"{svc}: {noun} <*> {verb}"
+        else:
+            t = f"{svc}: {verb} failed for {noun} <*> code <*>"
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _weights(spec: DatasetSpec) -> list[int]:
+    if spec.skew <= 0.0:
+        return [1] * spec.n_templates
+    # integer zipf-ish weights, bounded so the flattened choice array
+    # stays small (element_at lookup below)
+    return [max(1, int(round((spec.n_templates / (i + 1)) ** spec.skew)))
+            for i in range(spec.n_templates)]
+
+
+def synth_corpus(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
+    """(line string, event_id string) ground-truth corpus, all
+    Spark-expression generation (scales with the scan, no Python)."""
+    templates = make_templates(spec)
+    weights = _weights(spec)
+    # weighted choice: flatten weights into an index array, pick by hash
+    flat: list[int] = []
+    for idx, w in enumerate(weights):
+        flat.extend([idx] * w)
+    rng = random.Random(spec.seed * 31 + 7)
+    rng.shuffle(flat)
+
+    df = spark.range(spec.n_lines).withColumnRenamed("id", "line_id")
+    pick = F.element_at(
+        F.array(*[F.lit(i) for i in flat]),
+        (F.pmod(F.xxhash64(F.col("line_id"), F.lit(spec.seed)), F.lit(len(flat))) + 1).cast("int"),
+    )
+
+    def render(tmpl_idx: int) -> F.Column:
+        parts = templates[tmpl_idx].split("<*>")
+        exprs: list[F.Column] = []
+        for j, part in enumerate(parts):
+            exprs.append(F.lit(part))
+            if j < len(parts) - 1:
+                tok = F.concat(
+                    F.lit(("srv", "vol", "req", "img")[(tmpl_idx + j) % 4]),
+                    F.pmod(F.xxhash64(F.col("line_id"), F.lit(j), F.lit(tmpl_idx)),
+                           F.lit(10_000)).cast("string"),
+                )
+                exprs.append(tok)
+        return F.concat(*exprs)
+
+    body = F.element_at(F.array(*[render(i) for i in range(len(templates))]),
+                        (pick + 1).cast("int"))
+    if spec.fmt == "syslog":
+        line = F.concat(
+            F.lit("Jun 14 15:16:"), F.lpad((F.col("line_id") % 60).cast("string"), 2, "0"),
+            F.lit(" host-"), (F.col("line_id") % 50).cast("string"),
+            F.lit(" daemon["), (F.col("line_id") % 9000).cast("string"), F.lit("]: "),
+            body)
+    elif spec.fmt == "kv":
+        line = F.concat(body, F.lit(" pid="), (F.col("line_id") % 9000).cast("string"),
+                        F.lit(" uid="), (F.col("line_id") % 500).cast("string"))
+    else:
+        line = body
+    event_id = F.element_at(
+        F.array(*[F.lit(f"E{i + 1}") for i in range(len(templates))]),
+        (pick + 1).cast("int"))
+    return df.select("line_id", line.alias("line"), event_id.alias("event_id"))
+
+
+def spec_matcher(spec: DatasetSpec, withhold: bool) -> CompiledMatcher:
+    templates = make_templates(spec)
+    n = spec.n_templates - (spec.withheld if withhold else 0)
+    return CompiledMatcher(templates=tuple(
+        LogTemplate(i + 1, loghub_template_to_regex(t), example=t)
+        for i, t in enumerate(templates[:n])
+    ))
+
+
+def run_dataset(spark: SparkSession, spec: DatasetSpec, work_dir: str) -> dict:
+    """One dataset: materialize -> timed full-pool match -> accuracy ->
+    match-else-induce with a withheld slice -> post-induction accuracy."""
+    from .induction import induce_and_rematch
+    from .matcher import with_template_id
+
+    path = os.path.join(work_dir, spec.name)
+    synth_corpus(spark, spec).write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    n_lines = corpus.count()
+
+    # full-pool match (throughput + accuracy mode)
+    full = spec_matcher(spec, withhold=False)
+    matched = with_template_id(corpus, spark, full, text_col="line")
+    matched.count()  # warm: broadcast + codegen paid once, like bench.py
+    t0 = time.time()
+    matched.count()
+    match_sec = time.time() - t0
+    acc = grouping_accuracy(matched).collect()[0]
+
+    # match-else-induce: withheld templates must be recovered by induction
+    part = spec_matcher(spec, withhold=True)
+    rematched, _enlarged, new_templates = induce_and_rematch(
+        spark, corpus, part, text_col="line")
+    acc2 = grouping_accuracy(rematched).collect()[0]
+    unmatched_after = rematched.filter(F.col("template_id").isNull()).count()
+
+    return {
+        "dataset": spec.name,
+        "fmt": spec.fmt,
+        "n_lines": n_lines,
+        "n_templates": spec.n_templates,
+        "match_sec": round(match_sec, 3),
+        "lines_per_sec": round(n_lines / max(match_sec, 1e-9), 1),
+        "accuracy_pct": round(float(acc["accuracy_pct"]), 3),
+        "withheld": spec.withheld,
+        "induced_templates": len(new_templates),
+        "accuracy_after_induction_pct": round(float(acc2["accuracy_pct"]), 3),
+        "unmatched_after_induction": unmatched_after,
+    }
+
+
+def run_suite(spark: SparkSession, specs: list[DatasetSpec], work_dir: str,
+              results_dir: str | None = None) -> list[dict]:
+    """Run all datasets; persist JSON + CSV like the reference's results
+    sink (benchmarks.rs:219-257). Asserts the accuracy floor per dataset."""
+    rows = [run_dataset(spark, s, work_dir) for s in specs]
+    for r in rows:
+        assert r["accuracy_pct"] > ACCURACY_FLOOR_PCT, r
+        assert r["accuracy_after_induction_pct"] > ACCURACY_FLOOR_PCT, r
+    if results_dir:
+        os.makedirs(results_dir, exist_ok=True)
+        with open(os.path.join(results_dir, "datasets.json"), "w") as f:
+            json.dump(rows, f, indent=1)
+        with open(os.path.join(results_dir, "datasets.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+    return rows

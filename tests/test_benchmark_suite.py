@@ -1,0 +1,52 @@
+"""Multi-dataset benchmark suite: generation determinism, per-dataset
+metrics schema, the reference's accuracy floor, and induction recovery
+(the ultra/accuracy benchmark modes, reference tests/benchmarks.rs:264-608)."""
+
+from __future__ import annotations
+
+from log_analysis_spark.benchmark_suite import (
+    ACCURACY_FLOOR_PCT,
+    DatasetSpec,
+    make_templates,
+    run_suite,
+    synth_corpus,
+    ultra_specs,
+)
+
+
+def test_make_templates_deterministic_and_distinct():
+    spec = ultra_specs()[5]  # the 123-template mix
+    t1, t2 = make_templates(spec), make_templates(spec)
+    assert t1 == t2
+    assert len(set(t1)) == spec.n_templates
+    # every template carries its unique service token
+    assert all(f"svc{i:02d}" in t for i, t in enumerate(t1))
+
+
+def test_synth_corpus_deterministic(spark):
+    spec = DatasetSpec("t_plain_8t", 8, 500, 1.2, "plain", seed=7)
+    a = sorted(r["line"] for r in synth_corpus(spark, spec).collect())
+    b = sorted(r["line"] for r in synth_corpus(spark, spec).collect())
+    assert a == b
+    assert len(a) == 500
+
+
+def test_suite_accuracy_and_induction(spark, tmp_path):
+    """Two small heterogeneous datasets: accuracy floor holds with the
+    full pool AND after match-else-induce over the withheld slice; every
+    line ends matched (the lifecycle guarantee)."""
+    specs = [
+        DatasetSpec("sa_plain_10t", 10, 1500, 0.0, "plain", seed=21),
+        DatasetSpec("sb_syslog_16t", 16, 1500, 1.2, "syslog", seed=22),
+    ]
+    rows = run_suite(spark, specs, str(tmp_path), results_dir=str(tmp_path / "res"))
+    assert [r["dataset"] for r in rows] == ["sa_plain_10t", "sb_syslog_16t"]
+    for r in rows:
+        assert r["n_lines"] == 1500
+        assert r["accuracy_pct"] > ACCURACY_FLOOR_PCT
+        assert r["accuracy_after_induction_pct"] > ACCURACY_FLOOR_PCT
+        assert r["unmatched_after_induction"] == 0
+        assert r["lines_per_sec"] > 0
+    # results sink persisted (benchmarks.rs:219-257 analog)
+    assert (tmp_path / "res" / "datasets.json").exists()
+    assert (tmp_path / "res" / "datasets.csv").exists()
