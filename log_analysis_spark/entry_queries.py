@@ -704,13 +704,24 @@ def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic media -> mapInPandas feature extraction
-    (rows-only driver check; codec is the deterministic fake)."""
+    """Multimodal plumbing: synthetic media -> mapInPandas feature
+    extraction (Arrow batches, pluggable codec). Hash-gated since round 3:
+    the deterministic FakeCodec features are value-verified — the oracle
+    is a VALUES literal from the pure-Python replay (synth_media_rows),
+    so the mapInPandas path itself (schema, batching, codec dispatch) is
+    what the gate exercises."""
     from .operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=200)
     feats = extract_features(media, spark)
-    return feats.select("media_id", "kind", F.size("features").alias("feature_dim"))
+    return feats.select(
+        "media_id", "kind", F.size("features").alias("feature_dim"),
+        F.round(F.element_at("features", 1), 6).alias("f1"),
+        F.round(F.element_at("features", 2), 6).alias("f2"),
+        F.round(F.element_at("features", 3), 6).alias("f3"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1034,6 +1045,24 @@ FROM _assign WHERE template_id IS NULL
 GROUP BY 1 ORDER BY support DESC, signature ASC
 """.strip()
 
+    # multimodal: VALUES literal from the pure-Python replay of the
+    # deterministic synth + FakeCodec (operators/multimodal.synth_media_rows)
+    # — value-gates the mapInPandas feature path. round() is evaluated by
+    # DuckDB itself so both engines apply the same half-up rule to the
+    # identical float32-exact double.
+    from .operators.multimodal import FEATURE_DIM, synth_media_rows
+
+    mm_vals = ", ".join(
+        f"(CAST({r['media_id']} AS BIGINT), '{r['kind']}', {FEATURE_DIM}, "
+        f"round(CAST({float(r['features'][0])!r} AS DOUBLE), 6), "
+        f"round(CAST({float(r['features'][1])!r} AS DOUBLE), 6), "
+        f"round(CAST({float(r['features'][2])!r} AS DOUBLE), 6), "
+        f"CAST({r['width']} AS INT), CAST({r['n_frames']} AS INT))"
+        for r in synth_media_rows(n=200))
+    sql["multimodal_features"] = (
+        f"SELECT * FROM (VALUES {mm_vals}) AS "
+        f"t(media_id, kind, feature_dim, f1, f2, f3, width, n_frames)")
+
     # Induced-pool oracles: the applyInPandas pattern learner is not
     # SQL-expressible, so these two oracles are PARAMETERIZED by a
     # single-process DuckDB+Python replay of the induction run at
@@ -1243,7 +1272,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "simhash_sigs": q_simhash_sigs,
-        "multimodal_features": q_multimodal_features,  # rows-only (fake codec)
+        "multimodal_features": q_multimodal_features,
         "variable_extraction": q_variable_extraction,
         "induced_templates": q_induced_templates,
         "induced_assignments": q_induced_assignments,

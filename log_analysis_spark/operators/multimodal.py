@@ -64,9 +64,15 @@ class RealCodec:
 
 
 def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table (payload = seeded bytes).
+
+    The payload hash is md5-derived (engine-portable, mirrored bit-for-bit
+    by ``synth_media_rows``) so the mapInPandas feature path can be
+    value-gated against a replayed oracle, not just rows-counted.
+    """
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    h = F.abs(F.xxhash64(F.lit(seed), F.col("id")))
+    key = F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(kinds, (F.col("id") % 3 + 1).cast("int")).alias("kind"),
@@ -79,6 +85,29 @@ def synth_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+def synth_media_rows(n: int = 100, seed: int = 42) -> list[dict]:
+    """Pure-Python mirror of synth_media + FakeCodec feature extraction —
+    the oracle generator for the multimodal gate (no Spark, no DuckDB
+    data). Same md5 arithmetic, same payload bytes, same sha256 features."""
+    codec = FakeCodec()
+    kinds = ("image", "audio", "video")
+    out = []
+    for i in range(n):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        kind = kinds[i % 3]
+        payload = f"payload:{h}".encode()
+        out.append({
+            "media_id": i,
+            "kind": kind,
+            "payload": payload,
+            "width": (h % 640) + 16,
+            "height": (h % 480) + 16,
+            "n_frames": (h % 300) + 1,
+            "features": codec.decode_features(payload, kind),
+        })
+    return out
 
 
 def extract_features(

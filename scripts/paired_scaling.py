@@ -7,7 +7,17 @@ efficiency sample eff_i = (T_N_i / T_4N_i) / 4 taken within a ~1-minute
 window, so slow host-capacity drift cancels in the ratio. The reported
 number is the median over cycles.
 
+Internal-consistency guard (this host's interference hits the write path
+hardest): the summary reports the max adjacent-cycle drift of each side's
+wall time — samples from windows where identical runs drift >~20% are not
+calm-window evidence and should be re-measured.
+
 Usage: python scripts/paired_scaling.py --turns 2000000 --n 1 --cycles 5
+       python scripts/paired_scaling.py --job match_sink --turns 1000000 --n 1
+  --job pipeline    full parse->enrich->route->aggregate (default)
+  --job match_sink  match + ONE durable parquet sink — the reference's
+                    actual e2e shape (match + buffered insert,
+                    src/benchmark_runner.rs + src/buffered_writer.rs)
 """
 
 from __future__ import annotations
@@ -37,9 +47,19 @@ spark = get_spark(app_name=f"paired{{cores}}", master=f"local[{{cores}}]",
 df = spark.read.parquet({in_path!r})
 m = CompiledMatcher(templates=POOL_TEMPLATES)
 out = {work!r} + f"/out{{cores}}"
+job = {job!r}
+
+def run_job(frame, out_dir):
+    if job == "match_sink":
+        from log_analysis_spark.matcher import with_template_id
+        (with_template_id(frame, spark, m).filter("template_id IS NOT NULL")
+         .write.mode("overwrite").parquet(out_dir + "/sink"))
+    else:
+        run_pipeline(spark, frame, m, out_dir,
+                     resume=False, collect_partition_metrics=False)
+
 # JIT/worker warm-up (not reported)
-run_pipeline(spark, df.sample(0.1, seed=1), m, out + "_w",
-             resume=False, collect_partition_metrics=False)
+run_job(df.sample(0.1, seed=1), out + "_w")
 shutil.rmtree(out + "_w", ignore_errors=True)
 print("READY", flush=True)
 for line in sys.stdin:
@@ -47,14 +67,15 @@ for line in sys.stdin:
         break
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    run_pipeline(spark, df, m, out, resume=False, collect_partition_metrics=False)
+    run_job(df, out)
     print(f"DONE {{time.time() - t0:.3f}}", flush=True)
 '''
 
 
 class Worker:
-    def __init__(self, cores: int, in_path: str):
-        code = _WORKER.format(repo=REPO, cores=cores, work=WORK, in_path=in_path)
+    def __init__(self, cores: int, in_path: str, job: str = "pipeline"):
+        code = _WORKER.format(repo=REPO, cores=cores, work=WORK, in_path=in_path,
+                              job=job)
         self.p = subprocess.Popen([sys.executable, "-u", "-c", code],
                                   stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                                   stderr=subprocess.DEVNULL, text=True, bufsize=1)
@@ -87,6 +108,7 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=2_000_000)
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--cycles", type=int, default=5)
+    ap.add_argument("--job", choices=("pipeline", "match_sink"), default="pipeline")
     args = ap.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
@@ -104,8 +126,8 @@ print("ok")
 '''
     subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, timeout=600)
 
-    lo = Worker(args.n, in_path)
-    hi = Worker(args.n * 4, in_path)
+    lo = Worker(args.n, in_path, args.job)
+    hi = Worker(args.n * 4, in_path, args.job)
     lo.wait_ready()
     hi.wait_ready()
 
@@ -121,10 +143,19 @@ print("ok")
     hi.quit()
 
     effs = [s["efficiency"] for s in samples]
+
+    def max_adjacent_drift(key: str) -> float:
+        ts = [s[key] for s in samples]
+        return max((abs(a - b) / min(a, b) for a, b in zip(ts, ts[1:])),
+                   default=0.0)
+
     print(json.dumps({
-        "n": args.n, "turns": args.turns, "cycles": samples,
+        "n": args.n, "turns": args.turns, "job": args.job, "cycles": samples,
         "median_efficiency": round(statistics.median(effs), 3),
         "best_efficiency": round(max(effs), 3),
+        # calm-window self-check: identical jobs should repeat within ~20%
+        "max_adjacent_drift_t_N": round(max_adjacent_drift("t_N"), 3),
+        "max_adjacent_drift_t_4N": round(max_adjacent_drift("t_4N"), 3),
     }))
 
 

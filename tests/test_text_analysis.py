@@ -150,3 +150,19 @@ def test_curation_funnel_and_curate(spark):
     kept = curate(df, min_quality=0.7)
     assert kept.count() == funnel["after_quality"]
     assert {r["doc_id"] for r in kept.collect()} == {0, 4}
+
+
+def test_synth_media_python_replay_parity(spark):
+    """synth_media_rows (the multimodal oracle generator) mirrors the
+    Spark synth + FakeCodec bit-for-bit: payloads, metadata, features."""
+    from log_analysis_spark.operators.multimodal import synth_media_rows
+
+    got = {r["media_id"]: r for r in
+           extract_features(synth_media(spark, n=25), spark).collect()}
+    for rep in synth_media_rows(n=25):
+        g = got[rep["media_id"]]
+        assert g["kind"] == rep["kind"]
+        assert bytes(g["payload"]) == rep["payload"]
+        assert g["meta"]["width"] == rep["width"]
+        assert g["meta"]["n_frames"] == rep["n_frames"]
+        assert [float(x) for x in g["features"]] == [float(x) for x in rep["features"]]
