@@ -752,6 +752,21 @@ def _duck_lang_parts() -> tuple[list[str], list[str], str]:
 
 
 def oracle_sql_map() -> dict[str, str]:
+    """Generate the full oracle dict. Cached per oracle-sf-dir: the
+    induced-pool oracles replay the induction in DuckDB (~seconds), and
+    callers (the driver's gate, the local test harness) invoke this once
+    per query — generation must not be re-paid 40x."""
+    import os as _os
+
+    key = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return dict(_oracle_sql_map_cached(key))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4)
+def _oracle_sql_map_cached(_oracle_sf_key: str) -> dict[str, str]:
     m = entry_matcher()
     line_duck = _LINE_SQL.format(S="VARCHAR")
     fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")

@@ -104,6 +104,8 @@ def route_stream(
     trigger_seconds: int = 5,
     text_col: str = "text",
     max_retries: int = 3,
+    auto_induce: bool = False,
+    induce_min_support: int = 1,
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
@@ -116,6 +118,17 @@ def route_stream(
     duplicates — at-least-once delivery into an idempotent sink =
     effectively-once. Each write is retried with backoff on transient
     errors only (ST4).
+
+    ``auto_induce=True`` adds the reference ingest service's ONLINE
+    template generation (src/bin/log-ingest-service.rs: unmatched lines
+    feed the generator, the matcher snapshot is swapped): after each
+    batch's sinks land, the batch's unmatched lines run through the
+    offline induction (mask-cluster -> learn -> max+1 ids) and the
+    enlarged matcher is swapped into the box for SUBSEQUENT batches —
+    swap granularity is the micro-batch (the RCU/ST3 semantics) rather
+    than the reference's per-line mid-scan insertion, which a distributed
+    batch cannot express; the unmatched side-channel still preserves
+    every pre-swap line for reprocessing/backfill.
     """
     roles = role_dict(spark)
     tools = tool_dict(spark)
@@ -138,6 +151,16 @@ def route_stream(
                          .write.mode("overwrite")
                          .parquet(os.path.join(out_dir, "unmatched", f"epoch={epoch_id}"))),
                 max_retries=max_retries)
+            if auto_induce:
+                from ..induction import induce_templates
+
+                unmatched = parsed.filter(F.col("template_id").isNull()) \
+                    .select(F.col(text_col))
+                new = induce_templates(
+                    spark, unmatched, matcher, text_col=text_col,
+                    min_cluster_size=induce_min_support)
+                if new:
+                    box.swap(matcher.with_templates(new))
         finally:
             parsed.unpersist()
 

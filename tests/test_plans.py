@@ -84,3 +84,58 @@ def test_shingle_counts_narrow(spark):
     plan = _plan(q_shingle_counts(spark, SF))
     assert "hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_contamination_broadcast_and_single_shuffle(spark):
+    """Decontamination plan: the (small) eval gram set broadcasts; the
+    huge exploded training relation is NEVER shuffled on the gram key —
+    the only hash exchange is the final partial-agg groupBy on the
+    training doc id."""
+    from log_analysis_spark.operators.dedup import contamination_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = contamination_overlap(docs.filter("doc_id % 20 != 0"),
+                              docs.filter("doc_id % 20 = 0"), n=3)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hash exchanges: the bounded EVAL side's distinct on
+    # shingle, and the groupBy on the training doc id. The training
+    # side's exploded gram relation (the huge one) never shuffles on the
+    # gram key — a train-side shingle exchange would require a
+    # SortMergeJoin, asserted absent above.
+    import re as _re
+
+    hash_exch = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(hash_exch) == 2, hash_exch
+    assert any("doc_id" in h for h in hash_exch)
+    # operator returns unordered (no global sort inside)
+    assert "rangepartitioning" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Packing is one shuffle (the bucket window); no UDFs."""
+    from log_analysis_spark.entry_queries import q_sequence_packing
+
+    plan = _plan(q_sequence_packing(spark, SF))
+    assert "Python" not in plan  # pure JVM expressions
+    import re as _re
+
+    # every hash exchange is on the pack bucket (window + partial agg
+    # reuse it); the only range exchange is the presentation orderBy
+    hash_exch = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert hash_exch and all("pack_bucket" in h for h in hash_exch), hash_exch
+
+
+def test_lsh_candidate_semi_join_no_broadcast_hint(spark):
+    """minhash_lsh_pairs: verification joins the corpus to the candidate
+    ids with a LeftSemi and NO forced broadcast on the unbounded candidate
+    relation (AQE may still choose broadcast at this size — the assert is
+    on the logical plan, where a user hint would appear)."""
+    from log_analysis_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = minhash_lsh_pairs(docs, k=8, bands=2, threshold=0.5)
+    logical = q._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
+    assert "LeftSemi" in _plan(q)

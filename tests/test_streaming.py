@@ -370,3 +370,37 @@ def test_parse_transcript_json_and_kafka_stanza(spark):
             kafka_transcript_stream(spark, "localhost:9092", "transcripts")
     else:  # connector present (cluster deployment): stanza must build
         kafka_transcript_stream(spark, "localhost:9092", "transcripts")
+
+
+def test_stream_auto_induction(spark, tmp_path):
+    """Online template generation (the reference ingest service's
+    match-else-generate loop, micro-batch granularity): batch 1's novel
+    lines induce templates automatically; batch 2's lines of the same
+    shape arrive matched with no manual swap. The unmatched sink holds
+    only the pre-swap batch-1 lines."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+    base_max = box.get().next_template_id()
+    d1 = synth_transcripts(spark, n_convs=8, seed=1)
+    d1.write.mode("append").parquet(in_dir)
+    q = route_stream(spark, file_transcript_stream(spark, in_dir), box, out_dir,
+                     trigger_seconds=1, auto_induce=True)
+    try:
+        q.processAllAvailable()
+        assert box.get().next_template_id() > base_max  # induction fired
+        unmatched_1 = spark.read.parquet(os.path.join(out_dir, "unmatched")).count()
+        assert unmatched_1 > 0  # pre-swap novel lines stay side-channeled
+
+        d2 = synth_transcripts(spark, n_convs=8, seed=2)  # same novel shape
+        d2.write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    unmatched_2 = spark.read.parquet(os.path.join(out_dir, "unmatched")).count()
+    assert unmatched_2 == unmatched_1  # batch 2 fully matched
+    matched = spark.read.parquet(os.path.join(out_dir, "matched"))
+    assert matched.filter(F.col("template_id") >= base_max).count() > 0
