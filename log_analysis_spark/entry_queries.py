@@ -588,6 +588,73 @@ def q_induced_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+# Deterministic PII-bearing line construction (both engines): every row
+# carries an email + an IPv4; thirds carry a card-like account number,
+# fifths a bearer token, sevenths an AWS-style key id.
+_PII_LINE_SQL = """
+concat('user u', CAST(user_id AS {S}), '@example.com from 10.', CAST(user_id % 256 AS {S}), '.0.', CAST(event_id % 256 AS {S}),
+  CASE WHEN event_id % 3 = 0 THEN concat(' card ', CAST(4000000000000000 + event_id AS {S})) ELSE '' END,
+  CASE WHEN event_id % 5 = 0 THEN concat(' auth Bearer tok_', substr(md5(CAST(event_id AS {S})), 1, 12)) ELSE '' END,
+  CASE WHEN event_id % 7 = 0 THEN concat(' key AKIA', upper(substr(md5(CAST(user_id AS {S})), 1, 16))) ELSE '' END)
+""".strip()
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/secret scrubbing (operators/redaction.py): per-category span
+    counts on progressively-redacted text + distinct fully-redacted
+    lines. Row-local regexp chain from ONE rule table, rendered for both
+    engines — the scrubbing pass a retention/training pipeline runs."""
+    from .operators.redaction import PII_RULES, pii_span_counts, redact_col
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_PII_LINE_SQL.format(S="STRING"))
+    counts = pii_span_counts(line)
+    per_row = ev.select(
+        *[counts[cat].alias(f"n_{cat}") for cat, _p, _r in PII_RULES],
+        redact_col(line).alias("redacted"),
+    )
+    return per_row.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(f"n_{cat}").alias(f"{cat}_spans") for cat, _p, _r in PII_RULES],
+        F.countDistinct("redacted").alias("n_distinct_redacted"),
+    )
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal: per-doc duplicated word-3-gram
+    fraction (1 - distinct/total), row-local JVM expressions — the cheap
+    filter that catches template-generated boilerplate before training."""
+    from .operators.dedup import normalized_text
+    from .operators.dedup import shingle_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(normalized_text(F.col("text")), " ")
+    total = F.greatest(F.size(words) - 2, F.lit(0))
+    distinct = shingle_count_col("text", 3)
+    ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", total.alias("n_grams"), distinct.alias("n_distinct"),
+        ratio.alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context-window assembly (operators/context.py): per user, keep
+    the most recent events whose BPE-ish token total fits a 120-token
+    budget; report kept turns + tokens. One window over the conversation
+    key, no UDFs."""
+    from .operators.context import context_window
+
+    ev = _t(spark, sf_dir, "events")
+    kept = context_window(ev, "user_id", ("ts", "event_id"), "props", max_tokens=120)
+    return (
+        kept.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("kept_turns"),
+             F.sum("n_tok").alias("kept_tokens"))
+        .orderBy("user_id")
+    )
+
+
 def q_exact_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup digest + representative per doc (row-level md5 parity)."""
     from .operators.dedup import md5_long, normalized_text
@@ -1159,6 +1226,45 @@ SELECT event_id, template_id,
 FROM _assign ORDER BY event_id
 """.strip()
 
+    from .operators.redaction import PII_RULES, pii_span_counts_sql_duck, redact_sql_duck
+
+    pii_line_duck = _PII_LINE_SQL.format(S="VARCHAR")
+    pii_counts = pii_span_counts_sql_duck("line")
+    sql["pii_redaction"] = f"""
+WITH l AS (SELECT {pii_line_duck} AS line FROM events)
+SELECT count(*) AS n_rows,
+       {', '.join(f'CAST(sum({pii_counts[cat]}) AS BIGINT) AS {cat}_spans' for cat, _p, _r in PII_RULES)},
+       count(DISTINCT {redact_sql_duck('line')}) AS n_distinct_redacted
+FROM l
+""".strip()
+
+    sql["repetition_ratio"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         greatest(len(string_split({_DUCK_NORM}, ' ')) - 2, 0) AS n_grams,
+         len({_DUCK_SHINGLES}) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0 THEN round(1.0 - n_distinct * 1.0 / n_grams, 6) ELSE 0.0 END AS dup_ratio
+FROM s ORDER BY doc_id
+""".strip()
+
+    sql["context_window"] = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         len(regexp_extract_all(props, '[A-Za-z]{1,4}|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS n_tok
+  FROM events
+),
+c AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT user_id, count(*) AS kept_turns, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+FROM c WHERE cum <= 120 GROUP BY user_id ORDER BY user_id
+""".strip()
+
     sql["exact_dedup_digest"] = f"""
 WITH d AS (SELECT doc_id, {_DUCK_DIGEST} AS digest FROM documents),
 r AS (SELECT digest, min(doc_id) AS rep_id FROM d GROUP BY digest)
@@ -1280,6 +1386,9 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,
         "exact_dedup_digest": q_exact_dedup_digest,
+        "pii_redaction": q_pii_redaction,
+        "repetition_ratio": q_repetition_ratio,
+        "context_window": q_context_window,
         "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
         "embedding_topk": q_embedding_topk,

@@ -1,0 +1,46 @@
+"""Context-window assembly: keep each conversation's most recent turns
+that fit a token budget — the projection every LLM serving/training
+pipeline applies before building a prompt from a transcript.
+
+Plan shape: one window (partitioned by the conversation key, ordered
+recent-first) computing a running token sum, then a filter — a single
+shuffle on the conversation key, which at 10^12 turns is the same
+partitioning the pipeline already uses for per-conversation work (so in
+context it reuses the existing exchange). No UDFs; the token estimate is
+the engine-portable BPE-ish regex from text_analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import token_count_cols
+
+
+def context_window(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: tuple[str, ...],
+    text_col: str,
+    max_tokens: int,
+) -> DataFrame:
+    """Rows of ``df`` whose running token total — counted from the most
+    recent row backwards (``order_cols`` descending, later columns break
+    ties) — stays within ``max_tokens``. Adds ``n_tok`` (this row) and
+    ``cum_tokens`` (running total including this row). Granularity is
+    whole rows (no mid-row truncation): a row that would overflow the
+    budget is dropped along with everything older, and a conversation
+    whose newest row alone exceeds the budget emits no rows (callers
+    wanting intra-row truncation handle that case downstream)."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*[F.desc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = df.withColumn(
+        "n_tok", token_count_cols(F.col(text_col))["bpe_ish_tokens"])
+    cum = F.sum("n_tok").over(w)
+    # budget is monotone in the cumsum, so a simple filter implements the
+    # "drop this row and everything older" cut
+    return with_tok.withColumn("cum_tokens", cum).filter(F.col("cum_tokens") <= max_tokens)

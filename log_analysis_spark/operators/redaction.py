@@ -1,0 +1,69 @@
+"""PII / secret redaction — the scrubbing pass every log- and
+training-data pipeline runs before retention or training.
+
+Same architecture as the mask builder (functions/masks.py, reference
+smart_template_generator.rs:64-117 priority masking): ONE rule table,
+rendered as a Spark `regexp_replace` chain (JVM, whole-stage codegen)
+and the identical chain in DuckDB dialect for the correctness oracle.
+Patterns restrict themselves to syntax valid in both Java regex and RE2.
+
+Row-local (narrow transformation): redaction scales with the scan, zero
+shuffles at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (category, pattern, replacement) in priority order — earlier rules
+# must not leave partial matches for later ones (email before the bare
+# digit-run rule, key ids before generic tokens).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("key_id", r"\bAKIA[A-Z0-9]{16}\b", "<KEY_ID>"),
+    ("token", r"[Bb]earer [A-Za-z0-9._-]{8,}", "<TOKEN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("account", r"\b\d{12,19}\b", "<ACCOUNT>"),
+)
+
+
+def redact_col(col: Column) -> Column:
+    """Redacted text: every rule's matches replaced by its placeholder."""
+    out = col
+    for _cat, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_sql_duck(expr: str) -> str:
+    """The identical chain in DuckDB dialect ('g' = replace all)."""
+    out = expr
+    for _cat, pat, repl in PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def pii_span_counts(col: Column) -> dict[str, Column]:
+    """Per-category match count for one row (regexp_extract_all size).
+
+    Counts are taken on the PROGRESSIVELY REDACTED text, mirroring the
+    replace chain: an email's digits must not also count as an account
+    number, exactly like mask priority ordering in the reference.
+    """
+    out: dict[str, Column] = {}
+    cur = col
+    for cat, pat, repl in PII_RULES:
+        out[cat] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
+def pii_span_counts_sql_duck(expr: str) -> dict[str, str]:
+    """DuckDB rendering of pii_span_counts (same progressive semantics)."""
+    out: dict[str, str] = {}
+    cur = expr
+    for cat, pat, repl in PII_RULES:
+        out[cat] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return out
