@@ -114,6 +114,7 @@ def main() -> None:
         "minhash_signatures", "shingle_counts", "embedding_topk",
         "text_quality", "variable_extraction", "induced_templates",
         "simhash_sigs", "token_signatures", "lang_id",
+        "pii_redaction", "repetition_ratio", "context_window",
     ):
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

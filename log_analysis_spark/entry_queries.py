@@ -622,15 +622,17 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/boilerplate signal: per-doc duplicated word-3-gram
-    fraction (1 - distinct/total), row-local JVM expressions — the cheap
-    filter that catches template-generated boilerplate before training."""
-    from .operators.dedup import normalized_text
-    from .operators.dedup import shingle_count_col
+    fraction (1 - distinct/total) — the cheap filter that catches
+    template-generated boilerplate before training. Row-local: the gram
+    total is a JVM expression; the distinct count is the Arrow-batched
+    kernel (Spark evaluates HOF gram construction interpreted, measured
+    ~23x slower — see BENCH/BASELINE.md round-2 table)."""
+    from .operators.dedup import normalized_text, shingle_count_udf
 
     docs = _t(spark, sf_dir, "documents")
     words = F.split(normalized_text(F.col("text")), " ")
     total = F.greatest(F.size(words) - 2, F.lit(0))
-    distinct = shingle_count_col("text", 3)
+    distinct = shingle_count_udf(spark, 3)(F.col("text"))
     ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id", total.alias("n_grams"), distinct.alias("n_distinct"),
