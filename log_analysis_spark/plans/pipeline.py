@@ -171,12 +171,22 @@ def run_pipeline(
     skipped = resume and _done(s3)
     if not skipped:
         routed = spark.read.parquet(sinks["by_role"])
-        template_counts(routed, salt_buckets=8).write.mode("overwrite").parquet(
-            os.path.join(s3, "template_counts"))
-        conv_histogram(routed, error_template_ids).write.mode("overwrite").parquet(
-            os.path.join(s3, "conv_histogram"))
-        error_tallies(routed, error_template_ids).write.mode("overwrite").parquet(
-            os.path.join(s3, "error_tallies"))
+        # three independent aggregate jobs over the same columnar sink —
+        # submitted concurrently (same rationale as the fan-out sinks in
+        # route_and_write: overlap scheduling/commit tails, identical
+        # outputs to sequential execution)
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = (
+            lambda: template_counts(routed, salt_buckets=8).write.mode(
+                "overwrite").parquet(os.path.join(s3, "template_counts")),
+            lambda: conv_histogram(routed, error_template_ids).write.mode(
+                "overwrite").parquet(os.path.join(s3, "conv_histogram")),
+            lambda: error_tallies(routed, error_template_ids).write.mode(
+                "overwrite").parquet(os.path.join(s3, "error_tallies")),
+        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(lambda f: f(), jobs))
         _mark(s3)
     rec = {"stage": "03_aggregates", "skipped": skipped, "secs": round(time.time() - t0, 3)}
     _lineage(out_dir, rec)

@@ -85,15 +85,20 @@ def route_and_write(
       unmatched/     rows with no template
       examples/      deterministic ~1% sample of matched rows
 
-    Before each partitionBy write the frame is hash-partitioned on
-    (sink key, salt(conv_id)): every task then writes exactly one
-    partition dir, keeping file counts O(tasks) rather than
-    O(tasks x partitions) — the standard recipe against the small-files
-    explosion at scale. Hash + explicit salt (not repartitionByRange:
-    range-boundary sampling EXECUTES THE CHILD PLAN A SECOND TIME, which
-    here means running the match UDF twice over the full input — measured
-    as the single largest cost in the pipeline). The salt spreads a hot
-    role/template over many tasks (skew-safe, deterministic).
+    Partitioning strategy per sink key cardinality:
+    - ``by_role`` (cardinality ~4): written DIRECTLY from the match-UDF
+      pass — no pre-write shuffle. The small-files blow-up a shuffle
+      prevents is only a x(n_roles) multiplier here, while the shuffle
+      itself would move the full payload table over the network.
+    - ``matched`` (template_id: unbounded cardinality): hash-partitioned
+      on (template_id, salt(conv_id)) before the write so every task
+      writes one partition dir — file counts O(tasks), not
+      O(tasks x templates). Hash + explicit salt, NOT repartitionByRange:
+      range-boundary sampling EXECUTES THE CHILD PLAN A SECOND TIME
+      (measured as the single largest pipeline cost when it sat above
+      the match UDF). The salt spreads a hot template over many tasks
+      (skew-safe, deterministic), and its modulus matches the
+      byte-derived write-task count so no task goes empty.
 
     Write-task sizing: the partition count is derived from the INPUT's
     byte size (driver-side file-size sum over ``df.inputFiles()``, no
@@ -117,14 +122,19 @@ def route_and_write(
     # input. Every other sink is derived by re-reading this columnar table
     # (predicate/column pushdown, no Python) — at 10^12 rows you cannot
     # afford to re-run the parse per sink.
-    # Salt key space must match the write-task count: modulo n_write, not
-    # core count — with byte-derived n_write > cores, a smaller modulus
-    # would leave (n_write - cores) x roles write tasks empty and silently
-    # cap the scale-out the byte sizing exists to provide.
+    #
+    # NO repartition before this write: `role` has tiny cardinality (~4),
+    # so the small-files blow-up a pre-write shuffle prevents is only a
+    # x4 multiplier on scan-task count here — while the shuffle itself
+    # moves the FULL payload table over the network at 10^12 rows. Scan
+    # partitioning (maxPartitionBytes) already sizes the writers; each
+    # task holds at most one open writer per role. High-cardinality
+    # partition keys (template_id below) DO get the pre-write shuffle.
+    # Measured: identical wall time locally (UDF-bound), one full-table
+    # Exchange removed from the plan.
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n_write, 1)))
     p_primary = os.path.join(out_dir, "by_role")
-    (df.repartition(*part_args, F.col("role"), salt)
-     .write.mode(mode).option("compression", compression)
+    (df.write.mode(mode).option("compression", compression)
      .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
     routed = spark.read.parquet(p_primary)
@@ -142,21 +152,37 @@ def route_and_write(
                 if c in matched.columns]
     matched_out = matched if full_rows_in_matched else matched.select(*key_cols)
 
-    p = os.path.join(out_dir, "matched")
-    (matched_out.repartition(*part_args, F.col("template_id"), salt)
-     .write.mode(mode).option("compression", compression)
-     .partitionBy("template_id").parquet(p))
-    sinks["matched"] = p
+    # The three derived sinks are independent reads of the (already
+    # durable) primary sink — submit them as CONCURRENT Spark jobs.
+    # Spark's scheduler interleaves their tasks, so executors stay busy
+    # through each job's scheduling/commit tail instead of idling three
+    # times in a row; output contents are identical to sequential writes
+    # (separate directories, no shared state).
+    def _write_matched() -> tuple[str, str]:
+        p = os.path.join(out_dir, "matched")
+        (matched_out.repartition(*part_args, F.col("template_id"), salt)
+         .write.mode(mode).option("compression", compression)
+         .partitionBy("template_id").parquet(p))
+        return "matched", p
 
-    p = os.path.join(out_dir, "unmatched")
-    (routed.filter(F.col("template_id").isNull())
-     .write.mode(mode).option("compression", compression).parquet(p))
-    sinks["unmatched"] = p
+    def _write_unmatched() -> tuple[str, str]:
+        p = os.path.join(out_dir, "unmatched")
+        (routed.filter(F.col("template_id").isNull())
+         .write.mode(mode).option("compression", compression).parquet(p))
+        return "unmatched", p
 
-    p = os.path.join(out_dir, "examples")
-    (deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx"))
-     .write.mode(mode).option("compression", compression).parquet(p))
-    sinks["examples"] = p
+    def _write_examples() -> tuple[str, str]:
+        p = os.path.join(out_dir, "examples")
+        (deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx"))
+         .write.mode(mode).option("compression", compression).parquet(p))
+        return "examples", p
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for name, p in pool.map(lambda f: f(),
+                                (_write_matched, _write_unmatched, _write_examples)):
+            sinks[name] = p
 
     return sinks
 

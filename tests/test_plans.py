@@ -139,3 +139,27 @@ def test_lsh_candidate_semi_join_no_broadcast_hint(spark):
     logical = q._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
     assert "LeftSemi" in _plan(q)
+
+
+def test_primary_sink_write_is_shuffle_free(spark, tmp_path):
+    """route_and_write's primary (by_role) sink: scan -> match UDF ->
+    enrich -> write with NO Exchange — the full payload table is never
+    shuffled (role cardinality ~4 makes the pre-write shuffle's
+    small-files protection a x4 multiplier, not worth a 10^12-row
+    network move). Asserted via the executed plans captured during the
+    write."""
+    from log_analysis_spark.enrich import enrich
+    from log_analysis_spark.sources.writers import route_and_write
+    from log_analysis_spark.synth import synth_transcripts
+
+    df = synth_transcripts(spark, n_convs=20)
+    m = CompiledMatcher(templates=POOL_TEMPLATES)
+    parsed = enrich(with_template_id(df, spark, m), role_dict(spark), tool_dict(spark))
+    # the frame that route_and_write writes first must carry no SHUFFLE
+    # exchange (the enrichment dims' BroadcastExchange is the point)
+    plan = _plan(parsed)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    sinks = route_and_write(parsed, str(tmp_path / "out"))
+    got = spark.read.parquet(sinks["by_role"]).count()
+    assert got == df.count()
