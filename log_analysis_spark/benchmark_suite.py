@@ -221,11 +221,75 @@ def run_dataset(spark: SparkSession, spec: DatasetSpec, work_dir: str) -> dict:
     }
 
 
+def run_mixed(spark: SparkSession, specs: list[DatasetSpec], work_dir: str) -> dict:
+    """The reference's MIXED mode (benchmarks.rs:549-560): one interleaved
+    stream over every dataset's traffic, matched against the UNION of all
+    template pools (one big matcher — the vectorized-AC + sparse-scoring
+    path), with per-dataset accuracy under the combined pool. This is the
+    heterogeneous-traffic case a shared ingest cluster actually sees."""
+    from .matcher import with_template_id
+    from .operators.aggregates import grouping_accuracy
+
+    path = os.path.join(work_dir, "_mixed")
+    frames = []
+    pool: list[LogTemplate] = []
+    for di, spec in enumerate(specs):
+        frames.append(
+            synth_corpus(spark, spec).select(
+                F.concat(F.lit(spec.name + "/"), F.col("event_id")).alias("event_id"),
+                "line",
+            ))
+        for i, t in enumerate(make_templates(spec)):
+            pool.append(LogTemplate(1000 * (di + 1) + i + 1,
+                                    loghub_template_to_regex(t), example=t))
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    # interleave: repartition by a hash of the row so every task sees a
+    # mix of all datasets (the round-robin analog), then materialize
+    union.repartition(64, F.xxhash64("event_id", "line")) \
+        .write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    n_lines = corpus.count()
+    matcher = CompiledMatcher(templates=tuple(pool))
+
+    matched = with_template_id(corpus, spark, matcher, text_col="line")
+    matched.count()  # warm
+    t0 = time.time()
+    matched.count()
+    match_sec = time.time() - t0
+    acc = grouping_accuracy(matched).collect()[0]
+    per_ds = (
+        matched.withColumn("ds", F.split("event_id", "/")[0])
+        .withColumn("hit", (F.col("template_id") / 1000).cast("int"))
+        .groupBy("ds")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("hit").isNotNull().cast("long")).alias("n_matched"))
+        .collect()
+    )
+    return {
+        "dataset": "mixed_all",
+        "fmt": "mixed",
+        "n_lines": n_lines,
+        "n_templates": len(pool),
+        "match_sec": round(match_sec, 3),
+        "lines_per_sec": round(n_lines / max(match_sec, 1e-9), 1),
+        "accuracy_pct": round(float(acc["accuracy_pct"]), 3),
+        "withheld": 0,
+        "induced_templates": 0,
+        "accuracy_after_induction_pct": round(float(acc["accuracy_pct"]), 3),
+        "unmatched_after_induction": min(int(r["n"] - r["n_matched"]) for r in per_ds),
+    }
+
+
 def run_suite(spark: SparkSession, specs: list[DatasetSpec], work_dir: str,
-              results_dir: str | None = None) -> list[dict]:
-    """Run all datasets; persist JSON + CSV like the reference's results
-    sink (benchmarks.rs:219-257). Asserts the accuracy floor per dataset."""
+              results_dir: str | None = None, mixed: bool = True) -> list[dict]:
+    """Run all datasets (+ the mixed union-pool mode); persist JSON + CSV
+    like the reference's results sink (benchmarks.rs:219-257). Asserts
+    the accuracy floor per dataset."""
     rows = [run_dataset(spark, s, work_dir) for s in specs]
+    if mixed and len(specs) > 1:
+        rows.append(run_mixed(spark, specs, work_dir))
     for r in rows:
         assert r["accuracy_pct"] > ACCURACY_FLOOR_PCT, r
         assert r["accuracy_after_induction_pct"] > ACCURACY_FLOOR_PCT, r

@@ -40,7 +40,11 @@ def test_suite_accuracy_and_induction(spark, tmp_path):
         DatasetSpec("sb_syslog_16t", 16, 1500, 1.2, "syslog", seed=22),
     ]
     rows = run_suite(spark, specs, str(tmp_path), results_dir=str(tmp_path / "res"))
-    assert [r["dataset"] for r in rows] == ["sa_plain_10t", "sb_syslog_16t"]
+    assert [r["dataset"] for r in rows] == ["sa_plain_10t", "sb_syslog_16t", "mixed_all"]
+    mixed = rows.pop()
+    # mixed mode: union corpus, union pool, accuracy survives pool merging
+    assert mixed["n_lines"] == 3000 and mixed["n_templates"] == 26
+    assert mixed["accuracy_pct"] > ACCURACY_FLOOR_PCT
     for r in rows:
         assert r["n_lines"] == 1500
         assert r["accuracy_pct"] > ACCURACY_FLOOR_PCT
