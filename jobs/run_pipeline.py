@@ -24,6 +24,10 @@ def main() -> None:
     ap.add_argument("--induce", action="store_true",
                     help="learn templates for unmatched lines before routing")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--batch-preset", choices=("streaming", "batch", "bulk"),
+                    default="batch",
+                    help="MatcherConfig preset (matcher_config.rs:36-55): "
+                         "scoring-chunk/Arrow batch sizing; results identical")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,7 +39,7 @@ def main() -> None:
     from log_analysis_spark.plans.pipeline import run_pipeline
     from log_analysis_spark.sources.readers import read_transcripts
     from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
-    from log_analysis_spark.templates import CompiledMatcher
+    from log_analysis_spark.templates import CompiledMatcher, MatcherConfig
 
     if args.input:
         df = read_transcripts(spark, args.input)
@@ -44,8 +48,9 @@ def main() -> None:
     else:
         raise SystemExit("need --input or --synth-convs")
 
+    cfg = getattr(MatcherConfig, args.batch_preset)()
     manifest = run_pipeline(
-        spark, df, CompiledMatcher(templates=POOL_TEMPLATES), args.out,
+        spark, df, CompiledMatcher.from_config(POOL_TEMPLATES, cfg), args.out,
         resume=not args.no_resume, induce_unmatched=args.induce,
     )
     print(json.dumps({"sink_counts": manifest["sink_counts"],
