@@ -48,7 +48,11 @@ def run_datasets_mode(quick: bool, lines_per_dataset: int) -> None:
     base = os.environ.get("BENCH_WORK_DIR",
                           "/dev/shm" if os.path.isdir("/dev/shm") else None)
     work = tempfile.mkdtemp(prefix="bench_ds_", dir=base)
-    results_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    # quick smoke runs must never clobber the recorded full-sweep
+    # artifacts — they get their own files
+    results_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "quick" if quick else "")
     try:
         t0 = time.time()
         rows = run_suite(spark, specs, work, results_dir=results_dir)

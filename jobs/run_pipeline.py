@@ -49,6 +49,11 @@ def main() -> None:
         raise SystemExit("need --input or --synth-convs")
 
     cfg = getattr(MatcherConfig, args.batch_preset)()
+    # Arrow batch sizing is a runtime-settable SQL conf — wire the preset
+    # here too (under spark-submit we attach to an existing session, so
+    # get_spark(arrow_batch_rows=...) isn't in play).
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(cfg.batch_rows))
     manifest = run_pipeline(
         spark, df, CompiledMatcher.from_config(POOL_TEMPLATES, cfg), args.out,
         resume=not args.no_resume, induce_unmatched=args.induce,

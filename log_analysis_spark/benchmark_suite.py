@@ -40,7 +40,6 @@ _VERBS = ("spawned", "deleted", "attached", "migrated", "cached", "granted",
 _NOUNS = ("instance", "volume", "snapshot", "tenant", "endpoint", "worker",
           "shard", "replica", "segment", "session", "request", "bucket",
           "lease", "queue", "token", "probe")
-_PREFIXES = ("", "", "")  # plain format; syslog/kv variants add their own
 
 
 @dataclass(frozen=True)
@@ -228,7 +227,6 @@ def run_mixed(spark: SparkSession, specs: list[DatasetSpec], work_dir: str) -> d
     path), with per-dataset accuracy under the combined pool. This is the
     heterogeneous-traffic case a shared ingest cluster actually sees."""
     from .matcher import with_template_id
-    from .operators.aggregates import grouping_accuracy
 
     path = os.path.join(work_dir, "_mixed")
     frames = []
@@ -259,14 +257,22 @@ def run_mixed(spark: SparkSession, specs: list[DatasetSpec], work_dir: str) -> d
     matched.count()
     match_sec = time.time() - t0
     acc = grouping_accuracy(matched).collect()[0]
+    # per-dataset routing check under the union pool: a line counts as
+    # correctly routed only when its winning template belongs to its OWN
+    # dataset's id range — cross-pool hits are exactly the confusion the
+    # mixed mode exists to measure, and count as mis-routed below.
+    ds_index = {spec.name: di for di, spec in enumerate(specs)}
+    idx_map = F.create_map(*[x for name, di in ds_index.items()
+                             for x in (F.lit(name), F.lit(di))])
     per_ds = (
         matched.withColumn("ds", F.split("event_id", "/")[0])
-        .withColumn("hit", (F.col("template_id") / 1000).cast("int"))
+        .withColumn("own", (F.col("template_id") / 1000).cast("int") - 1 == idx_map[F.col("ds")])
         .groupBy("ds")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("hit").isNotNull().cast("long")).alias("n_matched"))
+             F.sum(F.coalesce(F.col("own"), F.lit(False)).cast("long")).alias("n_own"))
         .collect()
     )
+    mis_routed = sum(int(r["n"] - r["n_own"]) for r in per_ds)
     return {
         "dataset": "mixed_all",
         "fmt": "mixed",
@@ -278,7 +284,9 @@ def run_mixed(spark: SparkSession, specs: list[DatasetSpec], work_dir: str) -> d
         "withheld": 0,
         "induced_templates": 0,
         "accuracy_after_induction_pct": round(float(acc["accuracy_pct"]), 3),
-        "unmatched_after_induction": min(int(r["n"] - r["n_matched"]) for r in per_ds),
+        # TOTAL lines not matched by their own dataset's templates
+        # (unmatched + cross-pool hits)
+        "unmatched_after_induction": mis_routed,
     }
 
 

@@ -797,7 +797,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
-_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# The dedup family's explicit whitespace class (see operators/dedup.py
+# WS_CLASS): RE2's \s excludes \x0B and DuckDB's trim() strips Unicode
+# whitespace, so both are replaced with the literal class + a
+# spaces-only regex trim for exact parity with the JVM normalizer.
+_DUCK_WS = "[ \t\n\x0b\f\r]"
+_DUCK_NORM = ("regexp_replace(regexp_replace(regexp_replace(lower(text), "
+              f"'{_DUCK_WS}+', ' ', 'g'), '^ +', ''), ' +$', '')")
 _DUCK_DIGEST = f"CAST(('0x' || substr(md5({_DUCK_NORM}), 1, 15)) AS BIGINT)"
 # distinct word-3-gram list per doc
 _DUCK_SHINGLES = (
@@ -978,7 +984,7 @@ FROM l ORDER BY event_id
         f"THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) * {1 << k}"
         for k in range(64))
     sql["simhash_sigs"] = f"""
-WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), w -> w <> '') AS toks FROM documents),
+WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks FROM documents),
 h AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 16)) AS UBIGINT)) AS hs FROM t),
 s AS (SELECT doc_id, ({bits_sum}) AS u FROM h)
 SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash

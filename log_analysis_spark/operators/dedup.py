@@ -37,9 +37,27 @@ def md5_long(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
 
 
+# One explicit whitespace class for the whole dedup family. Engine \s
+# classes disagree at the edges (Java \s includes \x0B, RE2's doesn't,
+# Python str.split() is Unicode-wide), so the JVM normalizer, the DuckDB
+# oracle, and the Python kernels all use THIS literal class — identical
+# tokens on every engine for any input.
+WS_CLASS = "[ \t\n\x0b\f\r]"
+_WS_TRANS = str.maketrans({c: " " for c in "\t\n\x0b\f\r"})
+
+
+def ascii_words_py(text: str) -> list[str]:
+    """Python-kernel tokenizer mirroring normalized_text + split(' '):
+    lowercase, the explicit ASCII whitespace class collapses to spaces,
+    empty tokens dropped. Unicode spaces (NBSP etc.) stay inside tokens,
+    exactly like both SQL renderings."""
+    return [w for w in text.lower().translate(_WS_TRANS).split(" ") if w]
+
+
 def normalized_text(col: Column) -> Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Canonical form for exact dedup: lowercase, collapse whitespace
+    (the explicit class above, NOT \\s — cross-engine parity)."""
+    return F.trim(F.regexp_replace(F.lower(col), WS_CLASS + "+", " "))
 
 
 # -- exact ------------------------------------------------------------------
@@ -144,7 +162,7 @@ def shingle_count_udf(spark, n: int = 3):
             if not isinstance(t, str):
                 out.append(0)
                 continue
-            w = t.lower().split()
+            w = ascii_words_py(t)
             out.append(len({" ".join(w[i:i + n]) for i in range(len(w) - n + 1)})
                        if len(w) >= n else 0)
         return pd.Series(out, dtype="int64")
@@ -233,7 +251,7 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
             if not isinstance(t, str):
                 out.append(None)
                 continue
-            words = t.lower().split()
+            words = ascii_words_py(t)
             if len(words) < n:
                 out.append(None)
                 continue
@@ -317,7 +335,7 @@ def minhash_lsh_pairs(
     @F.pandas_udf(T.DoubleType())
     def _jaccard_pair(ta: pd.Series, tb: pd.Series) -> pd.Series:
         def sh_set(t):
-            w = t.lower().split() if isinstance(t, str) else []
+            w = ascii_words_py(t) if isinstance(t, str) else []
             return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
         out = []
         for a, b in zip(ta, tb):
@@ -379,6 +397,8 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20,
     Only nodes that appear in >= 1 pair are returned (singletons are
     their own representative by definition).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.union(rev).distinct().persist()
@@ -476,7 +496,7 @@ def simhash_udf(spark):
             if not isinstance(t, str) or not t:
                 continue
             acc = np.zeros(64, dtype=np.int64)
-            for tok in set(t.lower().split()):
+            for tok in set(ascii_words_py(t)):
                 bits = np.unpackbits(np.frombuffer(
                     hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8))
                 acc += bits.astype(np.int64) * 2 - 1

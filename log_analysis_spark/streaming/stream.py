@@ -106,6 +106,7 @@ def route_stream(
     max_retries: int = 3,
     auto_induce: bool = False,
     induce_min_support: int = 1,
+    max_templates: int = 10_000,
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
@@ -129,7 +130,16 @@ def route_stream(
     than the reference's per-line mid-scan insertion, which a distributed
     batch cannot express; the unmatched side-channel still preserves
     every pre-swap line for reprocessing/backfill.
+
+    Growth control: on a noisy stream every distinct junk line is a
+    singleton cluster, and with ``induce_min_support=1`` each would mint
+    a permanent template — the matcher would recompile bigger every
+    batch forever. ``max_templates`` hard-caps the pool (warn + stop
+    inducing at the cap; unmatched lines keep flowing to the
+    side-channel), and raising ``induce_min_support`` to >= 2 is the
+    right setting for streams with unbounded junk diversity.
     """
+    import warnings
     roles = role_dict(spark)
     tools = tool_dict(spark)
 
@@ -154,13 +164,25 @@ def route_stream(
             if auto_induce:
                 from ..induction import induce_templates
 
-                unmatched = parsed.filter(F.col("template_id").isNull()) \
-                    .select(F.col(text_col))
-                new = induce_templates(
-                    spark, unmatched, matcher, text_col=text_col,
-                    min_cluster_size=induce_min_support)
-                if new:
-                    box.swap(matcher.with_templates(new))
+                room = max_templates - len(matcher.templates)
+                if room <= 0:
+                    warnings.warn(
+                        f"auto_induce: template pool at max_templates="
+                        f"{max_templates}; no longer inducing (unmatched "
+                        f"lines continue to the side-channel)")
+                else:
+                    unmatched = parsed.filter(F.col("template_id").isNull()) \
+                        .select(F.col(text_col))
+                    new = induce_templates(
+                        spark, unmatched, matcher, text_col=text_col,
+                        min_cluster_size=induce_min_support)
+                    if len(new) > room:
+                        warnings.warn(
+                            f"auto_induce: capping {len(new)} induced "
+                            f"templates to {room} (max_templates={max_templates})")
+                        new = new[:room]  # highest-support clusters first
+                    if new:
+                        box.swap(matcher.with_templates(new))
         finally:
             parsed.unpersist()
 

@@ -240,3 +240,48 @@ def test_pack_sequences_invariants(spark):
     stats = pack_stats(df, "n_tok", max_tokens=1000, n_buckets=4).collect()
     assert sum(r["n_docs"] for r in stats) == 200
     assert sum(r["n_tokens"] for r in stats) == sum(t for _, t in rows)
+
+
+def test_whitespace_parity_spark_duck_python(spark):
+    """The dedup family tokenizes identically on ALL engines for exotic
+    whitespace (NBSP inside tokens, vertical tab/CR/FF as separators) —
+    the divergence class where Java \\s, RE2 \\s, DuckDB trim(), and
+    Python str.split() all disagree. Pins the round-3 WS_CLASS
+    unification: digest, shingle count, and repetition inputs agree."""
+    import duckdb
+
+    from log_analysis_spark.entry_queries import _DUCK_NORM, _DUCK_SHINGLES
+    from log_analysis_spark.operators.dedup import (
+        ascii_words_py,
+        md5_long,
+        normalized_text,
+        shingle_count_udf,
+    )
+
+    texts = [
+        "a\x0bb c d e",          # vertical tab: separator on every engine now
+        "x y z w v u",      # NBSP: inside-token char on every engine
+        " lead mid trail  pad pad2",  # unicode spaces at the edges
+        "tab\tsep\r\nnewline f g",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    srows = df.select(
+        "doc_id",
+        normalized_text(F.col("text")).alias("norm"),
+        md5_long(normalized_text(F.col("text"))).alias("digest"),
+        shingle_count_udf(spark, 3)(F.col("text")).alias("n_distinct"),
+    ).collect()
+    con = duckdb.connect()
+    for r in sorted(srows, key=lambda r: r["doc_id"]):
+        t = texts[r["doc_id"]]
+        lit = "'" + t.replace("'", "''") + "'"
+        norm_sql = _DUCK_NORM.replace("lower(text)", f"lower({lit})")
+        sh_sql = _DUCK_SHINGLES.replace("lower(text)", f"lower({lit})")
+        dnorm, dsh = con.execute(
+            f"SELECT {norm_sql}, len({sh_sql})").fetchone()
+        assert dnorm == r["norm"], (t, dnorm, r["norm"])
+        assert dsh == r["n_distinct"], (t, dsh, r["n_distinct"])
+        # python kernel tokens == the normalized split
+        assert ascii_words_py(t) == [w for w in r["norm"].split(" ") if w]
