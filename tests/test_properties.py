@@ -129,24 +129,27 @@ def test_token_signatures_kernel_vs_duckdb(words, sep, edge):
     assert tuple(got) == signatures_py(line)
 
 
-@given(st.lists(st.text(alphabet="abcdefgh123 ", min_size=1, max_size=8),
+@given(st.lists(st.text(alphabet="abcdefgh123 \t\x0b ", min_size=1, max_size=8),
                 min_size=3, max_size=30))
 @settings(max_examples=40, deadline=None)
 def test_minhash_kernel_vs_duckdb(words):
     """The one-md5 affine minhash arithmetic agrees across engines for
-    arbitrary word streams (>= 3 words so a shingle set exists)."""
+    arbitrary word streams (>= 3 words so a shingle set exists) — the
+    alphabet includes tab/VT/NBSP to exercise the unified ASCII
+    tokenizer (ascii_words_py) the kernel shares with both SQL sides."""
     import hashlib
 
     import numpy as np
 
     from log_analysis_spark.operators.dedup import (
         MINHASH_P,
+        ascii_words_py,
         minhash_affine_params,
         minhash_affine_sql_duck,
     )
 
     text = " ".join(w.strip() or "x" for w in words)
-    w = text.lower().split()
+    w = ascii_words_py(text)
     if len(w) < 3:
         return
     sh = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
