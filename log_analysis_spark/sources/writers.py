@@ -137,7 +137,13 @@ def route_and_write(
     (df.write.mode(mode).option("compression", compression)
      .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
-    routed = spark.read.parquet(p_primary)
+    try:
+        routed = spark.read.parquet(p_primary)
+    except Exception:
+        # an EMPTY partitioned write leaves no files to infer a schema
+        # from — a legitimate zero-row input (e.g. a filtered backfill
+        # slice) must still produce the full sink family, just empty
+        routed = spark.createDataFrame([], df.schema)
 
     matched = routed.filter(F.col("template_id").isNotNull())
 

@@ -167,3 +167,18 @@ def test_materialized_parsed_checkpoint(spark, tmp_path):
     # resume skips the parsed checkpoint too
     man2 = run_pipeline(spark, df, matcher, out, materialize_parsed=True)
     assert man2["stages"][0]["skipped"]
+
+
+def test_route_and_write_empty_input(spark, tmp_path):
+    """A zero-row input (legitimate: a filtered backfill slice) still
+    produces the whole sink family with zero counts instead of crashing
+    on the unreadable empty partitioned primary sink."""
+    from log_analysis_spark.sources.readers import TRANSCRIPT_SCHEMA
+    from log_analysis_spark.sources.writers import route_and_write, sink_counts
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA) \
+        .withColumn("template_id", F.lit(None).cast("long"))
+    sinks = route_and_write(empty, str(tmp_path / "out"))
+    counts = sink_counts(spark, sinks)
+    assert set(sinks) == {"by_role", "matched", "unmatched", "examples"}
+    assert all(v == 0 for v in counts.values())
