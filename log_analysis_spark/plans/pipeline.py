@@ -156,10 +156,13 @@ def run_pipeline(
     else:
         sinks = {n: os.path.join(s2, n) for n in SINK_NAMES}
     counts = sink_counts(spark, sinks)
+    from ..sources.writers import read_sink
+
     rec = {"stage": "02_routed", "skipped": skipped,
            "secs": round(time.time() - t0, 3), "sink_counts": counts}
     if collect_partition_metrics and not skipped:
-        rec["partitions"] = _partition_metrics(spark.read.parquet(sinks["by_role"]))
+        rec["partitions"] = _partition_metrics(
+            read_sink(spark, sinks["by_role"], schema=parsed.schema))
     _lineage(out_dir, rec)
     manifest["stages"].append(rec)
     manifest["sink_counts"] = counts
@@ -170,7 +173,7 @@ def run_pipeline(
     t0 = time.time()
     skipped = resume and _done(s3)
     if not skipped:
-        routed = spark.read.parquet(sinks["by_role"])
+        routed = read_sink(spark, sinks["by_role"], schema=parsed.schema)
         # three independent aggregate jobs over the same columnar sink —
         # submitted concurrently (same rationale as the fan-out sinks in
         # route_and_write: overlap scheduling/commit tails, identical

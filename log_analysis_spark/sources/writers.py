@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _has_parquet_files(path: str) -> bool:
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a sink directory, treating a legitimately-EMPTY partitioned
+    sink (a directory with no parquet files — Spark cannot infer a schema
+    from one) as an empty frame with ``schema``.
+
+    The emptiness check is an explicit file scan, NOT an exception catch:
+    a read that fails for any other reason (corrupt footer, FS error)
+    must propagate — silently treating it as empty would let a later
+    overwrite clobber real data.
+    """
+    if _has_parquet_files(path):
+        return spark.read.parquet(path)
+    if schema is None:
+        raise FileNotFoundError(
+            f"sink {path} is empty (no parquet files) and no schema was "
+            f"provided to synthesize an empty frame")
+    return spark.createDataFrame([], schema)
+
+
 def deterministic_sample(df: DataFrame, rate_pct: int, row_key_cols: tuple[str, ...]) -> DataFrame:
     """Seeded-equivalent Bernoulli sample: md5 bucket of the row key.
 
@@ -137,13 +163,9 @@ def route_and_write(
     (df.write.mode(mode).option("compression", compression)
      .partitionBy("role").parquet(p_primary))
     sinks["by_role"] = p_primary
-    try:
-        routed = spark.read.parquet(p_primary)
-    except Exception:
-        # an EMPTY partitioned write leaves no files to infer a schema
-        # from — a legitimate zero-row input (e.g. a filtered backfill
-        # slice) must still produce the full sink family, just empty
-        routed = spark.createDataFrame([], df.schema)
+    # a zero-row input (e.g. a filtered backfill slice) leaves an empty
+    # partitioned sink; the full (empty) sink family is still produced
+    routed = read_sink(spark, p_primary, schema=df.schema)
 
     matched = routed.filter(F.col("template_id").isNotNull())
 
@@ -226,10 +248,19 @@ def read_template_slice(
     (conv_id, turn_idx) — at scale the join's left side is one partition
     directory, so this reads a tiny fraction of the table.
     """
-    keys = spark.read.parquet(sinks["matched"]).filter(
-        F.col("template_id") == template_id)
-    payload = spark.read.parquet(sinks["by_role"]).select(
-        "conv_id", "turn_idx", *payload_cols)
+    if _has_parquet_files(sinks["by_role"]):
+        payload = spark.read.parquet(sinks["by_role"])
+    else:  # fully-empty run: transcript payload columns are strings
+        payload = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, "
+                + ", ".join(f"{c} string" for c in payload_cols))
+    payload = payload.select("conv_id", "turn_idx", *payload_cols)
+    if _has_parquet_files(sinks["matched"]):
+        keys = spark.read.parquet(sinks["matched"])
+    else:  # all-unmatched run: empty keys with the normalized-sink shape
+        keys = (payload.select("conv_id", "turn_idx").limit(0)
+                .withColumn("template_id", F.lit(None).cast("long")))
+    keys = keys.filter(F.col("template_id") == template_id)
     return keys.join(payload, ["conv_id", "turn_idx"], "left")
 
 

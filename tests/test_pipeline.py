@@ -182,3 +182,21 @@ def test_route_and_write_empty_input(spark, tmp_path):
     counts = sink_counts(spark, sinks)
     assert set(sinks) == {"by_role", "matched", "unmatched", "examples"}
     assert all(v == 0 for v in counts.values())
+
+
+def test_run_pipeline_empty_input(spark, tmp_path):
+    """The FULL pipeline (not just route_and_write) completes on a
+    zero-row input: stage-3 aggregates and partition metrics read the
+    empty sinks through read_sink; read_template_slice handles an
+    all-empty matched sink too."""
+    from log_analysis_spark.plans.pipeline import run_pipeline
+    from log_analysis_spark.sources.readers import TRANSCRIPT_SCHEMA
+    from log_analysis_spark.sources.writers import read_template_slice
+
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    man = run_pipeline(spark, empty, CompiledMatcher(templates=POOL_TEMPLATES),
+                       str(tmp_path / "out"), resume=False,
+                       collect_partition_metrics=True)
+    assert all(v == 0 for v in man["sink_counts"].values())
+    slice_df = read_template_slice(spark, man["sink_paths"], template_id=1)
+    assert slice_df.count() == 0

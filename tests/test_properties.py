@@ -134,9 +134,12 @@ def test_token_signatures_kernel_vs_duckdb(words, sep, edge):
 @settings(max_examples=40, deadline=None)
 def test_minhash_kernel_vs_duckdb(words):
     """The one-md5 affine minhash arithmetic agrees across engines for
-    arbitrary word streams (>= 3 words so a shingle set exists) — the
-    alphabet includes tab/VT/NBSP to exercise the unified ASCII
-    tokenizer (ascii_words_py) the kernel shares with both SQL sides."""
+    arbitrary word streams (>= 3 words so a shingle set exists). DuckDB
+    receives the python-side shingle set as a literal here, so what this
+    checks is the AFFINE ARITHMETIC only; tab/VT/NBSP in the alphabet
+    exercise ascii_words_py's shingle construction, and cross-engine
+    TOKENIZER parity is pinned separately by
+    tests/test_dedup.py::test_whitespace_parity_spark_duck_python."""
     import hashlib
 
     import numpy as np
