@@ -994,7 +994,7 @@ FROM s ORDER BY doc_id
     sql["sequence_packing"] = """
 WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS n_tok,
+         len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^ \t\n\x0b\f\rA-Za-z0-9]')) AS n_tok,
          CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS pack_bucket
   FROM documents
 ),
@@ -1037,7 +1037,7 @@ GROUP BY tr.doc_id ORDER BY train_doc_id
     sql["curation_funnel"] = f"""
 WITH f AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words,
          length(text) AS n_chars,
          {_DUCK_DIGEST} AS digest
   FROM documents
@@ -1261,7 +1261,7 @@ FROM s ORDER BY doc_id
     sql["context_window"] = """
 WITH t AS (
   SELECT user_id, event_id, ts,
-         len(regexp_extract_all(props, '[A-Za-z]{1,4}|[0-9]{1,3}|[^\\sA-Za-z0-9]')) AS n_tok
+         len(regexp_extract_all(props, '[A-Za-z]{1,4}|[0-9]{1,3}|[^ \t\n\x0b\f\rA-Za-z0-9]')) AS n_tok
   FROM events
 ),
 c AS (
@@ -1319,9 +1319,9 @@ ORDER BY id_a, id_b
     sql["text_quality"] = f"""
 WITH f AS (
   SELECT doc_id, text,
-         CASE WHEN length(trim(text)) > 0 THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^\\sA-Za-z0-9]')) AS bpe_ish_tokens,
-         regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+         CASE WHEN length(trim(text)) > 0 THEN len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) ELSE 0 END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^ \t\n\x0b\f\rA-Za-z0-9]')) AS bpe_ish_tokens,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words,
          length(text) AS n_chars
   FROM documents
 ),
@@ -1350,7 +1350,7 @@ FROM g ORDER BY doc_id
     langs, lang_exprs, greatest_all = _duck_lang_parts()
     pick = " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs[:-1])
     sql["lang_id"] = f"""
-WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS words FROM documents),
+WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words FROM documents),
 s AS (SELECT {', '.join(lang_exprs)} FROM f),
 b AS (SELECT greatest({greatest_all}) AS mx, * FROM s),
 l AS (SELECT CASE WHEN mx < 0.01 THEN 'unknown'

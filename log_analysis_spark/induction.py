@@ -29,6 +29,7 @@ partition.
 from __future__ import annotations
 
 import re
+import warnings
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -157,8 +158,20 @@ def induce_templates(
     min_cluster_size: int = 1,
     max_samples_per_cluster: int = 64,
     signature_mode: str = "mask",
+    max_templates: int | None = 10_000,
 ) -> list[LogTemplate]:
     """Learn new templates from unmatched lines; deterministic ids.
+
+    ``max_templates`` hard-caps the induced pool (and, critically, the
+    driver-side collect that materialises it): on a junk-diverse corpus
+    every distinct noise line is a singleton cluster, and an uncapped
+    induction would collect millions of learned templates to the driver
+    and then die compiling the broadcast matcher. The cap keeps the
+    highest-support clusters (the existing (support desc, signature asc)
+    order), warns on truncation, and mirrors the reference's bounded
+    unmatched queue (src/bin/log-ingest-service.rs:33-35) and the
+    streaming path's pool cap (streaming/stream.py route_stream
+    ``max_templates``). ``None`` opts out (trusted small inputs only).
 
     Clusters the aligning learner can't handle — singletons and ragged
     token shapes — fall back to single-line typed-mask generation
@@ -229,12 +242,24 @@ def induce_templates(
     learned = capped.groupBy("_sig").applyInPandas(
         _learn, schema="_sig string, pattern string, variables array<string>, example string"
     )
-    rows = (
+    ranked = (
         learned.join(support, "_sig")
         .filter(F.col("_support") >= min_cluster_size)
         .orderBy(F.desc("_support"), F.asc("_sig"))
-        .collect()
     )
+    if max_templates is not None:
+        # orderBy().limit(n) compiles to TakeOrderedAndProject — per-partition
+        # top-n then a bounded driver merge, never a full collect
+        rows = ranked.limit(max_templates + 1).collect()
+        if len(rows) > max_templates:
+            warnings.warn(
+                f"induce_templates: more than max_templates={max_templates} "
+                f"clusters qualified; keeping the {max_templates} "
+                f"highest-support ones (raise min_cluster_size to shed "
+                f"singleton junk clusters instead of relying on the cap)")
+            rows = rows[:max_templates]
+    else:
+        rows = ranked.collect()
     sig.unpersist()
     base = matcher.next_template_id()
     known = {t.pattern for t in matcher.templates}
@@ -255,14 +280,17 @@ def induce_and_rematch(
     text_col: str = "text",
     min_cluster_size: int = 1,
     signature_mode: str = "mask",
+    max_templates: int | None = 10_000,
 ) -> tuple[DataFrame, CompiledMatcher, list[LogTemplate]]:
     """Two-phase match-else-generate (§3.3): match, induce on the misses,
-    re-match everything with the enlarged matcher."""
+    re-match everything with the enlarged matcher. ``max_templates``
+    bounds the induced pool (see induce_templates)."""
     phase1 = with_template_id(df, spark, matcher, text_col=text_col)
     unmatched = phase1.filter(F.col("template_id").isNull())
     new_templates = induce_templates(
         spark, unmatched, matcher, text_col=text_col,
         min_cluster_size=min_cluster_size, signature_mode=signature_mode,
+        max_templates=max_templates,
     )
     if not new_templates:
         return phase1, matcher, []

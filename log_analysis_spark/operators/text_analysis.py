@@ -16,6 +16,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import WS_CLASS
+
+# BPE-ish subword pattern built on the explicit ASCII whitespace class
+# (NOT \s: Java's \s includes \x0B while RE2's doesn't — same divergence
+# class fixed in dedup.py/token_classes.py; ADVICE r3). The literal
+# control chars are valid in both regex engines.
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|\d{1,3}|[^" + WS_CLASS[1:-1] + "A-Za-z0-9]"
+
 # per-language stopword seed sets (n-gram-free heuristic langid: share of
 # tokens hitting each language's function-word set). Function words are
 # the standard high-frequency closed-class terms of each language.
@@ -34,7 +42,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _words(col: Column) -> Column:
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.split(F.trim(F.lower(col)), WS_CLASS + "+")
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
@@ -104,9 +112,8 @@ def quality_score_col(col: Column) -> Column:
 def token_count_cols(col: Column) -> dict[str, Column]:
     """Token counts: whitespace tokens; BPE-ish subword estimate via a
     regex over word pieces / digits / punctuation runs; char count."""
-    ws = F.size(F.split(F.trim(col), r"\s+"))
-    bpe_ish = F.size(F.regexp_extract_all(
-        col, F.lit(r"[A-Za-z]{1,4}|\d{1,3}|[^\sA-Za-z0-9]"), 0))
+    ws = F.size(F.split(F.trim(col), WS_CLASS + "+"))
+    bpe_ish = F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
     return {
         "ws_tokens": F.when(F.length(F.trim(col)) > 0, ws).otherwise(0),
         "bpe_ish_tokens": bpe_ish,

@@ -173,14 +173,13 @@ def route_stream(
                 else:
                     unmatched = parsed.filter(F.col("template_id").isNull()) \
                         .select(F.col(text_col))
+                    # max_templates=room bounds the induction's own
+                    # driver-side collect (TakeOrdered, highest-support
+                    # first) — not just the pool size after the fact
                     new = induce_templates(
                         spark, unmatched, matcher, text_col=text_col,
-                        min_cluster_size=induce_min_support)
-                    if len(new) > room:
-                        warnings.warn(
-                            f"auto_induce: capping {len(new)} induced "
-                            f"templates to {room} (max_templates={max_templates})")
-                        new = new[:room]  # highest-support clusters first
+                        min_cluster_size=induce_min_support,
+                        max_templates=room)
                     if new:
                         box.swap(matcher.with_templates(new))
         finally:

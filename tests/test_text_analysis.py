@@ -216,3 +216,36 @@ def test_context_window_semantics(spark):
     # raise the budget: everything fits
     all_kept = context_window(df, "conv", ("ts", "turn"), "text", max_tokens=100)
     assert all_kept.count() == 4
+
+
+def test_token_counts_vertical_tab_cross_engine(spark):
+    """\\x0B divergence pin (ADVICE r3): Java \\s includes vertical tab,
+    RE2's doesn't — the explicit ASCII class makes Spark and DuckDB agree
+    on texts containing \\x0B."""
+    import duckdb
+    import pandas as pd
+
+    from log_analysis_spark.operators.text_analysis import token_count_cols
+
+    texts = ["a\x0bb c", "x\x0b\x0by", "plain text", "tab\tsep\x0bmix"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    toks = token_count_cols(F.col("text"))
+    got = {
+        r["text"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "text", toks["ws_tokens"].alias("ws"),
+            toks["bpe_ish_tokens"].alias("bpe")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": texts}))
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT text, "
+            "CASE WHEN length(trim(text)) > 0 THEN len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) ELSE 0 END, "
+            "len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^ \t\n\x0b\f\rA-Za-z0-9]')) FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # the \x0B separates tokens on both engines now
+    assert got["a\x0bb c"][0] == 3
