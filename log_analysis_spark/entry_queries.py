@@ -833,15 +833,25 @@ def oracle_sql_map() -> dict[str, str]:
     per query — generation must not be re-paid 40x."""
     import os as _os
 
-    key = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    return dict(_oracle_sql_map_cached(key))
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    # key includes the events parquet's (mtime, size): if a harness
+    # regenerates the fixture at the same path in-process, the cached
+    # induced-pool oracles must not replay against the stale contents
+    # (ADVICE r3)
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = (0, 0)
+    return dict(_oracle_sql_map_cached(sf_dir, fingerprint))
 
 
 from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=4)
-def _oracle_sql_map_cached(_oracle_sf_key: str) -> dict[str, str]:
+def _oracle_sql_map_cached(_oracle_sf_key: str,
+                           _events_fingerprint: tuple[int, int] = (0, 0)) -> dict[str, str]:
     m = entry_matcher()
     line_duck = _LINE_SQL.format(S="VARCHAR")
     fmt_line_duck = _FMT_LINE_SQL.format(S="VARCHAR")

@@ -25,11 +25,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _has_parquet_files(path: str) -> bool:
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def _local_fs_path(path: str) -> str | None:
+    """The local filesystem path for '' / 'file' scheme URIs, else None.
+
+    The os.walk fast-paths below are only valid on the local filesystem:
+    on hdfs:// or s3a:// they would yield nothing and silently treat a
+    populated sink as empty (ADVICE r3) — remote schemes go through
+    Hadoop's FileSystem instead.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or path
+    return None
+
+
+def _hadoop_list_parquet(spark: SparkSession, path: str) -> list[str]:
+    """Recursive .parquet listing of a (possibly remote) URI via Hadoop's
+    FileSystem — the probe that works on every scheme Spark can read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().toString()
+        if name.endswith(".parquet"):
+            out.append(name)
+    return out
+
+
+def _has_parquet_files(path: str, spark: SparkSession | None = None) -> bool:
+    local = _local_fs_path(path)
+    if local is not None:
+        for _root, _dirs, files in os.walk(local):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+    if spark is None:
+        raise ValueError(
+            f"cannot probe non-local sink {path!r} without a SparkSession "
+            f"(a local os.walk would silently report it empty)")
+    return bool(_hadoop_list_parquet(spark, path))
 
 
 def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -42,7 +82,7 @@ def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
     must propagate — silently treating it as empty would let a later
     overwrite clobber real data.
     """
-    if _has_parquet_files(path):
+    if _has_parquet_files(path, spark):
         return spark.read.parquet(path)
     if schema is None:
         raise FileNotFoundError(
@@ -220,18 +260,26 @@ def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
 
     Counts come from parquet footer metadata read driver-side — zero Spark
     jobs (the local analog of reading Iceberg snapshot row counts from the
-    manifest). An empty sink directory is a legitimate 0.
+    manifest). An empty sink directory is a legitimate 0. On non-local
+    URIs (hdfs://, s3a://) the footers aren't reachable via os.walk, so
+    the count falls back to a Spark count job over the probed file list —
+    correct on every scheme, never a silent 0 for a populated remote sink.
     """
     import pyarrow.parquet as pq
 
     out: dict[str, int] = {}
     for name, path in sinks.items():
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-        out[name] = total
+        local = _local_fs_path(path)
+        if local is not None:
+            total = 0
+            for root, _dirs, files in os.walk(local):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+            out[name] = total
+        else:
+            files = _hadoop_list_parquet(spark, path)
+            out[name] = spark.read.parquet(*files).count() if files else 0
     return out
 
 
@@ -248,14 +296,14 @@ def read_template_slice(
     (conv_id, turn_idx) — at scale the join's left side is one partition
     directory, so this reads a tiny fraction of the table.
     """
-    if _has_parquet_files(sinks["by_role"]):
+    if _has_parquet_files(sinks["by_role"], spark):
         payload = spark.read.parquet(sinks["by_role"])
     else:  # fully-empty run: transcript payload columns are strings
         payload = spark.createDataFrame(
             [], "conv_id string, turn_idx int, "
                 + ", ".join(f"{c} string" for c in payload_cols))
     payload = payload.select("conv_id", "turn_idx", *payload_cols)
-    if _has_parquet_files(sinks["matched"]):
+    if _has_parquet_files(sinks["matched"], spark):
         keys = spark.read.parquet(sinks["matched"])
     else:  # all-unmatched run: empty keys with the normalized-sink shape
         keys = (payload.select("conv_id", "turn_idx").limit(0)

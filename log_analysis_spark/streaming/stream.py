@@ -331,11 +331,19 @@ def parse_transcript_json(raw: DataFrame, value_col: str = "value") -> DataFrame
 
 
 def kafka_source_available(spark: SparkSession) -> bool:
-    """True when the spark-sql-kafka connector is on the classpath (it is
-    a separate artifact shipped via --packages; this sandbox lacks it)."""
+    """True when the spark-sql-kafka connector is resolvable (a separate
+    artifact shipped via --packages; this sandbox lacks it).
+
+    Probes via DataSource.lookupDataSource — the resolver format('kafka')
+    itself uses — NOT Class.forName through the py4j gateway classloader:
+    jars supplied via spark.jars.packages land in Spark's mutable URL
+    classloader, which the gateway loader can't see, so a Class.forName
+    probe reports absent even when format('kafka') would work (ADVICE r3).
+    """
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # type: ignore[union-attr]
+            "kafka", spark._jsparkSession.sessionState().conf())
         return True
     except Exception:
         return False

@@ -285,3 +285,14 @@ def test_whitespace_parity_spark_duck_python(spark):
         assert dsh == r["n_distinct"], (t, dsh, r["n_distinct"])
         # python kernel tokens == the normalized split
         assert ascii_words_py(t) == [w for w in r["norm"].split(" ") if w]
+
+
+def test_ngram_jaccard_default_is_scale_safe():
+    """The stop-shingle cap is the DEFAULT (VERDICT r3 #3) — a user
+    calling the operator with defaults at corpus scale gets the bounded
+    self-join; None is an explicit opt-out."""
+    import inspect
+
+    sig = inspect.signature(ngram_jaccard_pairs)
+    default = sig.parameters["max_doc_freq"].default
+    assert default is not None and default > 0
