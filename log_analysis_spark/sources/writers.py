@@ -14,15 +14,68 @@ already task-batched, so the fan-out becomes partitioned parquet writes:
   retries/resume produce identical sinks.
 
 Parquet here stands in for Iceberg (same layout; the sandbox has no
-Iceberg jars — ``table_format`` is pluggable).
+Iceberg jars). The format is pluggable via ``TableFormat``: every sink
+write/read threads through one seam object, so the Iceberg swap is
+``TableFormat("iceberg")`` plus a catalog config on the session — no
+code change at the write sites.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TableFormat:
+    """The sink-family format seam (VERDICT r3 #4).
+
+    ``name`` is any DataFrameWriter format ('parquet' default, 'json',
+    'orc', 'iceberg' with its runtime jar + catalog configured);
+    ``options`` are extra writer options applied to every sink write.
+    Path-based save/load keeps the layout identical across formats; a
+    catalog-table Iceberg deployment would configure
+    ``spark.sql.catalog...`` and pass the warehouse path here.
+    """
+
+    name: str = "parquet"
+    options: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def data_extension(self) -> str:
+        """Extension of the DATA files this format produces (iceberg and
+        delta write parquet data files)."""
+        return "." + {"csv": "csv", "json": "json", "orc": "orc"}.get(
+            self.name, "parquet")
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: tuple[str, ...] = (),
+              compression: str | None = None) -> None:
+        w = df.write.mode(mode).format(self.name)
+        # the pipeline's columnar codec (zstd) only applies to columnar
+        # formats; text formats don't support it (set their codec via
+        # ``options``, e.g. (("compression", "gzip"),))
+        if compression is not None and self.name in ("parquet", "orc"):
+            w = w.option("compression", compression)
+        for k, v in self.options:
+            w = w.option(k, v)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+
+    def read(self, spark: SparkSession, path: str, schema=None) -> DataFrame:
+        r = spark.read.format(self.name)
+        # parquet/orc are self-describing (footer schema, incl. partition
+        # discovery); text formats need the caller's schema to round-trip
+        if schema is not None and self.name not in ("parquet", "orc"):
+            r = r.schema(schema)
+        return r.load(path)
+
+
+PARQUET = TableFormat()
 
 
 def _local_fs_path(path: str) -> str | None:
@@ -41,8 +94,9 @@ def _local_fs_path(path: str) -> str | None:
     return None
 
 
-def _hadoop_list_parquet(spark: SparkSession, path: str) -> list[str]:
-    """Recursive .parquet listing of a (possibly remote) URI via Hadoop's
+def _hadoop_list_parquet(spark: SparkSession, path: str,
+                         ext: str = ".parquet") -> list[str]:
+    """Recursive data-file listing of a (possibly remote) URI via Hadoop's
     FileSystem — the probe that works on every scheme Spark can read."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -53,28 +107,39 @@ def _hadoop_list_parquet(spark: SparkSession, path: str) -> list[str]:
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         name = it.next().getPath().toString()
-        if name.endswith(".parquet"):
+        if _is_data_file(name, ext):
             out.append(name)
     return out
 
 
-def _has_parquet_files(path: str, spark: SparkSession | None = None) -> bool:
+def _is_data_file(name: str, ext: str) -> bool:
+    """Data-file filter shared by the local and Hadoop probes: skip
+    hidden/metadata entries (_SUCCESS, .crc); match the format extension
+    anywhere after the stem since compressed text formats suffix the
+    codec (part-000.json.gz)."""
+    base = name.rsplit("/", 1)[-1]
+    return not base.startswith((".", "_")) and ext in base
+
+
+def _has_parquet_files(path: str, spark: SparkSession | None = None,
+                       ext: str = ".parquet") -> bool:
     local = _local_fs_path(path)
     if local is not None:
         for _root, _dirs, files in os.walk(local):
-            if any(f.endswith(".parquet") for f in files):
+            if any(_is_data_file(f, ext) for f in files):
                 return True
         return False
     if spark is None:
         raise ValueError(
             f"cannot probe non-local sink {path!r} without a SparkSession "
             f"(a local os.walk would silently report it empty)")
-    return bool(_hadoop_list_parquet(spark, path))
+    return bool(_hadoop_list_parquet(spark, path, ext))
 
 
-def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_sink(spark: SparkSession, path: str, schema=None,
+              table_format: TableFormat = PARQUET) -> DataFrame:
     """Read a sink directory, treating a legitimately-EMPTY partitioned
-    sink (a directory with no parquet files — Spark cannot infer a schema
+    sink (a directory with no data files — Spark cannot infer a schema
     from one) as an empty frame with ``schema``.
 
     The emptiness check is an explicit file scan, NOT an exception catch:
@@ -82,8 +147,8 @@ def read_sink(spark: SparkSession, path: str, schema=None) -> DataFrame:
     must propagate — silently treating it as empty would let a later
     overwrite clobber real data.
     """
-    if _has_parquet_files(path, spark):
-        return spark.read.parquet(path)
+    if _has_parquet_files(path, spark, table_format.data_extension):
+        return table_format.read(spark, path, schema)
     if schema is None:
         raise FileNotFoundError(
             f"sink {path} is empty (no parquet files) and no schema was "
@@ -142,6 +207,7 @@ def route_and_write(
     cluster_partitions: int | None = None,
     full_rows_in_matched: bool = False,
     compression: str = "zstd",
+    table_format: TableFormat = PARQUET,
 ) -> dict[str, str]:
     """Fan-out the matched/enriched frame into the sink family.
 
@@ -200,12 +266,13 @@ def route_and_write(
     # Exchange removed from the plan.
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n_write, 1)))
     p_primary = os.path.join(out_dir, "by_role")
-    (df.write.mode(mode).option("compression", compression)
-     .partitionBy("role").parquet(p_primary))
+    table_format.write(df, p_primary, mode=mode, partition_by=("role",),
+                       compression=compression)
     sinks["by_role"] = p_primary
     # a zero-row input (e.g. a filtered backfill slice) leaves an empty
     # partitioned sink; the full (empty) sink family is still produced
-    routed = read_sink(spark, p_primary, schema=df.schema)
+    routed = read_sink(spark, p_primary, schema=df.schema,
+                       table_format=table_format)
 
     matched = routed.filter(F.col("template_id").isNotNull())
 
@@ -228,21 +295,22 @@ def route_and_write(
     # (separate directories, no shared state).
     def _write_matched() -> tuple[str, str]:
         p = os.path.join(out_dir, "matched")
-        (matched_out.repartition(*part_args, F.col("template_id"), salt)
-         .write.mode(mode).option("compression", compression)
-         .partitionBy("template_id").parquet(p))
+        table_format.write(
+            matched_out.repartition(*part_args, F.col("template_id"), salt),
+            p, mode=mode, partition_by=("template_id",), compression=compression)
         return "matched", p
 
     def _write_unmatched() -> tuple[str, str]:
         p = os.path.join(out_dir, "unmatched")
-        (routed.filter(F.col("template_id").isNull())
-         .write.mode(mode).option("compression", compression).parquet(p))
+        table_format.write(routed.filter(F.col("template_id").isNull()),
+                           p, mode=mode, compression=compression)
         return "unmatched", p
 
     def _write_examples() -> tuple[str, str]:
         p = os.path.join(out_dir, "examples")
-        (deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx"))
-         .write.mode(mode).option("compression", compression).parquet(p))
+        table_format.write(
+            deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx")),
+            p, mode=mode, compression=compression)
         return "examples", p
 
     from concurrent.futures import ThreadPoolExecutor
@@ -255,7 +323,8 @@ def route_and_write(
     return sinks
 
 
-def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
+def sink_counts(spark: SparkSession, sinks: dict[str, str],
+                table_format: TableFormat = PARQUET) -> dict[str, int]:
     """Routed-row count per sink (the correctness gate's expected_sink_counts).
 
     Counts come from parquet footer metadata read driver-side — zero Spark
@@ -267,19 +336,22 @@ def sink_counts(spark: SparkSession, sinks: dict[str, str]) -> dict[str, int]:
     """
     import pyarrow.parquet as pq
 
+    ext = table_format.data_extension
     out: dict[str, int] = {}
     for name, path in sinks.items():
         local = _local_fs_path(path)
-        if local is not None:
+        if local is not None and ext == ".parquet":
             total = 0
             for root, _dirs, files in os.walk(local):
                 for fn in files:
                     if fn.endswith(".parquet"):
                         total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
             out[name] = total
+        elif _has_parquet_files(path, spark, ext):
+            # non-parquet / remote: no footer fast-path — one count job
+            out[name] = table_format.read(spark, path).count()
         else:
-            files = _hadoop_list_parquet(spark, path)
-            out[name] = spark.read.parquet(*files).count() if files else 0
+            out[name] = 0
     return out
 
 
@@ -288,6 +360,7 @@ def read_template_slice(
     sinks: dict[str, str],
     template_id: int,
     payload_cols: tuple[str, ...] = ("text",),
+    table_format: TableFormat = PARQUET,
 ) -> DataFrame:
     """Read one per-template table WITH payload from the normalized sinks.
 
@@ -296,15 +369,16 @@ def read_template_slice(
     (conv_id, turn_idx) — at scale the join's left side is one partition
     directory, so this reads a tiny fraction of the table.
     """
-    if _has_parquet_files(sinks["by_role"], spark):
-        payload = spark.read.parquet(sinks["by_role"])
+    ext = table_format.data_extension
+    if _has_parquet_files(sinks["by_role"], spark, ext):
+        payload = table_format.read(spark, sinks["by_role"])
     else:  # fully-empty run: transcript payload columns are strings
         payload = spark.createDataFrame(
             [], "conv_id string, turn_idx int, "
                 + ", ".join(f"{c} string" for c in payload_cols))
     payload = payload.select("conv_id", "turn_idx", *payload_cols)
-    if _has_parquet_files(sinks["matched"], spark):
-        keys = spark.read.parquet(sinks["matched"])
+    if _has_parquet_files(sinks["matched"], spark, ext):
+        keys = table_format.read(spark, sinks["matched"])
     else:  # all-unmatched run: empty keys with the normalized-sink shape
         keys = (payload.select("conv_id", "turn_idx").limit(0)
                 .withColumn("template_id", F.lit(None).cast("long")))
@@ -312,8 +386,9 @@ def read_template_slice(
     return keys.join(payload, ["conv_id", "turn_idx"], "left")
 
 
-def write_templates_dim(templates_df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S6/S9: persist the template dimension (parquet; JSON mirror for
-    human inspection matches the reference's cache files,
+def write_templates_dim(templates_df: DataFrame, path: str, mode: str = "overwrite",
+                        table_format: TableFormat = PARQUET) -> None:
+    """S6/S9: persist the template dimension (parquet default; JSON via
+    TableFormat('json') matches the reference's cache files,
     tests/benchmarks.rs:143-166)."""
-    templates_df.coalesce(1).write.mode(mode).parquet(path)
+    table_format.write(templates_df.coalesce(1), path, mode=mode)

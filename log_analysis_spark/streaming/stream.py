@@ -107,6 +107,7 @@ def route_stream(
     auto_induce: bool = False,
     induce_min_support: int = 1,
     max_templates: int = 10_000,
+    table_format=None,
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
@@ -140,6 +141,10 @@ def route_stream(
     right setting for streams with unbounded junk diversity.
     """
     import warnings
+
+    from ..sources.writers import PARQUET
+
+    fmt = table_format or PARQUET
     roles = role_dict(spark)
     tools = tool_dict(spark)
 
@@ -152,14 +157,16 @@ def route_stream(
         parsed.persist()
         try:
             write_with_retry(
-                lambda: (parsed.filter(F.col("template_id").isNotNull())
-                         .write.mode("overwrite")
-                         .parquet(os.path.join(out_dir, "matched", f"epoch={epoch_id}"))),
+                lambda: fmt.write(
+                    parsed.filter(F.col("template_id").isNotNull()),
+                    os.path.join(out_dir, "matched", f"epoch={epoch_id}"),
+                    mode="overwrite"),
                 max_retries=max_retries)
             write_with_retry(
-                lambda: (parsed.filter(F.col("template_id").isNull())
-                         .write.mode("overwrite")
-                         .parquet(os.path.join(out_dir, "unmatched", f"epoch={epoch_id}"))),
+                lambda: fmt.write(
+                    parsed.filter(F.col("template_id").isNull()),
+                    os.path.join(out_dir, "unmatched", f"epoch={epoch_id}"),
+                    mode="overwrite"),
                 max_retries=max_retries)
             if auto_induce:
                 from ..induction import induce_templates

@@ -200,3 +200,45 @@ def test_run_pipeline_empty_input(spark, tmp_path):
     assert all(v == 0 for v in man["sink_counts"].values())
     slice_df = read_template_slice(spark, man["sink_paths"], template_id=1)
     assert slice_df.count() == 0
+
+
+def test_table_format_seam_json(spark, tmp_path):
+    """VERDICT r3 #4: the sink family's format is a config change.
+    Writing via TableFormat('json') produces the same sink-family counts
+    and matched keys as the parquet default."""
+    from log_analysis_spark.enrich import enrich
+    from log_analysis_spark.matcher import with_template_id
+    from log_analysis_spark.synth import role_dict, tool_dict
+    from log_analysis_spark.sources.writers import (
+        PARQUET, TableFormat, read_sink, route_and_write, sink_counts,
+    )
+    from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+    from log_analysis_spark.templates import CompiledMatcher
+
+    df = synth_transcripts(spark, 40)
+    parsed = enrich(
+        with_template_id(df, spark, CompiledMatcher(templates=POOL_TEMPLATES)),
+        role_dict(spark), tool_dict(spark))
+
+    jfmt = TableFormat("json")
+    sinks_j = route_and_write(parsed, str(tmp_path / "json_out"),
+                              table_format=jfmt)
+    sinks_p = route_and_write(parsed, str(tmp_path / "parquet_out"))
+    counts_j = sink_counts(spark, sinks_j, table_format=jfmt)
+    counts_p = sink_counts(spark, sinks_p)
+    assert counts_j == counts_p
+    assert counts_j["by_role"] > 0
+
+    # value-level: the matched key sets agree across formats
+    keys_j = {(r["conv_id"], r["turn_idx"], r["template_id"])
+              for r in read_sink(spark, sinks_j["matched"],
+                                 table_format=jfmt).collect()}
+    keys_p = {(r["conv_id"], r["turn_idx"], r["template_id"])
+              for r in read_sink(spark, sinks_p["matched"]).collect()}
+    assert keys_j == keys_p
+
+    # data files really are json
+    import glob
+    assert glob.glob(str(tmp_path / "json_out" / "matched" / "**" / "*.json*"),
+                     recursive=True)
+    assert PARQUET.data_extension == ".parquet" and jfmt.data_extension == ".json"
