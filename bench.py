@@ -205,6 +205,22 @@ def main() -> None:
         q_big.count()
         timings["match_only_210tmpl"] = round(time.time() - t0, 3)
 
+        # 5k-template pool: past the default ac_memory_budget estimate the
+        # matcher would fall back to pyarrow, so pin the budget high enough
+        # that this measures the DENSE-AC + sparse-scoring path at a pool
+        # size 25x the reference's largest ultra dataset
+        big5k = CompiledMatcher(
+            templates=POOL_TEMPLATES + tuple(
+                LogTemplate(10_000 + i,
+                            rf"{words[i % 8]}-u{i:04d}x p{i % 7}: step (\d+) of (\d+) ok")
+                for i in range(5000)),
+            ac_memory_budget=1 << 31)
+        q_5k = with_template_id(transcripts, spark, big5k).filter("template_id IS NOT NULL")
+        q_5k.count()  # warm
+        t0 = time.time()
+        q_5k.count()
+        timings["match_only_5ktmpl"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
                      resume=False, collect_partition_metrics=False)

@@ -28,8 +28,28 @@ import numpy as np
 import pandas as pd
 
 
+def estimate_ac_bytes(patterns: list[str]) -> int:
+    """Upper-bound memory of the dense automaton for a pattern set.
+
+    States ≤ total pattern bytes + 1. Per state: 1 KB dense transition
+    row (256 x uint32) + ``n_patterns`` bool for the complete-output
+    bitset + 1 bool has_out. At large pools the OUT-BITSET term
+    dominates, not the transition table (e.g. 50k templates x ~30 chars
+    ≈ 1.5M states → 1.5 GB of transitions but 1.5M x n_patterns ≈ tens
+    of GB of bitsets). Callers compare this against a budget and fall
+    back to the chunked pyarrow substring path when over (VERDICT r3 #5).
+    """
+    n_pat = len(patterns)
+    est_states = sum(len(p.encode("utf-8")) for p in patterns) + 1
+    return est_states * (256 * 4 + n_pat + 1)
+
+
+class ACStateBudgetExceeded(ValueError):
+    """Raised when the compiled DFA would exceed ``max_states``."""
+
+
 class VectorizedAhoCorasick:
-    def __init__(self, patterns: list[str]):
+    def __init__(self, patterns: list[str], max_states: int | None = None):
         if not patterns:
             raise ValueError("need at least one pattern")
         self.n_patterns = len(patterns)
@@ -51,6 +71,15 @@ class VectorizedAhoCorasick:
             out_own[s].append(pid)
 
         n_states = len(goto)
+        self.n_states = n_states
+        # dense-table memory this instance will allocate (see
+        # estimate_ac_bytes for the formula and why out bitsets dominate)
+        self.memory_bytes = n_states * (256 * 4 + self.n_patterns + 1)
+        if max_states is not None and n_states > max_states:
+            raise ACStateBudgetExceeded(
+                f"AC DFA needs {n_states} states (> max_states={max_states}; "
+                f"~{self.memory_bytes / 2**20:.0f} MiB dense) — use the "
+                f"chunked pyarrow substring path for this pool")
         fail = np.zeros(n_states, dtype=np.int64)
 
         # --- BFS fail links + DFA closure ---

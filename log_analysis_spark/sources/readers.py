@@ -76,14 +76,17 @@ def templates_to_df(spark: SparkSession, matcher: CompiledMatcher) -> DataFrame:
 
 
 def load_templates_df_as_matcher(
-    spark: SparkSession, path: str, base: CompiledMatcher
+    spark: SparkSession, path: str, base: CompiledMatcher, table_format=None
 ) -> CompiledMatcher:
     """Rebuild a matcher from a persisted templates dim (resume path).
 
     Like the reference's load-from-file, the compiled state is always
     rebuilt (src/log_matcher.rs:657-719); config comes from ``base``.
     """
-    rows = spark.read.schema(TEMPLATES_SCHEMA).parquet(path).collect()
+    if table_format is not None and table_format.name != "parquet":
+        rows = table_format.read(spark, path, TEMPLATES_SCHEMA).collect()
+    else:
+        rows = spark.read.schema(TEMPLATES_SCHEMA).parquet(path).collect()
     templates = tuple(
         LogTemplate(r["template_id"], r["pattern"],
                     tuple(r["variables"] or ()), r["example"] or "")

@@ -188,7 +188,22 @@ def route_stream(
                         min_cluster_size=induce_min_support,
                         max_templates=room)
                     if new:
-                        box.swap(matcher.with_templates(new))
+                        enlarged = matcher.with_templates(new)
+                        box.swap(enlarged)
+                        # persist the enlarged pool: a restart/failover
+                        # must not re-induce the same line shapes under
+                        # different ids (the reference persists templates
+                        # sink-side, clickhouse_client.rs max+1). The dim
+                        # is tiny (pool-capped) — overwrite-latest is
+                        # idempotent under foreachBatch replay because
+                        # re-induced identical patterns dedup to no-ops.
+                        from ..sources.readers import templates_to_df
+                        from ..sources.writers import write_templates_dim
+
+                        write_templates_dim(
+                            templates_to_df(spark, enlarged),
+                            os.path.join(out_dir, "templates_dim"),
+                            table_format=fmt)
         finally:
             parsed.unpersist()
 
@@ -199,6 +214,30 @@ def route_stream(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def restore_matcher_box(
+    spark: SparkSession,
+    out_dir: str,
+    base_matcher: CompiledMatcher,
+    table_format=None,
+) -> MatcherBox:
+    """Rebuild the MatcherBox from the persisted ``templates_dim`` before
+    restarting ``route_stream`` (ADVICE r3): without this, a
+    restart/failover loses the auto-induced pool and replayed batches
+    would re-induce the same line shapes under different template_ids,
+    breaking id consistency across epochs in the durable sinks. Falls
+    back to ``base_matcher`` when no dim has been persisted yet."""
+    from ..sources.readers import load_templates_df_as_matcher
+    from ..sources.writers import PARQUET, _has_parquet_files
+
+    fmt = table_format or PARQUET
+    dim = os.path.join(out_dir, "templates_dim")
+    if _has_parquet_files(dim, spark, fmt.data_extension):
+        return MatcherBox(
+            load_templates_df_as_matcher(spark, dim, base_matcher,
+                                         table_format=fmt))
+    return MatcherBox(base_matcher)
 
 
 def windowed_template_counts(

