@@ -697,6 +697,37 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated LSH pair set (VERDICT r3 #8): k=8, 4 bands of r=2 —
+    the banding arithmetic is md5-deterministic, so the DuckDB oracle
+    replays the same affine minhash + band-md5 bucket join + true-Jaccard
+    verification. The operator runs with threshold=0.0 and the
+    score filter applies on the 1e-6-rounded value in BOTH engines, so a
+    float ulp at the threshold boundary cannot flip membership."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=8, bands=4, n=3, threshold=0.0)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .filter(F.col("jaccard_r") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated simhash banded pair set (VERDICT r3 #8): 16-bit band
+    equality candidates + exact integer Hamming verify — fully integral,
+    replayed bit-for-bit by the DuckDB oracle."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        simhash_neardup_pairs(spark, docs, max_hamming=16)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors; ordering on
     round(cosine, 6) + vec_id so float last-bits can't flip ranks."""
@@ -999,6 +1030,23 @@ h AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1,
 s AS (SELECT doc_id, ({bits_sum}) AS u FROM h)
 SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
 FROM s ORDER BY doc_id
+""".strip()
+
+    # banded simhash pair-set replay (VERDICT r3 #8): 16-bit band-equality
+    # candidates + integer Hamming verify — fully integral, so the gate is
+    # exact. UBIGINT mirrors Spark's shiftrightunsigned bit pattern.
+    sql["simhash_neardup_pairs"] = f"""
+WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks FROM documents),
+hh AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 16)) AS UBIGINT)) AS hs FROM t),
+s AS (SELECT doc_id, CAST(({bits_sum}) AS UBIGINT) AS u FROM hh),
+b AS (
+  SELECT doc_id, u, band, CAST(((u >> (band * 16)) & 65535) AS BIGINT) AS bucket
+  FROM s, (SELECT unnest([0, 1, 2, 3]) AS band)),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         bit_count(xor(a.u, c.u)) AS hamming
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM p WHERE hamming <= 16 ORDER BY id_a, id_b
 """.strip()
 
     sql["sequence_packing"] = """
@@ -1305,6 +1353,34 @@ WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
 SELECT doc_id, {mh} FROM s WHERE len(sh) > 0 ORDER BY doc_id
 """.strip()
 
+    # LSH pair-set replay (VERDICT r3 #8): same affine minhash, same
+    # band-md5 bucket join, same true-Jaccard verify; the threshold
+    # applies to the 1e-6-rounded score in both engines
+    mh8 = ", ".join(minhash_affine_sql_duck("sh", 8))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"CAST(('0x' || substr(md5(CAST(h{2 * bi} AS VARCHAR) || '_' || "
+        f"CAST(h{2 * bi + 1} AS VARCHAR)), 1, 15)) AS BIGINT) AS bucket FROM h"
+        for bi in range(4))
+    jac = "CASE WHEN n_union > 0 THEN n_inter * 1.0 / n_union ELSE 0.0 END"
+    sql["minhash_lsh_pairs"] = f"""
+WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+g AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+h AS (SELECT doc_id, sh, {mh8} FROM g),
+b AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+v AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(ha.sh, hb.sh)) AS n_inter,
+         len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS n_union
+  FROM cand JOIN h ha ON ha.doc_id = cand.id_a JOIN h hb ON hb.doc_id = cand.id_b)
+SELECT id_a, id_b, round({jac}, 6) AS jaccard_r
+FROM v WHERE round({jac}, 6) >= 0.35
+ORDER BY id_a, id_b
+""".strip()
+
     sql["embedding_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 s AS (
@@ -1409,6 +1485,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window": q_context_window,
         "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
