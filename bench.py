@@ -13,7 +13,9 @@ Env knobs:
 Modes:
   (default)            headline queries + e2e pipeline
   --datasets [N]       multi-dataset accuracy x throughput sweep: 16
-                       heterogeneous LogHub-style corpora (N lines each,
+                       heterogeneous + 4 adversarial (shared-prefix,
+                       unicode, variant-phrasing) LogHub-style corpora
+                       (N lines each,
                        default 20000), match + match-else-induce per
                        dataset, per-dataset rows persisted to
                        BENCH/datasets.{json,csv} (the reference's
@@ -38,13 +40,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def run_datasets_mode(quick: bool, lines_per_dataset: int) -> None:
     """--datasets: per-dataset accuracy x throughput sweep."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    from log_analysis_spark.benchmark_suite import quick_specs, run_suite, ultra_specs
+    from log_analysis_spark.benchmark_suite import (
+        adversarial_specs,
+        quick_specs,
+        run_suite,
+        ultra_specs,
+    )
     from log_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="bench_datasets", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     specs = (quick_specs(lines_per_dataset) if quick
-             else ultra_specs(lines_per_dataset))
+             else ultra_specs(lines_per_dataset) + adversarial_specs(lines_per_dataset))
     base = os.environ.get("BENCH_WORK_DIR",
                           "/dev/shm" if os.path.isdir("/dev/shm") else None)
     work = tempfile.mkdtemp(prefix="bench_ds_", dir=base)

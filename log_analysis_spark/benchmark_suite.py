@@ -54,6 +54,9 @@ class DatasetSpec:
     fmt: str             # 'plain' | 'syslog' | 'kv'
     seed: int
     withheld: int = 2    # templates removed from the matcher -> induction path
+    # 'standard' | 'shared_prefix' | 'unicode' | 'variant' — the
+    # adversarial families (VERDICT r3 #7); see make_templates
+    family: str = "standard"
 
 
 def ultra_specs(lines_per_dataset: int = 20_000) -> list[DatasetSpec]:
@@ -75,34 +78,94 @@ def ultra_specs(lines_per_dataset: int = 20_000) -> list[DatasetSpec]:
     return out
 
 
+def adversarial_specs(lines_per_dataset: int = 20_000) -> list[DatasetSpec]:
+    """Adversarial corpora (VERDICT r3 #7) — built so per-dataset
+    accuracy stops being uniformly 100% and the >70% floor does real
+    work:
+
+    - two ``shared_prefix`` datasets with the SAME service token and the
+      same long template prefix (and different seeds): separability no
+      longer comes for free from a unique svc token, and the mixed-mode
+      union pool sees near-identical cross-dataset template families
+      (mis-routing becomes measurable).
+    - ``unicode``: non-ASCII static text (including an NBSP inside a
+      fragment) — exercises byte-level matching, masking, and the
+      char-class tokenizer outside ASCII.
+    - ``variant``: one truth event emits TWO surface phrasings
+      ({ok|okay}); the pool's regex for it can never match, and
+      induction learns one template per phrasing — both accuracy
+      columns land strictly between 70 and 100 for this dataset.
+    """
+    return [
+        DatasetSpec(name="adv16_sharedprefix_a", n_templates=24,
+                    n_lines=lines_per_dataset, skew=0.0, fmt="plain",
+                    seed=2016, family="shared_prefix"),
+        DatasetSpec(name="adv17_sharedprefix_b", n_templates=24,
+                    n_lines=lines_per_dataset, skew=1.2, fmt="plain",
+                    seed=2017, family="shared_prefix"),
+        DatasetSpec(name="adv18_unicode", n_templates=16,
+                    n_lines=lines_per_dataset, skew=0.0, fmt="plain",
+                    seed=2018, family="unicode"),
+        DatasetSpec(name="adv19_variant", n_templates=24,
+                    n_lines=lines_per_dataset, skew=0.0, fmt="plain",
+                    seed=2019, family="variant"),
+    ]
+
+
 def quick_specs(lines_per_dataset: int = 4_000) -> list[DatasetSpec]:
-    """3-dataset smoke sweep (the quick mode)."""
-    return ultra_specs(lines_per_dataset)[:3]
+    """3-dataset smoke sweep (the quick mode) + the variant adversary."""
+    return (ultra_specs(lines_per_dataset)[:3]
+            + [adversarial_specs(lines_per_dataset)[3]])
 
 
 def make_templates(spec: DatasetSpec) -> list[str]:
-    """Distinct LogHub-style `<*>` templates for one dataset. Every
-    template carries a dataset+template-unique service token (real log
-    types do: 'sshd', 'nova.compute', ...) so corpora are separable; the
-    surrounding vocabulary is shared across templates to keep fragment
-    voting honest (common words carry low weight)."""
+    """Distinct LogHub-style `<*>` templates for one dataset. In the
+    standard family every template carries a dataset+template-unique
+    service token (real log types do: 'sshd', 'nova.compute', ...) so
+    corpora are separable; the surrounding vocabulary is shared across
+    templates to keep fragment voting honest (common words carry low
+    weight). The adversarial families (VERDICT r3 #7) deliberately break
+    these separability crutches — see adversarial_specs."""
     rng = random.Random(spec.seed)
     out: list[str] = []
     seen: set[str] = set()
     while len(out) < spec.n_templates:
         i = len(out)
-        svc = f"{spec.name.split('_')[0]}svc{i:02d}"
-        noun, noun2 = rng.choice(_NOUNS), rng.choice(_NOUNS)
-        verb = rng.choice(_VERBS)
-        shape = rng.randrange(4)
-        if shape == 0:
-            t = f"{svc}: {noun} <*> {verb} on {noun2} <*>"
-        elif shape == 1:
-            t = f"{svc}: {verb} {noun} <*> after <*> retries"
-        elif shape == 2:
-            t = f"{svc}: {noun} <*> {verb}"
+        if spec.family == "shared_prefix":
+            # ONE svc token + one long prefix for the whole family (and
+            # across both shared_prefix datasets): fragment voting must
+            # discriminate on the short tail alone, and the mixed-mode
+            # union pool contains near-identical cross-dataset templates
+            noun, verb = rng.choice(_NOUNS), rng.choice(_VERBS)
+            t = f"relaysvc: request pipeline stage {verb} {noun} <*> slot <*>"
+        elif spec.family == "unicode":
+            svc = f"üsvc{i:02d}"
+            noun = rng.choice(("größe", "café", "mañana", "данные", "東京",
+                               "œuvre", "señal", "łódź"))
+            verb = rng.choice(_VERBS)
+            # one template per 4 carries an NBSP INSIDE a static fragment
+            sep = "\u00a0" if i % 4 == 0 else " "
+            t = f"{svc}: {noun}{sep}<*> {verb} auf <*>"
+        elif spec.family == "variant" and i == spec.n_templates - 1:
+            # one truth event, two surface phrasings: the {a|b} block is
+            # rendered per line (see synth_corpus) but regex-escaped
+            # verbatim in the pool, so neither full-pool matching nor a
+            # single induced template can cover the whole event
+            svc = f"{spec.name.split('_')[0]}svc{i:02d}"
+            t = f"{svc}: sync heartbeat {{ok|okay}} seq <*>"
         else:
-            t = f"{svc}: {verb} failed for {noun} <*> code <*>"
+            svc = f"{spec.name.split('_')[0]}svc{i:02d}"
+            noun, noun2 = rng.choice(_NOUNS), rng.choice(_NOUNS)
+            verb = rng.choice(_VERBS)
+            shape = rng.randrange(4)
+            if shape == 0:
+                t = f"{svc}: {noun} <*> {verb} on {noun2} <*>"
+            elif shape == 1:
+                t = f"{svc}: {verb} {noun} <*> after <*> retries"
+            elif shape == 2:
+                t = f"{svc}: {noun} <*> {verb}"
+            else:
+                t = f"{svc}: {verb} failed for {noun} <*> code <*>"
         if t not in seen:
             seen.add(t)
             out.append(t)
@@ -136,11 +199,29 @@ def synth_corpus(spark: SparkSession, spec: DatasetSpec) -> DataFrame:
         (F.pmod(F.xxhash64(F.col("line_id"), F.lit(spec.seed)), F.lit(len(flat))) + 1).cast("int"),
     )
 
+    def static_exprs(part: str) -> list[F.Column]:
+        """Render a static segment; a ``{a|b}`` block becomes a per-line
+        choice (xxhash64 parity), so ONE truth event emits two surface
+        phrasings — the 'variant' adversarial family."""
+        out: list[F.Column] = []
+        while "{" in part and "|" in part and "}" in part:
+            pre, rest = part.split("{", 1)
+            alt, part = rest.split("}", 1)
+            a_txt, b_txt = alt.split("|", 1)
+            if pre:
+                out.append(F.lit(pre))
+            out.append(F.when(
+                F.pmod(F.xxhash64(F.col("line_id"), F.lit(9917)), F.lit(2)) == 0,
+                F.lit(a_txt)).otherwise(F.lit(b_txt)))
+        if part:
+            out.append(F.lit(part))
+        return out
+
     def render(tmpl_idx: int) -> F.Column:
         parts = templates[tmpl_idx].split("<*>")
         exprs: list[F.Column] = []
         for j, part in enumerate(parts):
-            exprs.append(F.lit(part))
+            exprs.extend(static_exprs(part))
             if j < len(parts) - 1:
                 tok = F.concat(
                     F.lit(("srv", "vol", "req", "img")[(tmpl_idx + j) % 4]),

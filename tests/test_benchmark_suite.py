@@ -54,3 +54,35 @@ def test_suite_accuracy_and_induction(spark, tmp_path):
     # results sink persisted (benchmarks.rs:219-257 analog)
     assert (tmp_path / "res" / "datasets.json").exists()
     assert (tmp_path / "res" / "datasets.csv").exists()
+
+
+def test_adversarial_datasets(spark, tmp_path):
+    """VERDICT r3 #7: the adversarial families keep the floor honest —
+    the variant dataset lands strictly BETWEEN 70 and 100 on both
+    accuracy columns (per-dataset accuracy is no longer uniformly 100),
+    the unicode family (NBSP-in-fragment, non-ASCII statics) still
+    matches, and the shared-prefix pair mis-routes in mixed mode."""
+    from log_analysis_spark.benchmark_suite import adversarial_specs
+
+    specs = [DatasetSpec(s.name, s.n_templates, 2000, s.skew, s.fmt, s.seed,
+                         family=s.family)
+             for s in adversarial_specs()]
+    rows = run_suite(spark, specs, str(tmp_path), results_dir=None)
+    by = {r["dataset"]: r for r in rows}
+
+    v = by["adv19_variant"]
+    assert ACCURACY_FLOOR_PCT < v["accuracy_pct"] < 100.0, v
+    assert ACCURACY_FLOOR_PCT < v["accuracy_after_induction_pct"] < 100.0, v
+    # induction learned one template PER PHRASING of the variant event
+    assert v["induced_templates"] >= 2
+
+    u = by["adv18_unicode"]
+    assert u["accuracy_pct"] > ACCURACY_FLOOR_PCT
+    assert u["unmatched_after_induction"] == 0  # NBSP/unicode fully handled
+
+    for name in ("adv16_sharedprefix_a", "adv17_sharedprefix_b"):
+        assert by[name]["accuracy_pct"] > ACCURACY_FLOOR_PCT, by[name]
+
+    # mixed mode: the two shared-prefix pools contain near-identical
+    # templates -> cross-pool hits are measurable mis-routing
+    assert by["mixed_all"]["unmatched_after_induction"] > 0
