@@ -83,6 +83,32 @@ def run_datasets_mode(quick: bool, lines_per_dataset: int) -> None:
     }))
 
 
+# Pinned calm-window value of _host_control() on the bench host
+# (median of 5 runs, 2026-08-17). host_drift = measured / this; cross-
+# round artifact comparisons should normalize by the drift factor — this
+# sandbox's CPU availability swings ~2x at minute scale (BENCH/BASELINE.md
+# "Host caveat, measured"), which round 3 paid a full artifact for.
+CONTROL_BASELINE_SEC = 0.28
+
+
+def _host_control() -> float:
+    """Code-independent host-speed probe: fixed-size numpy matmul chain
+    (BLAS threads + memory bandwidth — the same resources the Spark
+    workers contend for). Median of 3."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1536, 1536))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        for _ in range(6):
+            b = b @ b
+            b /= np.abs(b).max()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
+
+
 def main() -> None:
     if "--datasets" in sys.argv or "--datasets-quick" in sys.argv:
         quick = "--datasets-quick" in sys.argv
@@ -116,7 +142,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # window control FIRST: report how fast this host is RIGHT NOW
+    # relative to the pinned calm-window baseline, so cross-round
+    # comparisons can normalize out the sandbox's ~2x CPU drift
+    control_sec = _host_control()
+
     # --- headline SQL/operator queries at sf_dir -------------------------
+    # best-of-2 per query: the second run is a fresh job over the same
+    # (OS-page-cached) input; taking the min rejects one-off scheduler/
+    # drift spikes without hiding real regressions
+    def timed(name: str, fn) -> None:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
     qmap = queries_map()
     for name in (
         "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
@@ -127,10 +169,7 @@ def main() -> None:
         "simhash_sigs", "token_signatures", "lang_id",
         "pii_redaction", "repetition_ratio", "context_window",
     ):
-        t0 = time.time()
-        n = qmap[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 
     # embedding near-dup: bench the LSH-bucketed scale path (the oracle
     # gate checks the brute-force baseline at sf0.01; tests verify LSH ⊆
@@ -143,18 +182,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
     planes = hyperplane_codes(spark, dim, n_planes=8)
-    t0 = time.time()
-    cosine_neardup_pairs(emb, planes, threshold=0.4).count()
-    timings["embedding_neardup_lsh"] = round(time.time() - t0, 3)
+    timed("embedding_neardup_lsh",
+          lambda: cosine_neardup_pairs(emb, planes, threshold=0.4).count())
 
     # text near-dup scale path: MinHash-LSH end-to-end (signatures ->
     # banded buckets -> candidates -> candidates-only Jaccard verify)
     from log_analysis_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6).count()
-    timings["minhash_lsh_pairs"] = round(time.time() - t0, 3)
+    timed("minhash_lsh_pairs",
+          lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6).count())
 
     # --- e2e transcript pipeline -----------------------------------------
     # ~17.6 expected turns per conv (Zipf-skewed); input materialized to
@@ -190,11 +227,11 @@ def main() -> None:
         # match + ONE durable sink: the reference's actual e2e shape
         # (match + buffered ClickHouse insert, src/benchmark_runner.rs +
         # src/buffered_writer.rs) — the like-for-like e2e comparison row.
-        t0 = time.time()
-        (with_template_id(transcripts, spark, matcher)
-         .filter("template_id IS NOT NULL")
-         .write.mode("overwrite").parquet(os.path.join(work, "single_sink")))
-        timings["match_single_sink"] = round(time.time() - t0, 3)
+        timed("match_single_sink",
+              lambda: (with_template_id(transcripts, spark, matcher)
+                       .filter("template_id IS NOT NULL")
+                       .write.mode("overwrite")
+                       .parquet(os.path.join(work, "single_sink"))))
 
         # large-pool matching (reference ultra datasets carry ~50-123
         # templates): 210-template pool routes through the vectorized
@@ -208,9 +245,7 @@ def main() -> None:
             for i in range(200)))
         q_big = with_template_id(transcripts, spark, big).filter("template_id IS NOT NULL")
         q_big.count()  # warm
-        t0 = time.time()
-        q_big.count()
-        timings["match_only_210tmpl"] = round(time.time() - t0, 3)
+        timed("match_only_210tmpl", q_big.count)
 
         # 5k-template pool: past the default ac_memory_budget estimate the
         # matcher would fall back to pyarrow, so pin the budget high enough
@@ -224,14 +259,16 @@ def main() -> None:
             ac_memory_budget=1 << 31)
         q_5k = with_template_id(transcripts, spark, big5k).filter("template_id IS NOT NULL")
         q_5k.count()  # warm
-        t0 = time.time()
-        q_5k.count()
-        timings["match_only_5ktmpl"] = round(time.time() - t0, 3)
+        timed("match_only_5ktmpl", q_5k.count)
 
-        t0 = time.time()
-        run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
-                     resume=False, collect_partition_metrics=False)
-        pipeline_sec = round(time.time() - t0, 3)
+        # best-of-2 like the queries: same overwrite target, min rejects
+        # a one-off window spike
+        pipeline_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
+                         resume=False, collect_partition_metrics=False)
+            pipeline_sec = min(pipeline_sec, round(time.time() - t0, 3))
         timings["pipeline_e2e"] = pipeline_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -241,6 +278,9 @@ def main() -> None:
         "value": pipeline_sec,
         "unit": "sec",
         "queries": timings,
+        "host_control_sec": round(control_sec, 4),
+        "host_control_baseline_sec": CONTROL_BASELINE_SEC,
+        "host_drift": round(control_sec / CONTROL_BASELINE_SEC, 3),
         "sf": sf,
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
