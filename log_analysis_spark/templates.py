@@ -243,8 +243,9 @@ class CompiledMatcher:
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
     fragments: list[str] = field(init=False, repr=False)
-    _weight_matrix: np.ndarray = field(init=False, repr=False)      # [n_frag, n_tmpl]
-    _indicator_matrix: np.ndarray = field(init=False, repr=False)   # [n_frag, n_tmpl]
+    # [n_frag, n_tmpl]; None past the memory budget (sparse-only scoring)
+    _weight_matrix: np.ndarray | None = field(init=False, repr=False)
+    _indicator_matrix: np.ndarray | None = field(init=False, repr=False)
     _total_weight: np.ndarray = field(init=False, repr=False)       # [n_tmpl]
     _required_count: np.ndarray = field(init=False, repr=False)     # [n_tmpl]
     _compiled_regex: dict[int, re.Pattern] = field(init=False, repr=False)
@@ -267,22 +268,49 @@ class CompiledMatcher:
         frag_index = {f: i for i, f in enumerate(self.fragments)}
         n_frag, n_tmpl = len(self.fragments), len(tmpls)
 
-        W = np.zeros((n_frag, n_tmpl), dtype=np.float64)
-        I = np.zeros((n_frag, n_tmpl), dtype=np.float64)
         total_w = np.zeros(n_tmpl, dtype=np.float64)
         req_n = np.zeros(n_tmpl, dtype=np.float64)
+        # (fragment idx, template idx, weight) triplets — the single
+        # source for both the CSR adjacency and the (optional) dense
+        # matrices. The denominator iterates the full fragment list
+        # *including duplicates* (reference sums over the required vec,
+        # src/log_matcher.rs:213-217); the numerator is over the *unique*
+        # matched set, so the triplets use unique fragments only.
+        tri_f: list[int] = []
+        tri_t: list[int] = []
+        tri_w: list[float] = []
         for j, frags in enumerate(per_template):
-            # denominator iterates the full fragment list *including
-            # duplicates* (reference sums over the required vec,
-            # src/log_matcher.rs:213-217); the numerator is over the
-            # *unique* matched set, so W/I use unique fragments only.
             total_w[j] = sum(frag_weight[f] for f in frags)
             req_n[j] = float(len(frags))
             for f in set(frags):
-                W[frag_index[f], j] = frag_weight[f]
-                I[frag_index[f], j] = 1.0
-        self._weight_matrix = W
-        self._indicator_matrix = I
+                tri_f.append(frag_index[f])
+                tri_t.append(j)
+                tri_w.append(frag_weight[f])
+        nz_f = np.array(tri_f, dtype=np.int64)
+        nz_t = np.array(tri_t, dtype=np.int64)
+        nz_w = np.array(tri_w, dtype=np.float64)
+        # row-major (fragment asc, template asc) order — what np.nonzero
+        # of the dense indicator would produce, so downstream reduceat
+        # groupings are unchanged
+        order = np.lexsort((nz_t, nz_f))
+        nz_f, nz_t, nz_w = nz_f[order], nz_t[order], nz_w[order]
+
+        # Dense score matrices: two [n_frag x n_tmpl] float64 blocks,
+        # broadcast to every worker like the DFA. At huge pools (50k
+        # templates x ~100k fragments ~ 80 GB) THEY are the memory
+        # ceiling, not the automaton — past the shared budget only the
+        # CSR adjacency is materialized and scoring is sparse-only.
+        dense_ok = n_frag * n_tmpl * 8 * 2 <= self.ac_memory_budget
+        if dense_ok:
+            W = np.zeros((n_frag, n_tmpl), dtype=np.float64)
+            I = np.zeros((n_frag, n_tmpl), dtype=np.float64)
+            W[nz_f, nz_t] = nz_w
+            I[nz_f, nz_t] = 1.0
+            self._weight_matrix = W
+            self._indicator_matrix = I
+        else:
+            self._weight_matrix = None
+            self._indicator_matrix = None
         self._total_weight = total_w
         self._required_count = req_n
         self._compiled_regex = {}
@@ -292,15 +320,12 @@ class CompiledMatcher:
             except re.error:
                 pass
 
-        # fragment -> (template idx, weight) adjacency in CSR form for the
-        # sparse scoring path. np.nonzero walks row-major (fragment asc,
-        # template asc) — the same order the old python double loop
-        # produced, so downstream reduceat groupings are unchanged.
-        nz_f, nz_t = np.nonzero(I)
+        # fragment -> (template idx, weight) adjacency in CSR form for
+        # the sparse scoring path
         self._frag_adjacency = (
             np.concatenate(([0], np.cumsum(np.bincount(nz_f, minlength=n_frag)))).astype(np.int64),
-            nz_t.astype(np.int64),
-            W[nz_f, nz_t].astype(np.float64),
+            nz_t,
+            nz_w,
         )
 
         # Candidate-generation strategy (the reference's O1 optimization,
@@ -358,7 +383,11 @@ class CompiledMatcher:
 
     @property
     def _chunk_rows(self) -> int:
-        return max(1, min(self.batch_rows, self._CHUNK_ROWS_CEIL))
+        # third term: the [rows x n_frag] bool containment matrix must
+        # also fit the memory budget — at 100k fragments the cache
+        # ceiling is irrelevant and rows/chunk is budget-bound
+        return max(1, min(self.batch_rows, self._CHUNK_ROWS_CEIL,
+                          self.ac_memory_budget // max(1, len(self.fragments))))
 
     def score_batch(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         """Return (best_template_id_or_-1, best_score) per row, vectorized."""
@@ -374,7 +403,7 @@ class CompiledMatcher:
                 score_parts.append(sc_c)
             return np.concatenate(ids_parts), np.concatenate(score_parts)
         M = self._containment_matrix(texts)
-        if len(self.templates) >= 32:
+        if len(self.templates) >= 32 or self._weight_matrix is None:
             return self._score_sparse(M, n)
         return self._score_dense(M, n)
 
@@ -418,7 +447,10 @@ class CompiledMatcher:
         # density guard: fragments shared across many templates (e.g. one
         # suffix common to the whole pool) inflate the expansion beyond the
         # dense matmul's cost — fall back when candidates exceed ~16/row.
-        if total > 16 * n:
+        # Past the memory budget there is no dense fallback: the sparse
+        # expansion, however dense, is still cheaper than an [n x n_tmpl]
+        # matmul at pool sizes where the matrices don't even fit.
+        if total > 16 * n and self._weight_matrix is not None:
             return self._score_dense(M, n)
         starts = np.repeat(ptr[frag_nz], lens)
         within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)

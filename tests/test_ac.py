@@ -146,3 +146,33 @@ def test_ac_state_budget_and_5k_pool_identity():
     assert np.allclose(sc_a, sc_b)
     # and the ids are actually right
     assert ids_b[1] == picks[1] + 1
+
+
+def test_sparse_only_scoring_past_dense_budget():
+    """Past the memory budget the dense W/I matrices are not materialized
+    and scoring is sparse-only — results identical to the dense-capable
+    matcher."""
+    import numpy as np
+    import pandas as pd
+
+    from log_analysis_spark.templates import CompiledMatcher, LogTemplate
+
+    tmpls = tuple(
+        LogTemplate(i + 1, rf"podx{i:03d}z unit (\d+) ready", ("n",))
+        for i in range(400)
+    )
+    full = CompiledMatcher(templates=tmpls)                      # dense + AC
+    lean = CompiledMatcher(templates=tmpls, ac_memory_budget=1)  # sparse-only
+    assert full._weight_matrix is not None
+    assert lean._weight_matrix is None and lean._indicator_matrix is None
+    # chunk sizing stays positive under a tiny budget
+    assert lean._chunk_rows >= 1
+
+    lines = pd.Series(
+        [f"podx{i % 400:03d}z unit {i} ready" for i in range(1000)]
+        + ["nothing to see here"])
+    ids_a, sc_a = full.score_batch(lines)
+    ids_b, sc_b = lean.score_batch(lines)
+    assert (ids_a == ids_b).all()
+    assert np.allclose(sc_a, sc_b)
+    assert ids_a[0] == 1 and ids_a[-1] == -1
