@@ -193,6 +193,12 @@ def main() -> None:
     timed("minhash_lsh_pairs",
           lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6).count())
 
+    # drop every cached relation the query benches left behind (operators
+    # like minhash_lsh_pairs persist intermediates for their multi-consumer
+    # plans; the handles are gone but the executor storage isn't) — the
+    # pipeline must be measured against a clean storage pool
+    spark.catalog.clearCache()
+
     # --- e2e transcript pipeline -----------------------------------------
     # ~17.6 expected turns per conv (Zipf-skewed); input materialized to
     # parquet first so generation cost is excluded from the measurement.
@@ -247,6 +253,21 @@ def main() -> None:
         q_big.count()  # warm
         timed("match_only_210tmpl", q_big.count)
 
+
+        # best-of-2 like the queries: same overwrite target, min rejects
+        # a one-off window spike
+        pipeline_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
+                         resume=False, collect_partition_metrics=False)
+            pipeline_sec = min(pipeline_sec, round(time.time() - t0, 3))
+        timings["pipeline_e2e"] = pipeline_sec
+
+        # AFTER the pipeline on purpose: the 5k-pool automaton is
+        # ~600 MB in every reused python worker (32x on this box) —
+        # benched before the pipeline it poisons the e2e measurement
+        # by ~2x (measured); benched last it poisons nothing
         # 5k-template pool: past the default ac_memory_budget estimate the
         # matcher would fall back to pyarrow, so pin the budget high enough
         # that this measures the DENSE-AC + sparse-scoring path at a pool
@@ -260,16 +281,6 @@ def main() -> None:
         q_5k = with_template_id(transcripts, spark, big5k).filter("template_id IS NOT NULL")
         q_5k.count()  # warm
         timed("match_only_5ktmpl", q_5k.count)
-
-        # best-of-2 like the queries: same overwrite target, min rejects
-        # a one-off window spike
-        pipeline_sec = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run_pipeline(spark, transcripts, matcher, os.path.join(work, "out"),
-                         resume=False, collect_partition_metrics=False)
-            pipeline_sec = min(pipeline_sec, round(time.time() - t0, 3))
-        timings["pipeline_e2e"] = pipeline_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
