@@ -292,12 +292,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Bands of k/bands rows each: docs agreeing on any full band become
     candidates (classic S-curve: P(candidate) = 1-(1-j^r)^b). Verified
     pairs carry the true n-gram Jaccard.
+
+    ``materialize=True`` (default) eagerly computes the (small) verified
+    pair set via localCheckpoint and UNPERSISTS the internal signature /
+    candidate caches before returning — without this every call leaked
+    two persisted relations into the executor storage pool (the
+    signature relation is corpus-sized; measured as a 3x pipeline
+    slowdown after a bench sweep filled the pool). ``False`` returns the
+    lazy plan (callers that want to inspect/extend it own the caches).
     """
     r = k // bands
     # persist: the signature kernel feeds both sides of the bucket
@@ -362,12 +371,17 @@ def minhash_lsh_pairs(
         .join(cand_ids, id_col, "left_semi")
     ta = cand_texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     tb = cand_texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
-    return (
+    result = (
         candidates.join(ta, "id_a").join(tb, "id_b")
         .withColumn("jaccard", _jaccard_pair(F.col("_ta"), F.col("_tb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        candidates.unpersist()
+        sigs.unpersist()
+    return result
 
 
 # -- near-dup clustering ------------------------------------------------------

@@ -145,7 +145,8 @@ def test_minhash_lsh_verification_is_candidates_only(spark, docs):
     """The verification path must restrict the shingle self-join to LSH
     candidate ids (broadcast semi-join) — never the full corpus. The
     physical plan shows the semi-join; the full-corpus variant had none."""
-    df = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5)
+    df = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5,
+                           materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
 
