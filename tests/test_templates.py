@@ -148,3 +148,38 @@ def test_json_roundtrip(tmp_path):
     assert [t.template_id for t in m2.templates] == [t.template_id for t in m.templates]
     for line in ("cpu_usage: 9.9% - ok", "xyz 5 abc", "nothing at all"):
         assert m.match_one(line) == m2.match_one(line)
+
+
+def test_snapshot_roundtrip_large_pool_perf(tmp_path):
+    """S6 analog of the reference's snapshot perf-comparison test
+    (tests/matcher_serialization_test.rs:183-242): a 5k-template pool
+    round-trips through the JSON cache in bounded time because only the
+    TEMPLATE SET is serialized — the compiled state (matrices, CSR
+    adjacency, AC DFA) is always rebuilt on load, exactly like the
+    reference's load path (src/log_matcher.rs:657-719)."""
+    import os
+    import time
+
+    from log_analysis_spark.sources.readers import load_matcher_json, save_matcher_json
+    from log_analysis_spark.templates import CompiledMatcher, LogTemplate
+
+    tmpls = tuple(
+        LogTemplate(i + 1, rf"snapsvc{i:04d}: op (\d+) done", ("n",))
+        for i in range(5000)
+    )
+    m = CompiledMatcher(templates=tmpls, ac_memory_budget=1 << 31)
+    p = str(tmp_path / "snap.json")
+    t0 = time.time()
+    save_matcher_json(m, p)
+    save_sec = time.time() - t0
+    t0 = time.time()
+    m2 = load_matcher_json(p)
+    load_sec = time.time() - t0
+    # serialization itself is sub-second; the load pays the (bounded)
+    # recompile — generous ceilings so a slow host window can't flake
+    assert save_sec < 5.0 and load_sec < 60.0
+    # the cache stores templates only, no compiled state
+    assert os.path.getsize(p) < 5000 * 200
+    assert len(m2.templates) == 5000
+    assert m2.match_one("snapsvc0042: op 7 done") == 43
+    assert m2.match_one("unmatched line") is None
