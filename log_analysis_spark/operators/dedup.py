@@ -357,6 +357,13 @@ def minhash_lsh_pairs(
             out.append(len(sa & sb) / union if union else 0.0)
         return pd.Series(out, dtype="float64")
 
+    # The kernel IS deterministic; the flag stops Catalyst from pushing
+    # the threshold filter below the projection and DUPLICATING the UDF
+    # (two ArrowEvalPython nodes = the whole verify pass paid twice —
+    # observed in the executed plan). With it the plan evaluates the
+    # kernel once and filters the materialized column.
+    _jaccard_pair = _jaccard_pair.asNondeterministic()
+
     # No broadcast hint on cand_ids: its cardinality is ~near-dup-rate x N
     # — on a dup-heavy web corpus that is billions of ids, and a forced
     # broadcast would OOM the driver instead of degrading gracefully. The
