@@ -12,8 +12,11 @@ Reference behaviors mapped (SURVEY.md §2.9):
 - ST4 retry/backoff -> Spark task retries + checkpointLocation recovery
   (exactly-once per foreachBatch epoch_id).
 
-Watermarks/stateful ops are intentionally absent — the reference has no
-event-time semantics; routing is stateless per batch.
+The reference has no event-time semantics, so ROUTING is stateless per
+batch; the stateful surface appears where the training-data extensions
+need it: ``dedup_stream`` (watermark-bounded exact dedup) and
+``streaming_neardup_pairs`` (applyInPandasWithState MinHash-LSH near-dup
+with bounded per-bucket state).
 """
 
 from __future__ import annotations
@@ -335,6 +338,105 @@ def dedup_stream(
         with_digest.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
+    )
+
+
+def streaming_neardup_pairs(
+    stream_df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_state_per_bucket: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the custom STATEFUL
+    operator surface (``applyInPandasWithState``), beyond the reference
+    (its service has no streaming dedup at all).
+
+    Same math as the batch ``minhash_lsh_pairs``: the Carter-Wegman
+    signature kernel is a stateless pandas UDF over the stream, banding
+    uses the identical band-md5 bucket. The state is where streaming
+    differs: each (band, bucket) group keeps up to
+    ``max_state_per_bucket`` (id, signature) entries (FIFO eviction —
+    the bounded-state guarantee an unbounded stream requires); every
+    arriving doc is compared against the bucket's state and emits
+    (id_a, id_b, est_jaccard) for matches, est_jaccard being the
+    matching-minhash-component fraction (the standard unbiased Jaccard
+    estimator — E[est] = J).
+
+    Delivery contract: a pair agreeing on SEVERAL bands surfaces once
+    per band (at-least-once) — downstream dedups with
+    groupBy(id_a, id_b).max(est_jaccard) or re-verifies exactly, same
+    as the batch path verifies candidates. Pairs are ordered
+    (id_a < id_b) so the dedup key is stable.
+
+    100 TB/unbounded notes: state is O(buckets x cap x k longs) and the
+    per-group python work is O(batch x state) WITHIN one bucket — LSH
+    keeps buckets small by construction (that is its whole point); a hot
+    bucket (many near-identical docs) hits the FIFO cap instead of
+    growing without bound.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import md5_long, minhash_signatures
+
+    r = k // bands
+    sigs = minhash_signatures(stream_df, k, n, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            md5_long(F.concat_ws("_", *[F.col("sig")[bi * r + j].cast("string")
+                                        for j in range(r)])).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = (
+        sigs.select(F.col(id_col).alias("_id"), "sig",
+                    F.explode(F.array(*band_cols)).alias("bb"))
+        .select("_id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+
+    def _match_bucket(key, pdfs, state: GroupState):
+        if state.exists:
+            ids_t, flat_t = state.get
+            ids, flat = list(ids_t), list(flat_t)
+        else:
+            ids, flat = [], []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_e: list[float] = []
+        for pdf in pdfs:
+            for _id, sig in zip(pdf["_id"], pdf["sig"]):
+                sig = [int(x) for x in sig]
+                for j, other in enumerate(ids):
+                    if other == _id:
+                        continue
+                    os_ = flat[j * len(sig):(j + 1) * len(sig)]
+                    est = sum(a == b for a, b in zip(sig, os_)) / len(sig)
+                    if est >= min_est_jaccard:
+                        a, b = (other, int(_id)) if other < _id else (int(_id), other)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_e.append(est)
+                ids.append(int(_id))
+                flat.extend(sig)
+        if len(ids) > max_state_per_bucket:
+            drop = len(ids) - max_state_per_bucket
+            ids = ids[drop:]
+            flat = flat[drop * k:]
+        state.update((ids, flat))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
+
+    return buckets.groupBy("band", "bucket").applyInPandasWithState(
+        _match_bucket,
+        outputStructType="id_a long, id_b long, est_jaccard double",
+        stateStructType="ids array<long>, sigs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

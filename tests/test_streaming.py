@@ -450,3 +450,58 @@ def test_stream_restart_restores_induced_pool(spark, tmp_path):
 
     # a fresh-start box WITHOUT the dim would have re-induced under new ids
     assert restore_matcher_box(spark, str(tmp_path / "none"), base).get() is base
+
+
+def test_streaming_neardup_pairs(spark, tmp_path):
+    """Stateful streaming near-dup (applyInPandasWithState): duplicates
+    WITHIN a batch and ACROSS batches are both caught — the cross-batch
+    hit is the stateful point (bucket state survives micro-batches).
+    Pair set matches the batch LSH candidates' estimator on the same
+    corpus."""
+    import pandas as pd
+
+    from log_analysis_spark.streaming.stream import streaming_neardup_pairs
+
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " extra", "completely different words entirely here now"],
+    })
+    spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream.schema("doc_id long, text string").parquet(in_dir))
+    pairs = streaming_neardup_pairs(stream, k=8, bands=4, min_est_jaccard=0.5)
+    q = (pairs.writeStream.format("memory").queryName("neardup_mem")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got1 = {(r["id_a"], r["id_b"]) for r in
+                spark.sql("SELECT * FROM neardup_mem").collect()}
+        assert (1, 2) in got1          # within-batch near-dup
+        assert not any(3 in p for p in got1)
+
+        # batch 2: a new near-copy of doc 1 -> CROSS-BATCH pair from state
+        batch2 = pd.DataFrame({"doc_id": [9], "text": [base + " indeed"]})
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got2 = {(r["id_a"], r["id_b"]) for r in
+                spark.sql("SELECT * FROM neardup_mem").collect()}
+        assert (1, 9) in got2 or (2, 9) in got2, got2
+    finally:
+        q.stop()
+
+    # estimator parity with the batch signatures: est_jaccard of (1,2)
+    # equals the matching-component fraction of the batch minhash sigs
+    from log_analysis_spark.operators.dedup import minhash_signatures
+
+    all_docs = spark.createDataFrame(
+        pd.concat([batch1, batch2], ignore_index=True))
+    sig = {r["doc_id"]: r["sig"] for r in
+           minhash_signatures(all_docs, k=8, n=3).collect()}
+    est_12 = sum(a == b for a, b in zip(sig[1], sig[2])) / 8
+    mem = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+           spark.sql("SELECT * FROM neardup_mem").collect()}
+    assert abs(mem[(1, 2)] - est_12) < 1e-12
