@@ -334,3 +334,14 @@ def test_neardup_components_star_diameter_100(spark):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         neardup_components(mixed, algorithm="bogus")
+
+
+def test_minhash_lsh_verify_kernel_evaluated_once(spark, docs):
+    """Regression pin for the pushdown-duplication fix: the Jaccard
+    verify kernel must appear exactly ONCE in the executed plan (Catalyst
+    used to push the threshold filter below the projection and duplicate
+    the ArrowEvalPython node — paying the whole verify pass twice)."""
+    df = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5,
+                           materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("_jaccard_pair(") == 1, plan.count("_jaccard_pair(")
