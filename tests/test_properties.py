@@ -168,3 +168,47 @@ def test_minhash_kernel_vs_duckdb(words):
     exprs = ", ".join(minhash_affine_sql_duck(sh_list, 4))
     got = list(_duck().execute("SELECT " + exprs).fetchone())
     assert got == py
+
+
+def test_star_and_label_components_agree_on_random_graphs(spark):
+    """Property: large-star/small-star and min-label propagation compute
+    identical components (and both equal union-find) on random edge sets
+    — seeded hypothesis-style sweep without per-example Spark overhead
+    blowup (5 seeds x one comparison)."""
+    import random
+
+    from log_analysis_spark.operators.dedup import (
+        neardup_components,
+        neardup_components_star,
+    )
+
+    for seed in range(5):
+        rng = random.Random(400 + seed)
+        n_nodes = rng.randrange(5, 40)
+        n_edges = rng.randrange(1, 60)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "id_a long, id_b long, jaccard double")
+
+        parent: dict[int, int] = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        star = {r["doc_id"]: r["rep_id"]
+                for r in neardup_components_star(pairs, max_iter=30).collect()}
+        label = {r["doc_id"]: r["rep_id"]
+                 for r in neardup_components(pairs, max_iter=50).collect()}
+        assert star == expected == label, (seed, edges)
