@@ -189,9 +189,14 @@ def main() -> None:
     # banded buckets -> candidates -> candidates-only Jaccard verify)
     from log_analysis_spark.operators.dedup import minhash_lsh_pairs
 
+    # materialize=False: the timed count() executes the full lazy plan;
+    # the eager localCheckpoint variant would leave RDD-level result
+    # blocks clearCache() can't reach (review finding r4) — the internal
+    # persists ARE CacheManager-registered and cleared below
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("minhash_lsh_pairs",
-          lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6).count())
+          lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6,
+                                    materialize=False).count())
 
     # drop every cached relation the query benches left behind (operators
     # like minhash_lsh_pairs persist intermediates for their multi-consumer

@@ -409,7 +409,10 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import neardup_components, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # max_doc_freq=None: the ORACLE computes exact uncapped Jaccard, so
+    # the gate must too — the operator's scale-safe capped default would
+    # silently diverge on any corpus with a >cap-frequency shingle
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
     return neardup_components(pairs).orderBy("doc_id")
 
 
@@ -718,12 +721,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated simhash banded pair set (VERDICT r3 #8): 16-bit band
     equality candidates + exact integer Hamming verify — fully integral,
-    replayed bit-for-bit by the DuckDB oracle."""
+    replayed bit-for-bit by the DuckDB oracle. max_hamming=3 is the
+    pigeonhole-COMPLETE regime (any 64-bit pair within Hamming 3 shares
+    a full 16-bit band), so the gate checks the operator's stated
+    contract, not a weaker banded-candidate subset (review finding r4)."""
     from .operators.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        simhash_neardup_pairs(spark, docs, max_hamming=16)
+        simhash_neardup_pairs(spark, docs, max_hamming=3)
         .orderBy("id_a", "id_b")
     )
 
@@ -1025,7 +1031,8 @@ FROM l ORDER BY event_id
         f"THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) * {1 << k}"
         for k in range(64))
     sql["simhash_sigs"] = f"""
-WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks FROM documents),
+WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
 h AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 16)) AS UBIGINT)) AS hs FROM t),
 s AS (SELECT doc_id, ({bits_sum}) AS u FROM h)
 SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash
@@ -1036,7 +1043,8 @@ FROM s ORDER BY doc_id
     # candidates + integer Hamming verify — fully integral, so the gate is
     # exact. UBIGINT mirrors Spark's shiftrightunsigned bit pattern.
     sql["simhash_neardup_pairs"] = f"""
-WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks FROM documents),
+WITH t AS (SELECT doc_id, list_filter(list_distinct(regexp_split_to_array({_DUCK_NORM}, ' ')), w -> w <> '') AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
 hh AS (SELECT doc_id, list_transform(toks, tk -> CAST(('0x' || substr(md5(tk), 1, 16)) AS UBIGINT)) AS hs FROM t),
 s AS (SELECT doc_id, CAST(({bits_sum}) AS UBIGINT) AS u FROM hh),
 b AS (
@@ -1046,7 +1054,7 @@ p AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          bit_count(xor(a.u, c.u)) AS hamming
   FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id)
-SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM p WHERE hamming <= 16 ORDER BY id_a, id_b
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM p WHERE hamming <= 3 ORDER BY id_a, id_b
 """.strip()
 
     sql["sequence_packing"] = """

@@ -385,9 +385,13 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     if materialize:
-        result = result.localCheckpoint(eager=True)
-        candidates.unpersist()
-        sigs.unpersist()
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            # a failed checkpoint job must not strand the corpus-sized
+            # caches it was supposed to release (review finding r4)
+            candidates.unpersist()
+            sigs.unpersist()
     return result
 
 
@@ -512,6 +516,7 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 30,
                       F.greatest("id_a", "id_b").alias("hi"))
          .filter(F.col("lo") != F.col("hi")).distinct().persist())
     converged = False
+    n_old = E.count()  # carried across rounds: one count per round, not two
     try:
         for it in range(max_iter):
             sym = E.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
@@ -544,12 +549,12 @@ def neardup_components_star(pairs: DataFrame, max_iter: int = 30,
             # fixpoint check: new ⊆ old and equal cardinality => equal sets
             n_new = new_E.count()
             changed = new_E.subtract(E).count()
-            n_old = E.count()
             E.unpersist()
             E = new_E
             if changed == 0 and n_new == n_old:
                 converged = True
                 break
+            n_old = n_new
         if not converged:
             raise RuntimeError(
                 f"neardup_components_star did not converge in {max_iter} "

@@ -92,8 +92,13 @@ def load_templates_df_as_matcher(
                     tuple(r["variables"] or ()), r["example"] or "")
         for r in rows
     )
+    # ALL of base's config carries over — dropping batch_rows or
+    # ac_memory_budget here would silently flip a restarted matcher
+    # between the dense-AC and pyarrow paths (review finding r4)
     return CompiledMatcher(templates=templates, threshold=base.threshold,
-                           min_fragment_length=base.min_fragment_length)
+                           min_fragment_length=base.min_fragment_length,
+                           batch_rows=base.batch_rows,
+                           ac_memory_budget=base.ac_memory_budget)
 
 
 def save_matcher_json(matcher: CompiledMatcher, path: str) -> None:

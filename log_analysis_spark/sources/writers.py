@@ -78,19 +78,32 @@ class TableFormat:
 PARQUET = TableFormat()
 
 
+import re as _re
+
+# a path is a URI only when it carries an explicit scheme://; a bare
+# urlparse would mis-handle legal local names ('/data/out#v2' loses its
+# fragment, 'data:1/out' parses as scheme 'data') and probe the wrong
+# directory — the silent-empty hazard again (review finding r4)
+_URI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
 def _local_fs_path(path: str) -> str | None:
-    """The local filesystem path for '' / 'file' scheme URIs, else None.
+    """The local filesystem path for plain paths and file:// URIs, else
+    None.
 
     The os.walk fast-paths below are only valid on the local filesystem:
     on hdfs:// or s3a:// they would yield nothing and silently treat a
     populated sink as empty (ADVICE r3) — remote schemes go through
-    Hadoop's FileSystem instead.
+    Hadoop's FileSystem instead. Only explicit ``scheme://`` prefixes
+    count as URIs; everything else is a literal local path ('#', '?',
+    and ':' are legal in POSIX file names and must not be URI-parsed).
     """
-    from urllib.parse import urlparse
+    if not _URI_RE.match(path):
+        return path
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
 
-    parsed = urlparse(path)
-    if parsed.scheme in ("", "file"):
-        return parsed.path or path
+        return urlparse(path).path
     return None
 
 

@@ -239,6 +239,9 @@ class CompiledMatcher:
     # pools estimated over this compile without the automaton and use
     # the chunked pyarrow substring path instead
     ac_memory_budget: int = 256 * 1024 * 1024
+    # separate cap for the dense score matrices (density-guard fallback
+    # only, for >= 32-template pools) — see __post_init__
+    _DENSE_MATRIX_CAP = 64 * 1024 * 1024
 
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
@@ -298,9 +301,13 @@ class CompiledMatcher:
         # Dense score matrices: two [n_frag x n_tmpl] float64 blocks,
         # broadcast to every worker like the DFA. At huge pools (50k
         # templates x ~100k fragments ~ 80 GB) THEY are the memory
-        # ceiling, not the automaton — past the shared budget only the
-        # CSR adjacency is materialized and scoring is sparse-only.
-        dense_ok = n_frag * n_tmpl * 8 * 2 <= self.ac_memory_budget
+        # ceiling, not the automaton. For pools >= 32 templates they
+        # serve ONLY as the density-guard fallback, so they get their
+        # own MODEST cap rather than riding ac_memory_budget — raising
+        # the budget to admit a big DFA must not silently drag half a
+        # GB of fallback matrices into every worker (review finding r4).
+        dense_ok = (n_frag * n_tmpl * 8 * 2
+                    <= min(self.ac_memory_budget, self._DENSE_MATRIX_CAP))
         if dense_ok:
             W = np.zeros((n_frag, n_tmpl), dtype=np.float64)
             I = np.zeros((n_frag, n_tmpl), dtype=np.float64)
