@@ -135,7 +135,10 @@ def test_lsh_candidate_semi_join_no_broadcast_hint(spark):
     from log_analysis_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    q = minhash_lsh_pairs(docs, k=8, bands=2, threshold=0.5)
+    # materialize=False: plan inspection needs the lazy graph (the default
+    # eagerly localCheckpoints, truncating the plan to an RDD scan)
+    q = minhash_lsh_pairs(docs, k=8, bands=2, threshold=0.5,
+                          materialize=False)
     logical = q._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "hint" not in logical.lower()
     assert "LeftSemi" in _plan(q)
