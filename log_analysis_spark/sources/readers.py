@@ -98,7 +98,8 @@ def load_templates_df_as_matcher(
     return CompiledMatcher(templates=templates, threshold=base.threshold,
                            min_fragment_length=base.min_fragment_length,
                            batch_rows=base.batch_rows,
-                           ac_memory_budget=base.ac_memory_budget)
+                           ac_memory_budget=base.ac_memory_budget,
+                           dense_matrix_budget=base.dense_matrix_budget)
 
 
 def save_matcher_json(matcher: CompiledMatcher, path: str) -> None:

@@ -239,9 +239,15 @@ class CompiledMatcher:
     # pools estimated over this compile without the automaton and use
     # the chunked pyarrow substring path instead
     ac_memory_budget: int = 256 * 1024 * 1024
-    # separate cap for the dense score matrices (density-guard fallback
-    # only, for >= 32-template pools) — see __post_init__
-    _DENSE_MATRIX_CAP = 64 * 1024 * 1024
+    # separate budget for the dense score matrices. For >= 32-template
+    # pools they are the density-guard FALLBACK: when a pool has
+    # fragments shared across most templates (generic suffixes like
+    # ' of '), the sparse expansion degenerates to ~n_tmpl candidates
+    # per row and the dense matmul is the faster scorer (measured 5x on
+    # a 5k pool with two all-pool fragments). Deliberately its own knob,
+    # NOT ac_memory_budget: raising the DFA budget must not silently
+    # drag these into every worker, and vice versa.
+    dense_matrix_budget: int = 64 * 1024 * 1024
 
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
@@ -306,8 +312,7 @@ class CompiledMatcher:
         # own MODEST cap rather than riding ac_memory_budget — raising
         # the budget to admit a big DFA must not silently drag half a
         # GB of fallback matrices into every worker (review finding r4).
-        dense_ok = (n_frag * n_tmpl * 8 * 2
-                    <= min(self.ac_memory_budget, self._DENSE_MATRIX_CAP))
+        dense_ok = n_frag * n_tmpl * 8 * 2 <= self.dense_matrix_budget
         if dense_ok:
             W = np.zeros((n_frag, n_tmpl), dtype=np.float64)
             I = np.zeros((n_frag, n_tmpl), dtype=np.float64)
@@ -519,6 +524,7 @@ class CompiledMatcher:
             min_fragment_length=self.min_fragment_length,
             batch_rows=self.batch_rows,
             ac_memory_budget=self.ac_memory_budget,
+            dense_matrix_budget=self.dense_matrix_budget,
         )
 
     @classmethod

@@ -161,8 +161,9 @@ def test_sparse_only_scoring_past_dense_budget():
         LogTemplate(i + 1, rf"podx{i:03d}z unit (\d+) ready", ("n",))
         for i in range(400)
     )
-    full = CompiledMatcher(templates=tmpls)                      # dense + AC
-    lean = CompiledMatcher(templates=tmpls, ac_memory_budget=1)  # sparse-only
+    full = CompiledMatcher(templates=tmpls)  # dense + AC
+    lean = CompiledMatcher(templates=tmpls, ac_memory_budget=1,
+                           dense_matrix_budget=1)  # sparse-only, no DFA
     assert full._weight_matrix is not None
     assert lean._weight_matrix is None and lean._indicator_matrix is None
     # chunk sizing stays positive under a tiny budget
