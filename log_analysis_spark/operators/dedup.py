@@ -71,9 +71,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     groupBy-reps + join-back formulation shuffles the full table twice
     (the reps relation is ~distinct-digest-sized, too big to broadcast
     on a real corpus); measured 5x slower with 4 Exchanges vs 2 at sf0.1.
-    Digest skew is bounded by construction: a hot digest IS a massive
-    duplicate group, exactly what the operator exists to find, and min()
-    is an algebraic aggregate the window partial-aggregates.
+    Trade-off stated honestly: WindowExec buffers each digest partition
+    (spilling past memory) rather than partial-aggregating map-side — a
+    mega-hot digest spills instead of combining early. That digest IS a
+    massive duplicate group (the operator's target), the spill is
+    sequential, and it still beats shipping the whole table over the
+    network twice.
     """
     from pyspark.sql import Window
 
