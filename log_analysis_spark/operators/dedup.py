@@ -179,7 +179,10 @@ def shingle_count_udf(spark, n: int = 3):
                        if len(w) >= n else 0)
         return pd.Series(out, dtype="int64")
 
-    return _cnt
+    # deterministic kernel; the flag stops Catalyst from duplicating the
+    # ArrowEvalPython node when a filter references the output column
+    # (measured 2x eval -> 1x; same fix as the LSH verify kernel)
+    return _cnt.asNondeterministic()
 
 
 def shingle_count_col(text_col: str = "text", n: int = 3) -> Column:
@@ -278,6 +281,9 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
             out.append(((A * base[None, :] + B) % P).min(axis=1).tolist())
         return pd.Series(out)
 
+    # deterministic; nondeterministic flag = evaluate once (the isNotNull
+    # filter below would otherwise duplicate the kernel node)
+    _mh = _mh.asNondeterministic()
     return (
         df.select(F.col(id_col), _mh(F.col(text_col)).alias("sig"))
         .filter(F.col("sig").isNotNull())
@@ -642,7 +648,11 @@ def simhash_udf(spark):
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    return _simhash
+    # deterministic; the flag halves the banded self-join's kernel
+    # evaluations (4 -> 2 ArrowEvalPython: intra-side filter duplication
+    # gone; the two join sides still evaluate independently) — measured
+    # 3.9s -> 2.4s on the sf0.1 pair query
+    return _simhash.asNondeterministic()
 
 
 def simhash_neardup_pairs(
