@@ -1096,7 +1096,7 @@ GROUP BY tr.doc_id ORDER BY train_doc_id
     langs, lang_exprs, greatest_all = _duck_lang_parts()
     en_ws = ", ".join("'" + w + "'" for w in _SW["en"])
     lang_case = (
-        "CASE WHEN mx < 0.01 THEN 'unknown' "
+        "CASE WHEN mx IS NULL OR mx < 0.01 THEN 'unknown' "
         + " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs[:-1])
         + f" ELSE '{langs[-1]}' END"
     )
@@ -1447,7 +1447,7 @@ FROM g ORDER BY doc_id
 WITH f AS (SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words FROM documents),
 s AS (SELECT {', '.join(lang_exprs)} FROM f),
 b AS (SELECT greatest({greatest_all}) AS mx, * FROM s),
-l AS (SELECT CASE WHEN mx < 0.01 THEN 'unknown'
+l AS (SELECT CASE WHEN mx IS NULL OR mx < 0.01 THEN 'unknown'
                   {pick} ELSE '{langs[-1]}' END AS lang_id FROM b)
 SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
 """.strip()
