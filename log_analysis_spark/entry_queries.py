@@ -34,12 +34,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # (`{S}` is the string type name: STRING for Spark, VARCHAR for DuckDB).
 _LINE_SQL = """
 CASE CAST(event_id % 6 AS INT)
-  WHEN 0 THEN concat('cpu_usage: ', CAST(user_id % 90 + 5 AS {S}), '.', CAST(event_id % 10 AS {S}), '% - ', event_type)
-  WHEN 1 THEN concat('memory_usage: ', CAST(user_id % 30 + 1 AS {S}), '.', CAST(event_id % 10 AS {S}), 'GB - ', event_type)
-  WHEN 2 THEN concat('disk_io: ', CAST(user_id % 900 + 10 AS {S}), 'MB/s - ', event_type)
-  WHEN 3 THEN concat('error: connection timeout after ', CAST(user_id % 30000 AS {S}), 'ms')
-  WHEN 4 THEN concat('error: invalid user id ', CAST(user_id AS {S}))
-  ELSE concat('freeform note ', CAST(user_id AS {S}), ' tail')
+  WHEN 0 THEN concat('cpu_usage: ', CAST(coalesce(user_id, 0) % 90 + 5 AS {S}), '.', CAST(event_id % 10 AS {S}), '% - ', coalesce(event_type, ''))
+  WHEN 1 THEN concat('memory_usage: ', CAST(coalesce(user_id, 0) % 30 + 1 AS {S}), '.', CAST(event_id % 10 AS {S}), 'GB - ', coalesce(event_type, ''))
+  WHEN 2 THEN concat('disk_io: ', CAST(coalesce(user_id, 0) % 900 + 10 AS {S}), 'MB/s - ', coalesce(event_type, ''))
+  WHEN 3 THEN concat('error: connection timeout after ', CAST(coalesce(user_id, 0) % 30000 AS {S}), 'ms')
+  WHEN 4 THEN concat('error: invalid user id ', CAST(coalesce(user_id, 0) AS {S}))
+  ELSE concat('freeform note ', CAST(coalesce(user_id, 0) AS {S}), ' tail')
 END
 """.strip()
 
@@ -48,10 +48,10 @@ END
 # (syslog / ISO / delimited / unstructured shapes).
 _FMT_LINE_SQL = """
 CASE CAST(event_id % 4 AS INT)
-  WHEN 0 THEN concat('Jun 14 15:16:0', CAST(event_id % 10 AS {S}), ' host-', CAST(user_id AS {S}), ' sshd[', CAST(event_id AS {S}), ']: session opened')
-  WHEN 1 THEN concat('2024-01-01 12:00:0', CAST(event_id % 10 AS {S}), ' INFO service started user=', CAST(user_id AS {S}))
-  WHEN 2 THEN concat('a,', CAST(user_id AS {S}), ',b,', CAST(event_id AS {S}), ',c')
-  ELSE concat('freeform trace ', CAST(user_id AS {S}))
+  WHEN 0 THEN concat('Jun 14 15:16:0', CAST(event_id % 10 AS {S}), ' host-', CAST(coalesce(user_id, 0) AS {S}), ' sshd[', CAST(event_id AS {S}), ']: session opened')
+  WHEN 1 THEN concat('2024-01-01 12:00:0', CAST(event_id % 10 AS {S}), ' INFO service started user=', CAST(coalesce(user_id, 0) AS {S}))
+  WHEN 2 THEN concat('a,', CAST(coalesce(user_id, 0) AS {S}), ',b,', CAST(event_id AS {S}), ',c')
+  ELSE concat('freeform trace ', CAST(coalesce(user_id, 0) AS {S}))
 END
 """.strip()
 
@@ -238,8 +238,13 @@ def q_user_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("event_type").isin("click", "view", "purchase").cast("long")).alias("n_known"),
-            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+            # when/otherwise, NOT isin().cast(): a NULL event_type must
+            # count 0 like the oracle's CASE ... ELSE 0 (cast(NULL) would
+            # make a group of all-NULL types sum to NULL, not 0)
+            F.sum(F.when(F.col("event_type").isin("click", "view", "purchase"),
+                         F.lit(1)).otherwise(0)).alias("n_known"),
+            F.sum(F.when(F.col("event_type") == "error",
+                         F.lit(1)).otherwise(0)).alias("n_errors"),
         )
         .orderBy("user_id")
     )
@@ -451,7 +456,7 @@ def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unique per row) that only the single-line fallback generator can cover.
 _INDUCT_LINE_SQL = """
 CASE WHEN event_id % 50 = 0
-  THEN concat('job ', substr(md5(CAST(event_id AS {S})), 1, 8), ' spawned worker ', CAST(user_id AS {S}))
+  THEN concat('job ', substr(md5(CAST(event_id AS {S})), 1, 8), ' spawned worker ', CAST(coalesce(user_id, 0) AS {S}))
   ELSE {base}
 END
 """.strip()
@@ -470,7 +475,7 @@ CASE
   WHEN event_id % 77 = 0
     THEN concat('task ', substr(md5(concat('t', CAST(event_id AS {S}))), 1, 8), ' finished')
   WHEN event_id % 50 = 0
-    THEN concat('job ', substr(md5(CAST(event_id % 97 AS {S})), 1, 8), ' spawned worker ', CAST(user_id AS {S}))
+    THEN concat('job ', substr(md5(CAST(event_id % 97 AS {S})), 1, 8), ' spawned worker ', CAST(coalesce(user_id, 0) AS {S}))
   ELSE {base}
 END
 """.strip()
@@ -595,10 +600,10 @@ def q_induced_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries an email + an IPv4; thirds carry a card-like account number,
 # fifths a bearer token, sevenths an AWS-style key id.
 _PII_LINE_SQL = """
-concat('user u', CAST(user_id AS {S}), '@example.com from 10.', CAST(user_id % 256 AS {S}), '.0.', CAST(event_id % 256 AS {S}),
+concat('user u', CAST(coalesce(user_id, 0) AS {S}), '@example.com from 10.', CAST(coalesce(user_id, 0) % 256 AS {S}), '.0.', CAST(event_id % 256 AS {S}),
   CASE WHEN event_id % 3 = 0 THEN concat(' card ', CAST(4000000000000000 + event_id AS {S})) ELSE '' END,
   CASE WHEN event_id % 5 = 0 THEN concat(' auth Bearer tok_', substr(md5(CAST(event_id AS {S})), 1, 12)) ELSE '' END,
-  CASE WHEN event_id % 7 = 0 THEN concat(' key AKIA', upper(substr(md5(CAST(user_id AS {S})), 1, 16))) ELSE '' END)
+  CASE WHEN event_id % 7 = 0 THEN concat(' key AKIA', upper(substr(md5(CAST(coalesce(user_id, 0) AS {S})), 1, 16))) ELSE '' END)
 """.strip()
 
 

@@ -80,3 +80,62 @@ def test_doc_gate_on_adversarial_corpus(spark, fuzz_dir, entry_mod, name):
     # value-level: csv-rendered hash (pandas width dtypes like
     # int32-vs-int64 from the two fetch paths are not divergences)
     assert _hash(got) == _hash(want), name
+
+
+# events-table gates whose oracle SQL is static (the induced-pool gates
+# replay via the env-keyed oracle cache and are covered at sf0.01)
+EVENT_GATES = [
+    "mask_signature", "match_assignments", "match_log_lines",
+    "token_signatures", "format_detect", "syslog_extract",
+    "variable_extraction", "context_window", "pii_redaction",
+    "template_counts_topk", "user_histogram", "event_histogram",
+    "time_range_recent", "majority_vote", "distinct_groups", "max_id",
+]
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_dir(spark, tmp_path_factory):
+    """Adversarial events: NULL ts/user_id/event_type/value/props, empty
+    and unicode/\\x0b event types — the inputs that exposed the
+    Spark-vs-DuckDB concat-NULL divergence (Spark concat propagates
+    NULL, DuckDB skips NULL args) in the shared line-construction SQL,
+    now made null-total with coalesce at the leaves."""
+    import datetime as dt
+
+    etypes = ["error", "click", "view", None, "", "ünïcode\x0btype",
+              "type with spaces", "UPPER", "123", "error", "error", "click"]
+    props = ['{"k": 1}', None, "", "plain text \x0b prop",
+             '{"nested": {"a": 1}}', "ünïcode prop",
+             "secret=hunter2 email=a@b.co"]
+    rows = []
+    for i in range(24):
+        rows.append((
+            i,
+            None if i % 7 == 3 else dt.datetime(2024, 1, 1 + i % 20, i % 24, 0, 0),
+            None if i % 9 == 4 else i % 50,
+            etypes[i % len(etypes)],
+            None if i % 5 == 2 else round(i * 1.7, 2),
+            props[i % len(props)],
+        ))
+    tmp = tmp_path_factory.mktemp("fuzz_events_sf")
+    (spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp / "events.parquet")))
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", EVENT_GATES)
+def test_event_gate_on_adversarial_corpus(spark, events_fuzz_dir, entry_mod, name):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{events_fuzz_dir}/events.parquet/*.parquet')")
+    got = entry_mod.queries()[name](spark, events_fuzz_dir).toPandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert _hash(got) == _hash(want), name
