@@ -744,10 +744,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(cosine, 6) + vec_id so float last-bits can't flip ranks."""
     from .operators.similarity import with_unit_vector, _dot
 
-    emb = _t(spark, sf_dir, "embeddings")
-    corpus = with_unit_vector(emb).select("vec_id", "unit")
+    # NULL and zero-norm embeddings are skipped on BOTH sides (DuckDB's
+    # list_cosine_similarity hard-errors on NULL elements and yields NaN
+    # for zero vectors, which sorts FIRST on DESC while Spark's NULL unit
+    # sorts last; fuzz finding) — unit is NULL exactly for zero norm
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    corpus = with_unit_vector(emb).select("vec_id", "unit") \
+        .filter(F.col("unit").isNotNull())
     qs = with_unit_vector(emb.filter(F.col("vec_id") < 5)).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"))
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")) \
+        .filter(F.col("qunit").isNotNull())
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -853,6 +859,18 @@ _DUCK_SHINGLES = (
     f"{_DUCK_NORM}, ' ')) - 2, 0) + 1), i -> string_split({_DUCK_NORM}, ' ')[i] || ' ' || "
     f"string_split({_DUCK_NORM}, ' ')[i+1] || ' ' || string_split({_DUCK_NORM}, ' ')[i+2]))"
 )
+
+def _duck_cosine(a: str, b: str) -> str:
+    """NULL-propagating cosine for DuckDB oracles. list_cosine_similarity
+    HARD-ERRORS on NULL inputs when evaluated over parquet-backed scans
+    (eager vectorized evaluation ignores preceding filters; fuzz
+    finding); the HOF formulation returns NULL instead, which WHERE
+    drops — total on any input."""
+    return (f"(list_aggregate(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]), 'sum')"
+            f" / sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+            f" / sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))")
+
 
 def _duck_lang_parts() -> tuple[list[str], list[str], str]:
     """(sorted langs, per-lang score exprs over a `words` list column,
@@ -1395,23 +1413,25 @@ ORDER BY id_a, id_b
 """.strip()
 
     sql["embedding_topk"] = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+WITH nn AS (SELECT * FROM embeddings
+            WHERE list_aggregate(list_transform(embedding, x -> x * x), 'sum') > 0),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM nn WHERE vec_id < 5),
 s AS (
   SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine_r
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         round({COS_EQ}, 6) AS cosine_r
+  FROM nn e CROSS JOIN q WHERE e.vec_id <> q.query_id
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id ASC) AS rank FROM s)
 SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
-""".strip()
+""".strip().format(COS_EQ=_duck_cosine("e.embedding", "q.qe"))
 
     sql["embedding_neardup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_r
+       round({COS_AB}, 6) AS cosine_r
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+WHERE round({COS_AB}, 6) >= 0.4
 ORDER BY id_a, id_b
-""".strip()
+""".strip().format(COS_AB=_duck_cosine("a.embedding", "b.embedding"))
 
     en_words = ", ".join(f"'{w}'" for w in
                          ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"))

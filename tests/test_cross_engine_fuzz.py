@@ -139,3 +139,51 @@ def test_event_gate_on_adversarial_corpus(spark, events_fuzz_dir, entry_mod, nam
     assert len(got) == len(want), (name, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), name
     assert _hash(got) == _hash(want), name
+
+
+EMBEDDING_GATES = ["embedding_topk", "embedding_neardup"]
+
+
+@pytest.fixture(scope="module")
+def embeddings_fuzz_dir(spark, tmp_path_factory):
+    """Adversarial embeddings: a NULL vector (DuckDB's
+    list_cosine_similarity hard-errors on those under parquet-backed
+    eager evaluation — the oracles now use NULL-propagating HOF cosine),
+    a zero vector (NaN cosine vs Spark's NULL unit; DuckDB's
+    divide-by-zero-is-NULL aligns the two), a unit axis, and a scaled
+    duplicate direction."""
+    import math
+
+    dim = 8
+    rows = []
+    for i in range(12):
+        if i == 3:
+            vec = None
+        elif i == 5:
+            vec = [0.0] * dim
+        elif i == 7:
+            vec = [float(j == 0) for j in range(dim)]
+        else:
+            vec = [math.sin(i * 7 + j) for j in range(dim)]
+        rows.append((i, vec))
+    rows.append((12, [2 * math.sin(j) for j in range(dim)]))  # scaled dup of 0
+    tmp = tmp_path_factory.mktemp("fuzz_embeddings_sf")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp / "embeddings.parquet")))
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", EMBEDDING_GATES)
+def test_embedding_gate_on_adversarial_corpus(spark, embeddings_fuzz_dir,
+                                              entry_mod, name):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{embeddings_fuzz_dir}/embeddings.parquet/*.parquet')")
+    got = entry_mod.queries()[name](spark, embeddings_fuzz_dir).toPandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert _hash(got) == _hash(want), name
