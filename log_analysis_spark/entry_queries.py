@@ -751,9 +751,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     corpus = with_unit_vector(emb).select("vec_id", "unit") \
         .filter(F.col("unit").isNotNull())
-    qs = with_unit_vector(emb.filter(F.col("vec_id") < 5)).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")) \
-        .filter(F.col("qunit").isNotNull())
+    # query side derives from the already NULL/zero-filtered corpus —
+    # one unit-vector computation, not two
+    qs = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"))
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -23,6 +23,7 @@ code change at the write sites.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,13 +79,11 @@ class TableFormat:
 PARQUET = TableFormat()
 
 
-import re as _re
-
 # a path is a URI only when it carries an explicit scheme://; a bare
 # urlparse would mis-handle legal local names ('/data/out#v2' loses its
 # fragment, 'data:1/out' parses as scheme 'data') and probe the wrong
 # directory — the silent-empty hazard again (review finding r4)
-_URI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 def _local_fs_path(path: str) -> str | None:
@@ -107,8 +106,8 @@ def _local_fs_path(path: str) -> str | None:
     return None
 
 
-def _hadoop_list_parquet(spark: SparkSession, path: str,
-                         ext: str = ".parquet") -> list[str]:
+def _hadoop_list_data_files(spark: SparkSession, path: str,
+                            ext: str = ".parquet") -> list[str]:
     """Recursive data-file listing of a (possibly remote) URI via Hadoop's
     FileSystem — the probe that works on every scheme Spark can read."""
     jvm = spark._jvm
@@ -146,7 +145,7 @@ def _has_parquet_files(path: str, spark: SparkSession | None = None,
         raise ValueError(
             f"cannot probe non-local sink {path!r} without a SparkSession "
             f"(a local os.walk would silently report it empty)")
-    return bool(_hadoop_list_parquet(spark, path, ext))
+    return bool(_hadoop_list_data_files(spark, path, ext))
 
 
 def read_sink(spark: SparkSession, path: str, schema=None,

@@ -354,7 +354,8 @@ class CompiledMatcher:
         if len(self.fragments) >= 32:
             from .ac import estimate_ac_bytes
 
-            if estimate_ac_bytes(self.fragments) <= self.ac_memory_budget:
+            est = estimate_ac_bytes(self.fragments)
+            if est <= self.ac_memory_budget:
                 from .ac import VectorizedAhoCorasick
 
                 automaton = VectorizedAhoCorasick(self.fragments)
@@ -363,7 +364,7 @@ class CompiledMatcher:
 
                 warnings.warn(
                     f"fragment pool too large for the dense AC DFA "
-                    f"(~{estimate_ac_bytes(self.fragments) / 2**20:.0f} MiB "
+                    f"(~{est / 2**20:.0f} MiB "
                     f"> ac_memory_budget={self.ac_memory_budget / 2**20:.0f} "
                     f"MiB); using the chunked pyarrow substring path")
         object.__setattr__(self, "_automaton", automaton)
