@@ -273,22 +273,18 @@ def main() -> None:
         # ~600 MB in every reused python worker (32x on this box) —
         # benched before the pipeline it poisons the e2e measurement
         # by ~2x (measured); benched last it poisons nothing
-        # 5k-template pool, budgets pinned EXPLICITLY (and honestly):
-        # ac_memory_budget=2GB admits the ~600MB dense AC DFA;
-        # dense_matrix_budget=1GB admits the ~0.49GB W/I score matrices
-        # the density guard falls back to (this pool's ' of '/' ok'
-        # fragments are shared by all 5,003 templates, so the sparse
-        # expansion degenerates to ~n_tmpl candidates/row — measured
-        # 9.3s sparse-only vs ~1.9s with the dense fallback). Total
-        # per-worker broadcast here ~1.1GB x 32 reused workers — a
-        # deliberate bench of the big-pool configuration, run LAST so
-        # it poisons nothing.
+        # 5k-template pool. The compact-output AC DFA (~87 MB actual) now
+        # fits the DEFAULT ac_memory_budget; only the dense score-matrix
+        # fallback needs a pin: this pool's ' of '/' ok' fragments are
+        # shared by all 5,003 templates, so the sparse expansion
+        # degenerates to ~n_tmpl candidates/row (measured 9.3s
+        # sparse-only vs ~1.9s with the 0.49GB dense matmul fallback).
+        # Run LAST so the per-worker broadcast poisons nothing.
         big5k = CompiledMatcher(
             templates=POOL_TEMPLATES + tuple(
                 LogTemplate(10_000 + i,
                             rf"{words[i % 8]}-u{i:04d}x p{i % 7}: step (\d+) of (\d+) ok")
                 for i in range(5000)),
-            ac_memory_budget=1 << 31,
             dense_matrix_budget=1 << 30)
         q_5k = with_template_id(transcripts, spark, big5k).filter("template_id IS NOT NULL")
         # TWO warm runs: the first execution pays ~55s unpickling the

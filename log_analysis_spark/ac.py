@@ -9,8 +9,10 @@ re-created on numpy:
 
 - compile time (driver): build the trie + BFS fail links, close them into
   a full DFA transition table ``trans[state, byte] -> state`` (uint32,
-  ~n_chars_total states x 256), and per-state *complete* output bitsets
-  (own outputs ∪ outputs along the fail chain) as a bool matrix.
+  ~n_chars_total states x 256), and *complete* output bitsets (own
+  outputs ∪ outputs along the fail chain) stored compactly: one bool row
+  per OUTPUT state plus a per-state int32 row index (the per-state dense
+  layout was the broadcast memory ceiling at large pools).
 - match time (executor, per Arrow batch): encode the batch into one
   padded uint8 matrix; all rows advance through the DFA in lockstep, one
   fancy-index gather per character position; rows sitting on an output
@@ -32,16 +34,21 @@ def estimate_ac_bytes(patterns: list[str]) -> int:
     """Upper-bound memory of the dense automaton for a pattern set.
 
     States ≤ total pattern bytes + 1. Per state: 1 KB dense transition
-    row (256 x uint32) + ``n_patterns`` bool for the complete-output
-    bitset + 1 bool has_out. At large pools the OUT-BITSET term
-    dominates, not the transition table (e.g. 50k templates x ~30 chars
-    ≈ 1.5M states → 1.5 GB of transitions but 1.5M x n_patterns ≈ tens
-    of GB of bitsets). Callers compare this against a budget and fall
-    back to the chunked pyarrow substring path when over (VERDICT r3 #5).
+    row (256 x uint32) + an int32 output-row index + 1 bool has_out.
+    Output BITSETS are stored only for states that have outputs (one
+    terminal state per pattern plus fail-chain unions, ≤ 2x n_patterns
+    rows in practice — bounded by 3x here for the estimate), NOT per
+    state: the naive [n_states x n_patterns] layout was the memory
+    ceiling (50k templates x ~30 chars ≈ 1.5M states → tens of GB of
+    bitsets; the compact layout needs ~100k x 50k ≈ 5 GB, and the
+    transition table dominates again). Callers compare this against a
+    budget and fall back to the chunked pyarrow substring path when
+    over (VERDICT r3 #5).
     """
     n_pat = len(patterns)
     est_states = sum(len(p.encode("utf-8")) for p in patterns) + 1
-    return est_states * (256 * 4 + n_pat + 1)
+    est_out_rows = min(est_states, 3 * n_pat)
+    return est_states * (256 * 4 + 4 + 1) + est_out_rows * n_pat
 
 
 class ACStateBudgetExceeded(ValueError):
@@ -72,14 +79,10 @@ class VectorizedAhoCorasick:
 
         n_states = len(goto)
         self.n_states = n_states
-        # dense-table memory this instance will allocate (see
-        # estimate_ac_bytes for the formula and why out bitsets dominate)
-        self.memory_bytes = n_states * (256 * 4 + self.n_patterns + 1)
         if max_states is not None and n_states > max_states:
             raise ACStateBudgetExceeded(
-                f"AC DFA needs {n_states} states (> max_states={max_states}; "
-                f"~{self.memory_bytes / 2**20:.0f} MiB dense) — use the "
-                f"chunked pyarrow substring path for this pool")
+                f"AC DFA needs {n_states} states (> max_states={max_states}) "
+                f"— use the chunked pyarrow substring path for this pool")
         fail = np.zeros(n_states, dtype=np.int64)
 
         # --- BFS fail links + DFA closure ---
@@ -105,11 +108,25 @@ class VectorizedAhoCorasick:
             trans[s] = row
 
         self.trans = trans
-        self.out_mask = np.zeros((n_states, self.n_patterns), dtype=bool)
+        # COMPACT output storage: bitset rows only for states that have
+        # outputs (terminal states + fail-chain unions), indexed via a
+        # per-state int32 — the dense [n_states x n_patterns] layout was
+        # the broadcast memory ceiling at large pools (a 5k-template
+        # bench pool dropped from ~750 MB of bitsets to ~25 MB)
+        self.out_index = np.full(n_states, -1, dtype=np.int32)
+        out_rows: list[set[int]] = []
         for s, outs in enumerate(out_sets):
+            if outs:
+                self.out_index[s] = len(out_rows)
+                out_rows.append(outs)
+        self.out_mask = np.zeros((len(out_rows), self.n_patterns), dtype=bool)
+        for r, outs in enumerate(out_rows):
             for pid in outs:
-                self.out_mask[s, pid] = True
-        self.has_out = self.out_mask.any(axis=1)
+                self.out_mask[r, pid] = True
+        self.has_out = self.out_index >= 0
+        # memory actually allocated (see estimate_ac_bytes)
+        self.memory_bytes = (trans.nbytes + self.out_index.nbytes
+                             + self.out_mask.nbytes + self.has_out.nbytes)
 
     def contains_matrix(self, texts: pd.Series) -> np.ndarray:
         """bool [n_rows, n_patterns]: pattern j occurs in row i."""
@@ -129,9 +146,10 @@ class VectorizedAhoCorasick:
         out_mask = self.out_mask
         # rows shorter than maxlen keep stepping on \x00 — no pattern
         # contains NUL, so those steps only walk toward the root.
+        out_index = self.out_index
         for pos in range(maxlen):
             state = trans[state, buf[:, pos]].astype(np.int64)
             hot = has_out[state]
             if hot.any():
-                M[hot] |= out_mask[state[hot]]
+                M[hot] |= out_mask[out_index[state[hot]]]
         return M

@@ -112,7 +112,10 @@ def test_ac_state_budget_and_5k_pool_identity():
     # exposure: state count + memory formula
     ac = VectorizedAhoCorasick(["hello", "help", "world"])
     assert ac.n_states == len("hello") + len("p") + len("world") + 1
-    assert ac.memory_bytes == ac.n_states * (256 * 4 + 3 + 1)
+    # compact output layout: bitset rows only for the 3 output states
+    assert ac.out_mask.shape == (3, 3)
+    assert ac.memory_bytes == (ac.trans.nbytes + ac.out_index.nbytes
+                               + ac.out_mask.nbytes + ac.has_out.nbytes)
     assert estimate_ac_bytes(["hello", "help", "world"]) >= ac.memory_bytes
 
     # hard cap raises instead of allocating
