@@ -294,6 +294,28 @@ def main() -> None:
         q_5k.count()
         q_5k.count()
         timed("match_only_5ktmpl", q_5k.count)
+
+        # 50k-template pool (VERDICT r4 #1 done-criterion): ~100k unique
+        # fragments routes through the SPARSE Aho-Corasick under DEFAULT
+        # budgets — O(total chars) matching at ~20 bytes/state (~60 MB
+        # broadcast) where the dense DFA would need ~1.5 GB/worker and
+        # the old pyarrow fallback paid 100k substring passes per chunk.
+        # Scoring takes the COO path (no [rows x 100k] bool matrix).
+        # Identity vs the pyarrow path is pinned in
+        # tests/test_ac.py::test_sparse_ac_50k_pool_end_to_end.
+        from log_analysis_spark.ac import SparseAhoCorasick
+
+        big50k = CompiledMatcher(
+            templates=POOL_TEMPLATES + tuple(
+                LogTemplate(100_000 + i,
+                            rf"svc-u{i:05d} worker (\d+) beat u{i:05d}-hb (\d+)")
+                for i in range(50_000)))
+        assert isinstance(big50k._automaton, SparseAhoCorasick)
+        q_50k = with_template_id(transcripts, spark, big50k).filter(
+            "template_id IS NOT NULL")
+        q_50k.count()  # warm: ~60 MB matcher unpickles into the workers
+        q_50k.count()
+        timed("match_only_50ktmpl", q_50k.count)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -109,6 +109,28 @@ def adversarial_specs(lines_per_dataset: int = 20_000) -> list[DatasetSpec]:
         DatasetSpec(name="adv19_variant", n_templates=24,
                     n_lines=lines_per_dataset, skew=0.0, fmt="plain",
                     seed=2019, family="variant"),
+        # VERDICT r4 next #6 — two more families:
+        # hot: ONE template carries ~2/3 of all lines (a real Zipf head,
+        # beyond the smooth skew=1.2 datasets) — run_dataset additionally
+        # drives the salted per-template sink write and the salted
+        # template_counts against this traffic and asserts salted ==
+        # unsalted counts.
+        DatasetSpec(name="adv20_hotskew", n_templates=16,
+                    n_lines=lines_per_dataset, skew=0.0, fmt="plain",
+                    seed=2020, family="hot"),
+        # score_tie: triples (A, B, C) sharing one long head fragment; A
+        # emits lines whose tail matches NEITHER unique tail and whose
+        # own phantom fragment outweighs B/C's, so on every A-line the
+        # winning candidates B and C score EXACTLY equal (equal-length,
+        # equal-composition tails -> identical weights, summed in
+        # different orders by the dense / sparse / pyarrow paths) and the
+        # 1e-9-quantized tie-break must pick min(template_id) on all of
+        # them. Exact equality is the realizable grid stress: the weight
+        # lattice is ~1e-3-grained, so a score 1e-9-close-to-threshold
+        # but unequal cannot be constructed.
+        DatasetSpec(name="adv21_scoretie", n_templates=24,
+                    n_lines=lines_per_dataset, skew=0.0, fmt="plain",
+                    seed=2021, family="score_tie"),
     ]
 
 
@@ -146,6 +168,18 @@ def make_templates(spec: DatasetSpec) -> list[str]:
             # one template per 4 carries an NBSP INSIDE a static fragment
             sep = "\u00a0" if i % 4 == 0 else " "
             t = f"{svc}: {noun}{sep}<*> {verb} auf <*>"
+        elif spec.family == "score_tie" and i < 6:
+            # two (A, B, C) triples; see adversarial_specs. B and C ids
+            # are adjacent (A=3j+1, B=3j+2, C=3j+3 after +1 numbering):
+            # the documented tie-break must always hand A's lines to B.
+            j, role = divmod(i, 3)
+            head = f"tiesvc{j:02d}: shared relay pipeline stage block"
+            if role == 0:
+                t = f"{head} <*> {{xaxaxaxa|xbxbxbxb}} fin"
+            elif role == 1:
+                t = f"{head} <*> tail ya fin"
+            else:
+                t = f"{head} <*> tail yb fin"
         elif spec.family == "variant" and i == spec.n_templates - 1:
             # one truth event, two surface phrasings: the {a|b} block is
             # rendered per line (see synth_corpus) but regex-escaped
@@ -173,6 +207,9 @@ def make_templates(spec: DatasetSpec) -> list[str]:
 
 
 def _weights(spec: DatasetSpec) -> list[int]:
+    if spec.family == "hot":
+        # one Zipf-head template at 2(n-1)/(3(n-1)) = 2/3 of traffic
+        return [2 * (spec.n_templates - 1)] + [1] * (spec.n_templates - 1)
     if spec.skew <= 0.0:
         return [1] * spec.n_templates
     # integer zipf-ish weights, bounded so the flattened choice array
@@ -286,6 +323,41 @@ def run_dataset(spark: SparkSession, spec: DatasetSpec, work_dir: str) -> dict:
     acc2 = grouping_accuracy(rematched).collect()[0]
     unmatched_after = rematched.filter(F.col("template_id").isNull()).count()
 
+    hot_share_pct = None
+    if spec.family == "hot":
+        # exercise the skew-sensitive paths under a REAL Zipf head (one
+        # template at ~2/3 of traffic): the salted per-template fan-out
+        # sink (route_and_write hash+salt pre-shuffle) and the salted
+        # template_counts, each asserted equal to its unsalted truth
+        from .operators.aggregates import template_counts
+        from .sources.writers import route_and_write, sink_counts
+
+        t_df = matched.select(
+            F.concat(F.lit("c"), (F.col("line_id") % 500).cast("string")
+                     ).alias("conv_id"),
+            F.col("line_id").alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"),
+                        F.lit("tool"), F.lit("system")),
+                (F.pmod(F.col("line_id"), F.lit(4)) + 1).cast("int")
+            ).alias("role"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("line").alias("text"),
+            "template_id")
+        sinks = route_and_write(t_df, os.path.join(work_dir, spec.name + "_sinks"))
+        counts = sink_counts(spark, sinks)
+        assert counts["by_role"] == n_lines, counts
+        assert counts["matched"] == t_df.filter(
+            F.col("template_id").isNotNull()).count(), counts
+        tc_salted = {r["template_id"]: r["log_count"]
+                     for r in template_counts(t_df, salt_buckets=8).collect()}
+        tc_plain = {r["template_id"]: r["log_count"]
+                    for r in template_counts(t_df, salt_buckets=0).collect()}
+        assert tc_salted == tc_plain, (tc_salted, tc_plain)
+        hot_n = max(tc_salted.values())
+        hot_share_pct = round(hot_n * 100.0 / n_lines, 1)
+        assert hot_share_pct > 50.0, hot_share_pct  # the head IS hot
+
     return {
         "dataset": spec.name,
         "fmt": spec.fmt,
@@ -298,6 +370,7 @@ def run_dataset(spark: SparkSession, spec: DatasetSpec, work_dir: str) -> dict:
         "induced_templates": len(new_templates),
         "accuracy_after_induction_pct": round(float(acc2["accuracy_pct"]), 3),
         "unmatched_after_induction": unmatched_after,
+        "hot_share_pct": hot_share_pct,
     }
 
 
@@ -368,6 +441,7 @@ def run_mixed(spark: SparkSession, specs: list[DatasetSpec], work_dir: str) -> d
         # TOTAL lines not matched by their own dataset's templates
         # (unmatched + cross-pool hits)
         "unmatched_after_induction": mis_routed,
+        "hot_share_pct": None,
     }
 
 

@@ -13,6 +13,7 @@ Conventions that make the value-hash gate deterministic:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -328,6 +329,55 @@ def q_match_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
         .select("event_id", "template_id")
         .orderBy("event_id")
+    )
+
+
+def q_windowed_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST/A1 streaming: event-time tumbling-window per-template counts,
+    value-gated by BATCH REPLAY (VERDICT r4 next #8) — this actually
+    RUNS the Structured Streaming operator (streaming/stream.py
+    windowed_template_counts: readStream → with_template_id → watermark
+    → window groupBy → memory sink, drained with processAllAvailable),
+    then returns the drained result as a batch frame; the DuckDB oracle
+    computes the same hour windows over the same rows. Windows emit as
+    unix-micros longs (the recent_per_user convention) so the value
+    hash is engine-portable."""
+    import tempfile
+    import uuid
+
+    from .streaming.stream import MatcherBox, windowed_template_counts
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        # NTZ → timestamp under the UTC session (the ts_us convention):
+        # watermarks require TIMESTAMP event time
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(_LINE_SQL.format(S="STRING")).alias("text"))
+    tmp = tempfile.mkdtemp(prefix="wtc_gate_")
+    in_dir = os.path.join(tmp, "in")
+    lines.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(lines.schema).parquet(in_dir)
+    out = windowed_template_counts(stream, spark, MatcherBox(m),
+                                   window="1 hour", watermark="2 hours")
+    name = "wtc_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(tmp, "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        drained = spark.table(name).collect()
+        schema = spark.table(name).schema
+    finally:
+        q.stop()
+    batch = spark.createDataFrame(drained, schema)
+    return (
+        batch.select(
+            F.unix_micros(F.col("window_start")).alias("window_start_us"),
+            F.unix_micros(F.col("window_end")).alias("window_end_us"),
+            "template_id", "n_turns")
+        .orderBy("window_start_us", F.asc_nulls_first("template_id"))
     )
 
 
@@ -769,6 +819,40 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-hyperplane LSH (operators/similarity.py:
+    hyperplane_codes + with_lsh_bucket): candidates = same 6-bit bucket,
+    exact cosine re-score. VERDICT r4 missing #3: the seeded hyperplanes
+    are literal arrays, so the DuckDB oracle replays the bucket codes
+    and the re-score exactly — a value-level gate on the ANN path, not
+    just a recall comparison. Ordering on round(cosine, 6) + vec_id;
+    the bucket sign quantizes its dot to 1e-9 (see with_lsh_bucket)."""
+    from .operators.similarity import (_dot, hyperplane_codes,
+                                       with_lsh_bucket, with_unit_vector)
+
+    planes = hyperplane_codes(spark, dim=64, n_planes=6, seed=42)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    corpus = with_lsh_bucket(
+        with_unit_vector(emb).filter(F.col("unit").isNotNull())
+        .select("vec_id", "unit"),
+        planes, "unit", "bucket")
+    qs = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"),
+        "bucket")
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine_r", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
     the scale path, validated against this in tests)."""
@@ -871,6 +955,22 @@ def _duck_cosine(a: str, b: str) -> str:
             f"i -> {a}[i] * {b}[i]), 'sum')"
             f" / sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
             f" / sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))")
+
+
+def _duck_lsh_bucket(unit: str) -> str:
+    """DuckDB replay of with_lsh_bucket's 6-bit sign-hyperplane code over
+    a unit-vector column: same seeded planes (hyperplane_codes seed=42,
+    dim=64), same left-to-right fold order as Spark's F.aggregate, same
+    1e-9 sign quantization — so the bucket codes agree bit-for-bit."""
+    from .operators.similarity import hyperplane_codes
+
+    planes = hyperplane_codes(None, dim=64, n_planes=6, seed=42)
+    terms = []
+    for i, h in enumerate(planes):
+        dot = " + ".join(f"{unit}[{j + 1}] * {float(x)!r}"
+                         for j, x in enumerate(h))
+        terms.append(f"(CASE WHEN round({dot}, 9) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def _duck_lang_parts() -> tuple[list[str], list[str], str]:
@@ -1026,6 +1126,20 @@ GROUP BY template_id ORDER BY template_id ASC NULLS FIRST
     sql["match_assignments"] = f"""
 WITH _assign AS ({assignments})
 SELECT event_id, template_id FROM _assign ORDER BY event_id
+""".strip()
+
+    # batch replay of the streaming windowed counts: same matcher
+    # restatement over (ts, line), tumbling hour windows as epoch_us
+    windowed_src = matcher_oracle_sql(
+        m, f"SELECT event_id, ts, {line_duck} AS line FROM events")
+    sql["windowed_template_counts"] = f"""
+WITH _assign AS ({windowed_src})
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+       template_id, count(*) AS n_turns
+FROM _assign
+GROUP BY 1, 2, 3
+ORDER BY window_start_us, template_id ASC NULLS FIRST
 """.strip()
 
     from .functions.format_detect import format_detect_sql
@@ -1426,6 +1540,26 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC,
 SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
 """.strip().format(COS_EQ=_duck_cosine("e.embedding", "q.qe"))
 
+    sql["embedding_topk_lsh"] = """
+WITH u AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        x -> x / sqrt(list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum'))) AS unit
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum') > 0
+),
+b AS (SELECT vec_id, unit, ({BUCKET}) AS bucket FROM u),
+q AS (SELECT vec_id AS query_id, unit AS qunit, bucket FROM b WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_aggregate(list_transform(range(1, len(e.unit) + 1), i -> e.unit[i] * q.qunit[i]), 'sum'), 6) AS cosine_r
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""".strip().format(BUCKET=_duck_lsh_bucket("unit"))
+
     sql["embedding_neardup"] = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({COS_AB}, 6) AS cosine_r
@@ -1511,6 +1645,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "match_log_lines": q_match_log_lines,
         "match_assignments": q_match_assignments,
+        "windowed_template_counts": q_windowed_template_counts,
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,
         "exact_dedup_digest": q_exact_dedup_digest,
@@ -1522,6 +1657,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

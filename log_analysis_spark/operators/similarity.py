@@ -77,12 +77,20 @@ def hyperplane_codes(spark, dim: int, n_planes: int = 16, seed: int = 42):
 def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
                     vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
     """Sign-bit bucket code per vector, computed JVM-side: bucket =
-    sum(2^i * (v . h_i > 0)). Planes ship as array literals (tiny)."""
+    sum(2^i * (v . h_i > 0)). Planes ship as array literals (tiny).
+
+    The sign test quantizes the plane dot to a 1e-9 grid first: the
+    bucket code is replayed by the DuckDB oracle (embedding_topk_lsh),
+    and two engines' float folds can disagree in the last ulp around an
+    exact zero — rounding makes the sign decision identical everywhere
+    (the same cross-engine convention as the matcher's score
+    tie-break)."""
     code = F.lit(0).cast("long")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     for i, h in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in h])
-        code = code + F.when(_dot(v, plane) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        code = code + F.when(F.round(_dot(v, plane), 9) > 0,
+                             F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return df.withColumn(out_col, code)
 
 

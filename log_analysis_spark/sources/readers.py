@@ -99,7 +99,8 @@ def load_templates_df_as_matcher(
                            min_fragment_length=base.min_fragment_length,
                            batch_rows=base.batch_rows,
                            ac_memory_budget=base.ac_memory_budget,
-                           dense_matrix_budget=base.dense_matrix_budget)
+                           dense_matrix_budget=base.dense_matrix_budget,
+                           ac_mode=base.ac_mode)
 
 
 def save_matcher_json(matcher: CompiledMatcher, path: str) -> None:

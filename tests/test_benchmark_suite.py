@@ -86,3 +86,43 @@ def test_adversarial_datasets(spark, tmp_path):
     # mixed mode: the two shared-prefix pools contain near-identical
     # templates -> cross-pool hits are measurable mis-routing
     assert by["mixed_all"]["unmatched_after_induction"] > 0
+
+    # hot family (VERDICT r4 #6): the Zipf head really carried >50% of
+    # traffic through the salted sink write + salted template_counts
+    # (the in-run asserts verified salted == unsalted)
+    h = by["adv20_hotskew"]
+    assert h["hot_share_pct"] is not None and h["hot_share_pct"] > 50.0, h
+    assert h["accuracy_pct"] > ACCURACY_FLOOR_PCT, h
+
+    t = by["adv21_scoretie"]
+    assert t["accuracy_pct"] > ACCURACY_FLOOR_PCT, t
+
+
+def test_score_tie_family_exact_tie_and_stable_break(spark):
+    """adv21 (VERDICT r4 #6): on an A-line the two candidates B and C
+    score EXACTLY equal (equal-weight tails, different summation orders)
+    and the 1e-9-quantized tie-break hands the line to the lower
+    template_id — identically on the auto (AC+sparse) and forced-pyarrow
+    scoring paths."""
+    import pandas as pd
+
+    from log_analysis_spark.benchmark_suite import adversarial_specs, spec_matcher
+    from log_analysis_spark.templates import CompiledMatcher
+
+    spec = next(s for s in adversarial_specs() if s.family == "score_tie")
+    m_auto = spec_matcher(spec, withhold=False)
+    m_pa = CompiledMatcher(templates=m_auto.templates, ac_mode="pyarrow")
+
+    line = "tiesvc00: shared relay pipeline stage block srv1234 xaxaxaxa fin"
+    s = pd.Series([line])
+    for m in (m_auto, m_pa):
+        ids, sc = m.score_batch(s)
+        assert ids[0] == 2, (ids, sc)  # B beats the exactly-tied C by id
+
+    # the tie really is exact: isolated single-template matchers for B
+    # and C report bit-identical quantized scores on the A-line
+    t_b = next(t for t in m_auto.templates if t.template_id == 2)
+    t_c = next(t for t in m_auto.templates if t.template_id == 3)
+    _, sc_b = CompiledMatcher(templates=(t_b,)).score_batch(s)
+    _, sc_c = CompiledMatcher(templates=(t_c,)).score_batch(s)
+    assert sc_b[0] == sc_c[0] > 0.3, (sc_b, sc_c)

@@ -242,3 +242,56 @@ def test_table_format_seam_json(spark, tmp_path):
     assert glob.glob(str(tmp_path / "json_out" / "matched" / "**" / "*.json*"),
                      recursive=True)
     assert PARQUET.data_extension == ".parquet" and jfmt.data_extension == ".json"
+
+
+def test_run_pipeline_table_format_json_end_to_end(spark, tmp_path, truth_rows):
+    """VERDICT r4 #2: the TableFormat seam threads through EVERY pipeline
+    write — fan-out sinks, templates dim, stage checkpoints, aggregate
+    outputs. A JSON-format run produces no parquet files anywhere under
+    out_dir, the same sink counts as the parquet run, and resumes from
+    checkpoint identically."""
+    from log_analysis_spark.sources.writers import TableFormat
+
+    out = str(tmp_path / "pipe_json")
+    df = synth_transcripts(spark, n_convs=N_CONVS)
+    matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    fmt = TableFormat("json")
+    manifest = run_pipeline(spark, df, matcher, out, table_format=fmt,
+                            materialize_parsed=True)
+    assert manifest["table_format"] == "json"
+
+    # uniformity: not a single parquet data file anywhere in the run
+    stray = [os.path.join(r, f) for r, _, fs in os.walk(out)
+             for f in fs if f.endswith(".parquet")]
+    assert stray == []
+    # every sink and aggregate has json data files
+    for p in list(manifest["sink_paths"].values()) + list(
+            manifest["aggregate_paths"].values()):
+        assert any(f.endswith(".json") for r, _, fs in os.walk(p) for f in fs), p
+
+    # sink counts equal the truth-derived expectations
+    exp = _expected(truth_rows)
+    assert manifest["sink_counts"]["matched"] == exp["matched"]
+    assert manifest["sink_counts"]["by_role"] == exp["total"]
+    assert manifest["sink_counts"]["unmatched"] == exp["total"] - exp["matched"]
+
+    # aggregate values match the parquet-run semantics (spot check)
+    tc = {r["template_id"]: r["log_count"]
+          for r in fmt.read(spark, manifest["aggregate_paths"]["template_counts"]).collect()
+          if r["template_id"] is not None}
+    assert tc == dict(exp["by_tid"])
+
+    # kill-and-resume inside a json run: remove stage-3 marker + one output
+    agg_dir = os.path.join(out, "stages", "03_aggregates")
+    os.remove(os.path.join(agg_dir, "_STAGE_OK"))
+    shutil.rmtree(os.path.join(agg_dir, "error_tallies"))
+    manifest2 = run_pipeline(spark, df, matcher, out, table_format=fmt,
+                             materialize_parsed=True, resume=True)
+    assert manifest2["sink_counts"] == manifest["sink_counts"]
+    skipped = {r["stage"]: r["skipped"] for r in manifest2["stages"]}
+    assert skipped["01_parsed"] and skipped["02_routed"]
+    assert not skipped["03_aggregates"]
+    tc2 = {r["template_id"]: r["log_count"]
+           for r in fmt.read(spark, manifest["aggregate_paths"]["template_counts"]).collect()
+           if r["template_id"] is not None}
+    assert tc2 == tc

@@ -505,3 +505,161 @@ def test_streaming_neardup_pairs(spark, tmp_path):
     mem = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
            spark.sql("SELECT * FROM neardup_mem").collect()}
     assert abs(mem[(1, 2)] - est_12) < 1e-12
+
+
+def test_streaming_neardup_state_bound_and_fifo_eviction(spark, tmp_path):
+    """VERDICT r4 next #7: drive MORE rows through one bucket than
+    max_state_per_bucket and verify, via emitted pairs, that (a) the
+    per-bucket FIFO really is capped and (b) eviction is oldest-first —
+    a later probe doc pairs with exactly the newest `cap` ids, never the
+    evicted old ones."""
+    import pandas as pd
+
+    from log_analysis_spark.streaming.stream import streaming_neardup_pairs
+
+    in_dir = str(tmp_path / "bound_in")
+    os.makedirs(in_dir)
+    base = "identical text shared by every doc in this bucket stress test"
+    cap = 4
+    # batch 1: 10 identical docs -> all land in the same buckets; after
+    # the batch the FIFO must hold only ids 7..10
+    batch1 = pd.DataFrame({"doc_id": list(range(1, 11)), "text": [base] * 10})
+    spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    pairs = streaming_neardup_pairs(stream, k=8, bands=4, min_est_jaccard=0.5,
+                                    max_state_per_bucket=cap)
+    q = (pairs.writeStream.format("memory").queryName("bound_mem")
+         .option("checkpointLocation", str(tmp_path / "bound_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one probe doc identical to all ten
+        probe = pd.DataFrame({"doc_id": [99], "text": [base]})
+        spark.createDataFrame(probe).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        got = {(r["id_a"], r["id_b"]) for r in
+               spark.sql("SELECT * FROM bound_mem").collect()}
+    finally:
+        q.stop()
+    probe_partners = {a for a, b in got if b == 99}
+    # state size: exactly `cap` partners — the FIFO held 4 entries, not 10
+    assert probe_partners == {7, 8, 9, 10}, probe_partners
+    # eviction order: the OLDEST ids (1..6) were evicted, and within
+    # batch 1 every in-flight pair still surfaced (state trims at batch end)
+    assert (1, 2) in got and (9, 10) in got
+
+
+def test_streaming_neardup_state_ttl_expires_cold_buckets(spark, tmp_path):
+    """ADVICE r4: with state_ttl_seconds set, a bucket idle past the TTL
+    is dropped (ProcessingTimeTimeout + remove), so a later identical doc
+    finds no stale partners — total state is bounded by buckets active
+    within one TTL, not all-time bucket cardinality."""
+    import pandas as pd
+
+    from log_analysis_spark.streaming.stream import streaming_neardup_pairs
+
+    in_dir = str(tmp_path / "ttl_in")
+    os.makedirs(in_dir)
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content that lands in other buckets entirely"
+    b1 = pd.DataFrame({"doc_id": [1, 2], "text": [hot, hot + " extra"]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    pairs = streaming_neardup_pairs(stream, k=8, bands=4, min_est_jaccard=0.5,
+                                    state_ttl_seconds=2)
+    # NOTE: no processAllAvailable here — with ProcessingTimeTimeout the
+    # query schedules timeout-check batches continuously and that drain
+    # idiom never quiesces (documented on streaming_neardup_pairs); the
+    # test paces on wall clock + observed output instead.
+    q = (pairs.writeStream.format("memory").queryName("ttl_mem")
+         .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+         .outputMode("append").start())
+
+    def _wait_for(pred, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            got = {(r["id_a"], r["id_b"]) for r in
+                   spark.sql("SELECT * FROM ttl_mem").collect()}
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        return {(r["id_a"], r["id_b"]) for r in
+                spark.sql("SELECT * FROM ttl_mem").collect()}
+
+    try:
+        got1 = _wait_for(lambda g: (1, 2) in g)
+        assert (1, 2) in got1  # state worked before expiry
+        time.sleep(4)  # > TTL: the hot bucket goes cold and expires
+        # doc 9 is identical to doc 1 — but the bucket state has expired,
+        # so NO cross-batch pair with 1 or 2 may surface; doc 10 (same
+        # batch) pairs with it, proving the batch WAS processed
+        b3 = pd.DataFrame({"doc_id": [9, 10], "text": [hot, hot]})
+        spark.createDataFrame(b3).coalesce(1).write.mode("append").parquet(in_dir)
+        got3 = _wait_for(lambda g: (9, 10) in g)
+        assert (9, 10) in got3, got3
+    finally:
+        q.stop()
+    assert not {(1, 9), (2, 9)} & got3, got3
+
+
+def test_templates_dim_versioned_write_and_crash_restore(spark, tmp_path):
+    """ADVICE r4: the per-epoch templates_dim write is crash-safe. Each
+    write lands in a fresh v_NNNNNN dir whose _DIM_OK marker commits
+    after the data; restore loads the newest COMPLETE version, skips an
+    unmarked (crashed) one, and prunes old versions."""
+    from log_analysis_spark.sources.readers import templates_to_df
+    from log_analysis_spark.sources.writers import (
+        _list_dim_versions,
+        latest_templates_dim,
+        write_templates_dim_versioned,
+    )
+    from log_analysis_spark.streaming.stream import restore_matcher_box
+
+    out_dir = str(tmp_path / "sout")
+    dim = os.path.join(out_dir, "templates_dim")
+    base = CompiledMatcher(templates=POOL_TEMPLATES)
+
+    m1 = base.with_templates(
+        [LogTemplate(900, r"epoch one shape (\d+) here", ("n",))])
+    v1 = write_templates_dim_versioned(templates_to_df(spark, m1), dim)
+    m2 = m1.with_templates(
+        [LogTemplate(901, r"epoch two shape (\d+) too", ("n",))])
+    v2 = write_templates_dim_versioned(templates_to_df(spark, m2), dim)
+    assert v1.endswith("v_000001") and v2.endswith("v_000002")
+    assert latest_templates_dim(dim) == v2
+
+    restored = restore_matcher_box(spark, out_dir, base).get()
+    assert {t.template_id for t in restored.templates} == \
+        {t.template_id for t in m2.templates}
+
+    # crash simulation: v_000003 written but marker never landed
+    import shutil as _sh
+
+    v3_dir = os.path.join(dim, "v_000003")
+    _sh.copytree(os.path.join(dim, "v_000002"), v3_dir)
+    os.remove(os.path.join(v3_dir, "_DIM_OK"))
+    # restore must pick v2, not the unmarked v3
+    assert latest_templates_dim(dim) == v2
+    restored2 = restore_matcher_box(spark, out_dir, base).get()
+    assert {t.template_id for t in restored2.templates} == \
+        {t.template_id for t in m2.templates}
+
+    # next write self-heals: takes v_000004 (numbering past the crash),
+    # and pruning keeps only the newest 3 version numbers
+    m3 = m2.with_templates(
+        [LogTemplate(902, r"epoch three shape (\d+) also", ("n",))])
+    v4 = write_templates_dim_versioned(templates_to_df(spark, m3), dim, keep=3)
+    assert v4.endswith("v_000004")
+    vs = _list_dim_versions(dim)
+    assert [n for n, _, _ in vs] == [2, 3, 4]  # v1 pruned
+    assert latest_templates_dim(dim) == v4
+
+    # ONLY-incomplete corner: a dim dir holding nothing but a crashed
+    # write must fall back to base (never load truncated data)
+    lone = str(tmp_path / "lone")
+    _sh.copytree(os.path.join(dim, "v_000003"),
+                 os.path.join(lone, "templates_dim", "v_000001"))
+    assert restore_matcher_box(
+        spark, lone, base).get() is base
