@@ -792,15 +792,21 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors; ordering on
     round(cosine, 6) + vec_id so float last-bits can't flip ranks."""
-    from .operators.similarity import with_unit_vector, _dot
+    from .operators.similarity import nonzero_unit_vectors, _dot
 
     # NULL and zero-norm embeddings are skipped on BOTH sides (DuckDB's
     # list_cosine_similarity hard-errors on NULL elements and yields NaN
     # for zero vectors, which sorts FIRST on DESC while Spark's NULL unit
-    # sorts last; fuzz finding) — unit is NULL exactly for zero norm
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    corpus = with_unit_vector(emb).select("vec_id", "unit") \
-        .filter(F.col("unit").isNotNull())
+    # sorts last; fuzz finding). nonzero_unit_vectors does the skip with
+    # a raw-column predicate so the interpreted-HOF normalize runs once
+    # per row, not the 3x a pushed-down unit-IS-NOT-NULL costs (r4 bench
+    # regression). The repartition spreads the normalize + 5N dots across
+    # cores: at 100 TB the scan supplies parallelism natively, but a
+    # single small parquet file otherwise pins this whole query (HOFs,
+    # cross join, partial top-k) to ONE task.
+    emb = _t(spark, sf_dir, "embeddings") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    corpus = nonzero_unit_vectors(emb).select("vec_id", "unit")
     # query side derives from the already NULL/zero-filtered corpus —
     # one unit-vector computation, not two
     qs = corpus.filter(F.col("vec_id") < 5).select(
@@ -828,13 +834,14 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     just a recall comparison. Ordering on round(cosine, 6) + vec_id;
     the bucket sign quantizes its dot to 1e-9 (see with_lsh_bucket)."""
     from .operators.similarity import (_dot, hyperplane_codes,
-                                       with_lsh_bucket, with_unit_vector)
+                                       with_lsh_bucket, nonzero_unit_vectors)
 
     planes = hyperplane_codes(spark, dim=64, n_planes=6, seed=42)
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    # same single-evaluation + parallelize rationale as q_embedding_topk
+    emb = _t(spark, sf_dir, "embeddings") \
+        .repartition(spark.sparkContext.defaultParallelism)
     corpus = with_lsh_bucket(
-        with_unit_vector(emb).filter(F.col("unit").isNotNull())
-        .select("vec_id", "unit"),
+        nonzero_unit_vectors(emb).select("vec_id", "unit"),
         planes, "unit", "bucket")
     qs = corpus.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"),
@@ -856,10 +863,15 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
     the scale path, validated against this in tests)."""
-    from .operators.similarity import with_unit_vector, _dot
+    from .operators.similarity import nonzero_unit_vectors, _dot
 
-    emb = _t(spark, sf_dir, "embeddings")
-    b = with_unit_vector(emb).select("vec_id", "unit")
+    # NULL-unit rows can never pass cosine >= 0.4 (NULL comparison), so
+    # dropping them up front via nonzero_unit_vectors is result-identical
+    # and avoids the pushed-filter double-evaluation; repartition as in
+    # q_embedding_topk (single-file scan otherwise serializes the join)
+    emb = _t(spark, sf_dir, "embeddings") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    b = nonzero_unit_vectors(emb).select("vec_id", "unit")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))

@@ -23,10 +23,12 @@ Scale notes per variant:
 from __future__ import annotations
 
 import hashlib
+import threading
+import warnings
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -121,6 +123,43 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     return df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
+_cap_drop_warned = threading.Event()
+
+
+def _observe_cap_drops(freq: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Attach a zero-extra-job Observation counting shingles the
+    ``max_doc_freq`` cap will drop; warn ONCE per process when > 0.
+
+    Detecting drops driver-side would need a second aggregation job over
+    the full shingle relation, so instead the metric is computed inline
+    with whatever action the caller runs; ``Observation.get`` blocks
+    until that action, so a daemon thread waits on it and emits the
+    warning (or exits silently if the plan is never executed)."""
+    obs = Observation()
+    out = freq.observe(
+        obs, F.sum((F.col("_df") > max_doc_freq).cast("long"))
+               .alias("dropped_stop_shingles"))
+
+    def _wait() -> None:
+        try:
+            dropped = obs.get.get("dropped_stop_shingles") or 0
+        except Exception:
+            return
+        if dropped and not _cap_drop_warned.is_set():
+            _cap_drop_warned.set()
+            warnings.warn(
+                f"ngram_jaccard_pairs: max_doc_freq cap dropped {dropped} "
+                "stop-shingle(s) from intersection counting; pairs "
+                "dominated by those shingles report a LOWER jaccard and "
+                "may fall below threshold (false negatives, never false "
+                "positives). Pass max_doc_freq=None to disable on small "
+                "corpora.", stacklevel=2)
+
+    threading.Thread(target=_wait, daemon=True,
+                     name="ngram-cap-drop-watch").start()
+    return out
+
+
 def _jaccard_from_shingles(sh: DataFrame, threshold: float,
                            id_col: str = "doc_id",
                            max_doc_freq: int | None = None) -> DataFrame:
@@ -136,6 +175,11 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float,
     joinable = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # visibility for the silent-recall-loss failure mode (ADVICE r4):
+        # an Observation metric rides the SAME job (no extra pass over
+        # the shingle relation — that matters at 100 TB), and a one-time
+        # warning fires only when the cap actually dropped shingles
+        freq = _observe_cap_drops(freq, max_doc_freq)
         joinable = sh.join(freq.filter(F.col("_df") <= max_doc_freq)
                            .select("shingle"), "shingle")
     a = joinable.alias("a")

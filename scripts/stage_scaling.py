@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Stage-paired N -> 4N scaling for the FULL pipeline (north_rule evidence).
+
+Monolithic full-pipeline paired cycles run 40-90s each and have outlasted
+this host's calm capacity windows in six attempts across rounds 2-4. The
+round-1 stage-sum decomposition worked because each stage is 5-20s, so a
+lo/hi pair for one stage completes inside a single window. This script
+re-runs that decomposition under the CURRENT (round-4+) plan — concurrent
+fan-out sinks, no primary-table shuffle on the by_role path, compact AC
+automaton — with tight per-stage pairing:
+
+  for each cycle:  route@N, route@4N, agg@N, agg@4N, match@N, match@4N
+
+Stages mirror plans/pipeline.py exactly:
+  route  = stage 02_routed: match-UDF + enrich + 4 concurrent fan-out
+           sinks + templates_dim write (route_and_write — the pipeline's
+           dominant stage)
+  agg    = stage 03_aggregates: 3 concurrent aggregate jobs reading the
+           columnar by_role sink
+  match  = the compute-only match+enrich pass (reported as a third datum;
+           NOT in the stage-sum — its work is contained in `route`)
+
+Per cycle:  stage_sum_eff = (route_N + agg_N) / (4 * (route_4N + agg_4N))
+(the pipeline with resume=False IS route+agg). Reported: median over
+cycles, per-stage medians, and the max adjacent-cycle drift of each
+side's identical-job wall time (the calm-window self-check: >~20% drift
+means the sample came from a shifting capacity window).
+
+Usage: python scripts/stage_scaling.py --turns 2000000 --n 1 --cycles 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = "/dev/shm/stage_scaling"
+
+_WORKER = '''
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from concurrent.futures import ThreadPoolExecutor
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import POOL_TEMPLATES, ERROR_TEMPLATE_IDS, role_dict, tool_dict
+from log_analysis_spark.templates import CompiledMatcher
+from log_analysis_spark.matcher import with_template_id
+from log_analysis_spark.enrich import enrich
+from log_analysis_spark.operators.aggregates import conv_histogram, error_tallies, template_counts
+from log_analysis_spark.sources.writers import read_sink, route_and_write
+from log_analysis_spark.sources.readers import templates_to_df
+
+cores = {cores}
+work = {work!r}
+spark = get_spark(app_name=f"stage{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores, 2),
+                  extra_conf={{"spark.local.dir": work + f"/sl{{cores}}"}})
+df = spark.read.parquet({in_path!r})
+m = CompiledMatcher(templates=POOL_TEMPLATES)
+matched = enrich(with_template_id(df, spark, m), role_dict(spark), tool_dict(spark))
+routed_dir = work + f"/routed{{cores}}"
+agg_dir = work + f"/agg{{cores}}"
+
+def stage_match():
+    matched.filter("template_id is not null").count()
+
+def stage_route():
+    shutil.rmtree(routed_dir, ignore_errors=True)
+    route_and_write(matched, routed_dir)
+    templates_to_df(spark, m).write.mode("overwrite").parquet(
+        routed_dir + "/templates_dim")
+
+def stage_agg():
+    routed = read_sink(spark, routed_dir + "/by_role", schema=matched.schema)
+    shutil.rmtree(agg_dir, ignore_errors=True)
+    jobs = (
+        lambda: template_counts(routed, salt_buckets=8).write.mode(
+            "overwrite").parquet(agg_dir + "/template_counts"),
+        lambda: conv_histogram(routed, ERROR_TEMPLATE_IDS).write.mode(
+            "overwrite").parquet(agg_dir + "/conv_histogram"),
+        lambda: error_tallies(routed, ERROR_TEMPLATE_IDS).write.mode(
+            "overwrite").parquet(agg_dir + "/error_tallies"),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda f: f(), jobs))
+
+STAGES = {{"match": stage_match, "route": stage_route, "agg": stage_agg}}
+
+# JIT/heap warm-up: one full unrecorded pass of every stage (route first
+# so agg has a sink to read)
+stage_route(); stage_agg(); stage_match()
+print("READY", flush=True)
+for line in sys.stdin:
+    parts = line.split()
+    if not parts or parts[0] == "QUIT":
+        break
+    t0 = time.time()
+    STAGES[parts[1]]()
+    print(f"DONE {{time.time() - t0:.3f}}", flush=True)
+'''
+
+
+class Worker:
+    def __init__(self, cores: int, in_path: str):
+        code = _WORKER.format(repo=REPO, cores=cores, work=WORK, in_path=in_path)
+        self.p = subprocess.Popen([sys.executable, "-u", "-c", code],
+                                  stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                                  stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def wait_ready(self):
+        for line in self.p.stdout:
+            if line.strip() == "READY":
+                return
+        raise RuntimeError("worker died before READY")
+
+    def run_stage(self, stage: str) -> float:
+        self.p.stdin.write(f"RUN {stage}\n")
+        self.p.stdin.flush()
+        for line in self.p.stdout:
+            if line.startswith("DONE"):
+                return float(line.split()[1])
+        raise RuntimeError("worker died mid-run")
+
+    def quit(self):
+        try:
+            self.p.stdin.write("QUIT\n")
+            self.p.stdin.flush()
+        except Exception:
+            pass
+        self.p.terminate()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--cycles", type=int, default=5)
+    args = ap.parse_args()
+
+    os.makedirs(WORK, exist_ok=True)
+    in_path = os.path.join(WORK, f"t{args.turns}")
+    gen = f'''
+import sys, os
+sys.path.insert(0, {REPO!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import synth_transcripts
+spark = get_spark(app_name="gen", master="local[32]")
+if not os.path.exists({in_path!r}):
+    synth_transcripts(spark, n_convs=max(1000, int({args.turns} / 17.6)),
+                      partitions=64).write.mode("overwrite").parquet({in_path!r})
+print("ok")
+'''
+    subprocess.run([sys.executable, "-c", gen], check=True,
+                   capture_output=True, timeout=600)
+
+    lo = Worker(args.n, in_path)
+    hi = Worker(args.n * 4, in_path)
+    lo.wait_ready()
+    hi.wait_ready()
+
+    stages = ("route", "agg", "match")
+    cycles = []
+    for i in range(args.cycles):
+        c: dict = {"cycle": i}
+        for st in stages:
+            c[f"{st}_N"] = round(lo.run_stage(st), 3)
+            c[f"{st}_4N"] = round(hi.run_stage(st), 3)
+            c[f"{st}_eff"] = round(c[f"{st}_N"] / c[f"{st}_4N"] / 4.0, 3)
+        c["stage_sum_eff"] = round(
+            (c["route_N"] + c["agg_N"]) / (4 * (c["route_4N"] + c["agg_4N"])), 3)
+        cycles.append(c)
+        print(json.dumps(c), flush=True)
+    lo.quit()
+    hi.quit()
+
+    def med(key: str) -> float:
+        return round(statistics.median(c[key] for c in cycles), 3)
+
+    def max_adjacent_drift(key: str) -> float:
+        ts = [c[key] for c in cycles]
+        return round(max((abs(a - b) / min(a, b) for a, b in zip(ts, ts[1:])),
+                         default=0.0), 3)
+
+    print(json.dumps({
+        "n": args.n, "turns": args.turns, "cycles": cycles,
+        "median_stage_sum_eff": med("stage_sum_eff"),
+        "best_stage_sum_eff": round(max(c["stage_sum_eff"] for c in cycles), 3),
+        "median_route_eff": med("route_eff"),
+        "median_agg_eff": med("agg_eff"),
+        "median_match_eff": med("match_eff"),
+        "max_adjacent_drift_route_N": max_adjacent_drift("route_N"),
+        "max_adjacent_drift_route_4N": max_adjacent_drift("route_4N"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

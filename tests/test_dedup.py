@@ -141,6 +141,37 @@ def test_ngram_jaccard_frequency_cap(spark):
     assert (2, 3) not in capped
 
 
+def test_ngram_cap_drop_warning_fires_once(spark):
+    """When max_doc_freq actually drops shingles, a one-time process-wide
+    warning makes the recall loss visible (ADVICE r4). The detection is
+    an Observation metric riding the caller's own action — assert the
+    watcher thread flips the warned flag after collect(), within a
+    bounded wait (the warn itself is raised on that daemon thread)."""
+    import time
+
+    from log_analysis_spark.operators import dedup as dd
+
+    rows = [
+        (0, "common prefix here alpha beta gamma"),
+        (1, "common prefix here alpha beta delta"),
+        (2, "common prefix here zeta eta theta"),
+        (3, "common prefix here iota kappa lambda"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dd._cap_drop_warned.clear()
+    ngram_jaccard_pairs(df, n=3, threshold=0.0, max_doc_freq=2).collect()
+    deadline = time.time() + 15
+    while not dd._cap_drop_warned.is_set() and time.time() < deadline:
+        time.sleep(0.1)
+    assert dd._cap_drop_warned.is_set()
+
+    # no drops -> flag stays clear (cap above every doc-frequency)
+    dd._cap_drop_warned.clear()
+    ngram_jaccard_pairs(df, n=3, threshold=0.0, max_doc_freq=100).collect()
+    time.sleep(2)
+    assert not dd._cap_drop_warned.is_set()
+
+
 def test_minhash_lsh_verification_is_candidates_only(spark, docs):
     """The verification path must restrict the shingle self-join to LSH
     candidate ids (broadcast semi-join) — never the full corpus. The
