@@ -882,6 +882,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=5 char grams, window=4), one
+    row per (doc_id, fingerprint). Value-gated: the kernel's md5-derived
+    gram hashes, rolling-window minima, and WS_CLASS normalization are
+    all integral and engine-portable, so the DuckDB oracle replays the
+    scheme exactly (list_transform grams -> windowed list_min ->
+    distinct+sort). Docs whose normalized text has no k-gram emit no
+    rows on either side (explode drops empty arrays)."""
+    from .operators.text_analysis import winnowing_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    win = winnowing_udf(spark, k=5, window=4)
+    return (
+        docs.select("doc_id", F.explode(win(F.col("text"))).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1503,6 +1521,30 @@ WITH s AS (SELECT doc_id, len({_DUCK_SHINGLES}) AS n_shingles FROM documents)
 SELECT doc_id, n_shingles FROM s WHERE n_shingles > 0 ORDER BY doc_id
 """.strip()
 
+    # winnowing replay: char k-grams of the WS_CLASS-normalized text,
+    # md5 first-15-hex int per gram (== the kernel's digest[:8] >> 4),
+    # min per sliding window of 4, distinct + sort; <=window grams
+    # degenerate to the global min, exactly like the kernel
+    sql["winnowing_fingerprints"] = f"""
+WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS s FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(s) - 4),
+                        i -> CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS h
+  FROM norm WHERE length(s) >= 5
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_sort(list_distinct(list_transform(
+                     generate_series(1, len(h) - 3),
+                     j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))))
+         END AS fps
+  FROM hs
+)
+SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp
+""".strip()
+
     from .operators.dedup import minhash_affine_sql_duck
 
     mh = ", ".join(minhash_affine_sql_duck("sh", 4))
@@ -1671,6 +1713,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "simhash_sigs": q_simhash_sigs,

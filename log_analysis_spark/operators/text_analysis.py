@@ -145,9 +145,20 @@ def fingerprint_col(col: Column) -> Column:
 
 def winnowing_udf(spark, k: int = 5, window: int = 4):
     """pandas UDF text -> array<long>: winnowing fingerprint (min rolling
-    hash of k-grams per window) — the standard local-fingerprint scheme
-    for near-copy detection."""
+    hash of char k-grams per window) — the standard local-fingerprint
+    scheme for near-copy detection.
+
+    Engine-portable by construction (value-gated by the
+    ``winnowing_fingerprints`` oracle): normalization is the dedup
+    family's explicit WS_CLASS (NOT Python ``str.split()``, whose
+    Unicode-wide whitespace diverges from the JVM/DuckDB renderings on
+    NBSP et al.), and each gram hash is the md5 first-15-hex-chars int
+    (``digest[:8] >> 4`` == ``CAST('0x' || substr(md5(g),1,15))``).
+    Docs whose NORMALIZED text is shorter than k have no grams and yield
+    [] (guarding on the raw length crashed on whitespace-padded short
+    strings)."""
     from ..session import ship_package
+    from .dedup import ascii_words_py
 
     ship_package(spark)
 
@@ -155,10 +166,10 @@ def winnowing_udf(spark, k: int = 5, window: int = 4):
     def _win(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            if not isinstance(t, str) or len(t) < k:
+            s = " ".join(ascii_words_py(t)) if isinstance(t, str) else ""
+            if len(s) < k:
                 out.append([])
                 continue
-            s = " ".join(t.lower().split())
             hs = np.array([
                 int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") >> 4
                 for i in range(len(s) - k + 1)

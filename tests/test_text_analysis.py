@@ -98,6 +98,25 @@ def test_fingerprints(spark):
     assert len(w2[0] & w2[1]) > 0
 
 
+def test_winnowing_edge_cases(spark):
+    """Guard is on the NORMALIZED length: 'a    b' is 6 raw chars but 3
+    after whitespace collapse (< k=5) -> [] (the raw-length guard crashed
+    on hs.min() of an empty array). NULL and Unicode-space inputs are
+    total; NBSP stays inside tokens (WS_CLASS parity with the oracle)."""
+    from log_analysis_spark.operators.text_analysis import winnowing_udf
+
+    win = winnowing_udf(spark, k=5, window=4)
+    df = spark.createDataFrame(
+        [(0, "a    b"), (1, None), (2, ""), (3, "ab"),
+         (4, "exact"),                 # normalized len == k -> one gram
+         (5, "a\u00a0b c")],     # NBSP not whitespace: normalized len 5
+        "id long, text string")
+    got = {r["id"]: r["w"] for r in df.select("id", win(F.col("text")).alias("w")).collect()}
+    assert got[0] == [] and got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) == 1
+    assert len(got[5]) == 1
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=30)
     assert media.count() == 30
