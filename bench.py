@@ -168,7 +168,7 @@ def main() -> None:
         "text_quality", "variable_extraction", "induced_templates",
         "simhash_sigs", "token_signatures", "lang_id",
         "pii_redaction", "repetition_ratio", "context_window",
-        "embedding_topk_lsh", "winnowing_fingerprints",
+        "embedding_topk_lsh", "embedding_topk_ivf", "winnowing_fingerprints",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -860,6 +860,58 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF (operators/similarity.py: ivf_centroids +
+    with_ivf_cell): seeded spherical k-means coarse quantizer (k=8,
+    trained driver-side on the md5-bucketed deterministic sample), each
+    query probes its 3 nearest cells, exact cosine re-score on cell
+    members only. Completes the ANN value-gate set (exact + LSH + IVF):
+    the centroids come out of `kmeans_unit_centroids` — the SAME pure
+    function the oracle's single-process replay runs on the SAME sample
+    — so the oracle can embed them as literals and replay cell
+    assignment (1e-9-quantized argmax, lowest-cell tie-break), the
+    probe list (dot desc, cell desc — both engines reverse an ascending
+    struct sort), and the re-score exactly. Ordering on
+    round(cosine, 6) + vec_id."""
+    from .operators.similarity import (_dot, ivf_centroids,
+                                       nonzero_unit_vectors, with_ivf_cell)
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    nz = nonzero_unit_vectors(emb).select("vec_id", "embedding", "unit")
+    C = ivf_centroids(nz, k=8, vec_col="embedding", id_col="vec_id",
+                      seed=42, iters=8)
+    corpus = with_ivf_cell(nz.withColumn("_u", F.col("unit")), C) \
+        .select("vec_id", "unit", "cell")
+    pairs = F.array(*[
+        F.struct(
+            F.round(_dot(F.col("unit"),
+                         F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(C)
+    ])
+    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, 3)
+    qs = (
+        nz.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("unit").alias("qunit"), F.explode(probes).alias("_p"))
+        .select("query_id", "qunit", F.col("_p.cell").alias("cell"))
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine_r", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
     the scale path, validated against this in tests)."""
@@ -1001,6 +1053,84 @@ def _duck_lsh_bucket(unit: str) -> str:
                          for j, x in enumerate(h))
         terms.append(f"(CASE WHEN round({dot}, 9) > 0 THEN {1 << i} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _replay_ivf_centroids(emb_parquet: str, k: int, seed: int,
+                          iters: int, sample_cap: int = 4096) -> "np.ndarray":
+    """Single-process replay of the `ivf_centroids` training run for the
+    `embedding_topk_ivf` oracle: same row universe (embedding IS NOT
+    NULL, no NULL elements, norm > 0 — `nonzero_unit_vectors`'
+    predicate), same deterministic sample (md5-bucket of
+    'ivf{seed}:'||vec_id, sorted, capped — hashlib's first-15-hex int ==
+    Spark's conv(substring(md5(..),1,15),16,10)), then the SAME numpy
+    kernel (`kmeans_unit_centroids`) — so the centroids match the Spark
+    query's bit-for-bit and can be embedded as SQL literals."""
+    import hashlib
+
+    import duckdb as _duckdb
+    import numpy as np
+
+    from .operators.similarity import kmeans_unit_centroids
+
+    rows = _duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{emb_parquet}') "
+        "WHERE embedding IS NOT NULL").fetchall()
+    sample = []
+    for vid, vec in rows:
+        if any(v is None for v in vec):
+            continue
+        x = np.asarray(vec, dtype=np.float64)
+        if not np.linalg.norm(x) > 0:
+            continue
+        b = int(hashlib.md5(f"ivf{seed}:{vid}".encode()).hexdigest()[:15], 16)
+        sample.append((b, x))
+    sample.sort(key=lambda t: t[0])
+    X = np.array([x for _, x in sample[:sample_cap]], dtype=np.float64)
+    return kmeans_unit_centroids(X, k, seed, iters)
+
+
+def _duck_ivf_topk_sql(C, n_probe: int) -> str:
+    """DuckDB replay of the IVF ANN query given literal centroids: cell
+    assignment walks the CASE ascending (lowest cell wins 1e-9-quantized
+    dot ties == Spark's array_min-over-filter), centroid dots are
+    explicit left-to-right `+` chains (same fold order as F.aggregate,
+    like _duck_lsh_bucket), the probe list reverses an ascending struct
+    sort (dot desc, cell desc on ties — both engines), re-score at the
+    shared round-6 cosine."""
+    k = len(C)
+    dots = []
+    for i, c in enumerate(C):
+        chain = " + ".join(f"unit[{j + 1}] * {float(x)!r}"
+                           for j, x in enumerate(c))
+        dots.append(f"round({chain}, 9) AS d_{i}")
+    mx = "greatest(" + ", ".join(f"d_{i}" for i in range(k)) + ")"
+    cell_case = ("CASE "
+                 + " ".join(f"WHEN d_{i} >= mx THEN {i}" for i in range(k - 1))
+                 + f" ELSE {k - 1} END")
+    pairs = "[" + ", ".join(f"{{'dot': d_{i}, 'cell': {i}}}"
+                            for i in range(k)) + "]"
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        x -> x / sqrt(list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum'))) AS unit
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum') > 0
+),
+d AS (SELECT vec_id, unit, {', '.join(dots)} FROM u),
+c AS (SELECT *, {mx} AS mx, {pairs} AS pairs FROM d),
+cells AS (SELECT vec_id, unit, {cell_case} AS cell FROM c),
+q AS (SELECT vec_id AS query_id, unit AS qunit,
+             list_transform((list_reverse(list_sort(pairs)))[1:{n_probe}], s -> s.cell) AS pcells
+      FROM c WHERE vec_id < 5),
+qp AS (SELECT query_id, qunit, unnest(pcells) AS cell FROM q),
+s AS (SELECT qp.query_id, e.vec_id,
+             round(list_aggregate(list_transform(range(1, len(e.unit) + 1), i -> e.unit[i] * qp.qunit[i]), 'sum'), 6) AS cosine_r
+      FROM cells e JOIN qp ON e.cell = qp.cell AND e.vec_id <> qp.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id ASC) AS rank FROM s)
+SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""".strip()
 
 
 def _duck_lang_parts() -> tuple[list[str], list[str], str]:
@@ -1399,6 +1529,18 @@ GROUP BY 1 ORDER BY support DESC, signature ASC
     import os as _os
 
     _oracle_sf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+    # IVF ANN oracle: data-dependent like the induction oracles — the
+    # replay trains the same seeded k-means on the same deterministic
+    # sample (`_replay_ivf_centroids`), then the SQL embeds the
+    # centroids as literals. Omitted (rows-only fallback) if the
+    # embeddings table is absent or degenerate.
+    _emb_pq = f"{_oracle_sf}/embeddings.parquet"
+    if _os.path.exists(_emb_pq):
+        _C = _replay_ivf_centroids(_emb_pq, k=8, seed=42, iters=8)
+        if len(_C):
+            sql["embedding_topk_ivf"] = _duck_ivf_topk_sql(_C, n_probe=3)
+
     _events_pq = f"{_oracle_sf}/events.parquet"
     if _os.path.exists(_events_pq):
         import duckdb as _duckdb
@@ -1712,6 +1854,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "text_quality": q_text_quality,

@@ -176,6 +176,28 @@ def cosine_neardup_pairs(
     )
 
 
+def kmeans_unit_centroids(X: np.ndarray, k: int, seed: int,
+                          iters: int) -> np.ndarray:
+    """Pure-numpy spherical k-means over sample rows X (any norm; rows
+    are normalized here). Shared by the Spark quantizer
+    (:func:`ivf_centroids`) and the oracle's single-process replay —
+    both run THIS function on the same sample, so the centroids are
+    bit-identical by construction (the `embedding_topk_ivf` value gate
+    rests on that; numpy's pairwise summation order inside mean/norm
+    need not match any SQL engine, only itself)."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
 def ivf_centroids(
     df: DataFrame,
     k: int = 16,
@@ -200,17 +222,7 @@ def ivf_centroids(
         .orderBy("_b").limit(sample_cap).collect()
     )
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                C[j] = c / max(np.linalg.norm(c), 1e-12)
-    return C
+    return kmeans_unit_centroids(X, k, seed, iters)
 
 
 def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
