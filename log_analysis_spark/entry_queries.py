@@ -1072,8 +1072,14 @@ def _replay_ivf_centroids(emb_parquet: str, k: int, seed: int,
 
     from .operators.similarity import kmeans_unit_centroids
 
+    import os as _os
+
+    # driver testdata is a single parquet FILE; Spark-written fixtures
+    # are directories of part files — glob those for DuckDB
+    src = (f"{emb_parquet}/*.parquet" if _os.path.isdir(emb_parquet)
+           else emb_parquet)
     rows = _duckdb.sql(
-        f"SELECT vec_id, embedding FROM read_parquet('{emb_parquet}') "
+        f"SELECT vec_id, embedding FROM read_parquet('{src}') "
         "WHERE embedding IS NOT NULL").fetchall()
     sample = []
     for vid, vec in rows:

@@ -221,6 +221,7 @@ def route_and_write(
     full_rows_in_matched: bool = False,
     compression: str = "zstd",
     table_format: TableFormat = PARQUET,
+    time_partition: str | None = None,
 ) -> dict[str, str]:
     """Fan-out the matched/enriched frame into the sink family.
 
@@ -255,10 +256,25 @@ def route_and_write(
     gap. Pass ``cluster_partitions`` to pin explicitly; non-file-backed
     inputs fall back to defaultParallelism.
 
+    Time partitioning (``time_partition='ts'``): derives ``ds =
+    to_date(ts)`` and prepends it to every sink's partition spec
+    (``(ds, role)``, ``(ds, template_id)``, ``(ds,)``). At 10^12 turns
+    the dominant access pattern is time-ranged (recent-window reads,
+    dated backfills, retention deletes), and a leading date partition
+    turns those into directory-level pruning — the scan never even
+    LISTS other days' files — while role/template stays the second
+    level for key pruning within a day. Daily incremental runs write
+    exactly one new ``ds=`` directory per sink, so ``mode='append'``
+    backfills compose. Off by default (sink schema gains the ``ds``
+    column when on).
+
     Returns {sink_name: path}.
     """
     sinks: dict[str, str] = {}
     spark = df.sparkSession
+    if time_partition is not None:
+        df = df.withColumn("ds", F.to_date(F.col(time_partition)))
+    lead = ("ds",) if time_partition is not None else ()
     n = cluster_partitions or spark.sparkContext.defaultParallelism
     n_write = cluster_partitions or estimate_write_partitions(df) or n
     part_args = [n_write]
@@ -279,7 +295,8 @@ def route_and_write(
     # Exchange removed from the plan.
     salt = F.pmod(F.xxhash64("conv_id"), F.lit(max(n_write, 1)))
     p_primary = os.path.join(out_dir, "by_role")
-    table_format.write(df, p_primary, mode=mode, partition_by=("role",),
+    table_format.write(df, p_primary, mode=mode,
+                       partition_by=lead + ("role",),
                        compression=compression)
     sinks["by_role"] = p_primary
     # a zero-row input (e.g. a filtered backfill slice) leaves an empty
@@ -296,7 +313,7 @@ def route_and_write(
     # A per-template query joins back on (conv_id, turn_idx) — partition
     # pruning on template_id makes that join read only its slice.
     key_cols = [c for c in
-                ("conv_id", "turn_idx", "role", "tool", "ts", "template_id")
+                ("conv_id", "turn_idx", "role", "tool", "ts", "template_id", "ds")
                 if c in matched.columns]
     matched_out = matched if full_rows_in_matched else matched.select(*key_cols)
 
@@ -310,20 +327,22 @@ def route_and_write(
         p = os.path.join(out_dir, "matched")
         table_format.write(
             matched_out.repartition(*part_args, F.col("template_id"), salt),
-            p, mode=mode, partition_by=("template_id",), compression=compression)
+            p, mode=mode, partition_by=lead + ("template_id",),
+            compression=compression)
         return "matched", p
 
     def _write_unmatched() -> tuple[str, str]:
         p = os.path.join(out_dir, "unmatched")
         table_format.write(routed.filter(F.col("template_id").isNull()),
-                           p, mode=mode, compression=compression)
+                           p, mode=mode, partition_by=lead,
+                           compression=compression)
         return "unmatched", p
 
     def _write_examples() -> tuple[str, str]:
         p = os.path.join(out_dir, "examples")
         table_format.write(
             deterministic_sample(matched, example_rate_pct, ("conv_id", "turn_idx")),
-            p, mode=mode, compression=compression)
+            p, mode=mode, partition_by=lead, compression=compression)
         return "examples", p
 
     from concurrent.futures import ThreadPoolExecutor

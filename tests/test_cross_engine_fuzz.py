@@ -36,7 +36,7 @@ DOC_GATES = [
     "exact_dedup_digest", "shingle_counts", "minhash_signatures",
     "simhash_sigs", "simhash_neardup_pairs", "minhash_lsh_pairs",
     "text_quality", "lang_id", "repetition_ratio", "curation_funnel",
-    "sequence_packing",
+    "sequence_packing", "winnowing_fingerprints",
 ]
 
 
@@ -186,4 +186,60 @@ def test_embedding_gate_on_adversarial_corpus(spark, embeddings_fuzz_dir,
     got = entry_mod.queries()[name](spark, embeddings_fuzz_dir).toPandas()
     want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
     assert len(got) == len(want), (name, len(got), len(want))
+    assert _hash(got) == _hash(want), name
+
+
+# The ANN gates need the production dim: the LSH hyperplanes are seeded
+# dim-64 literals (a dim-8 table degenerates every plane dot to NULL →
+# one bucket on both engines, which "matches" without exercising
+# anything), and the IVF oracle is data-dependent (replayed centroids),
+# so this fixture is dim 64 and the IVF test re-points the env-keyed
+# oracle cache at the fuzz dir so the replay trains on the SAME
+# adversarial table the Spark query reads.
+ANN_GATES = ["embedding_topk_lsh", "embedding_topk_ivf"]
+
+
+@pytest.fixture(scope="module")
+def embeddings64_fuzz_dir(spark, tmp_path_factory):
+    import math
+
+    dim = 64
+    rows = []
+    for i in range(16):
+        if i == 3:
+            vec = None                                    # NULL vector
+        elif i == 5:
+            vec = [0.0] * dim                             # zero vector
+        elif i == 7:
+            vec = [float(j == 0) for j in range(dim)]     # unit axis
+        elif i == 9:
+            vec = [-math.sin(j) for j in range(dim)]      # antipode of 0's dir
+        else:
+            vec = [math.sin(i * 7 + j) for j in range(dim)]
+        rows.append((i, vec))
+    rows.append((16, [2 * math.sin(j) for j in range(dim)]))  # scaled dup dir
+    tmp = tmp_path_factory.mktemp("fuzz_embeddings64_sf")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(str(tmp / "embeddings.parquet")))
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", ANN_GATES)
+def test_ann_gate_on_adversarial_corpus(spark, embeddings64_fuzz_dir,
+                                        entry_mod, name, monkeypatch):
+    import duckdb
+
+    # re-key the oracle cache: the IVF centroids must be replayed from
+    # THIS table, not the default sf0.01 (the LSH oracle is static and
+    # unaffected by the env var)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", embeddings64_fuzz_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{embeddings64_fuzz_dir}/embeddings.parquet/*.parquet')")
+    got = entry_mod.queries()[name](spark, embeddings64_fuzz_dir).toPandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), name
     assert _hash(got) == _hash(want), name

@@ -295,3 +295,56 @@ def test_run_pipeline_table_format_json_end_to_end(spark, tmp_path, truth_rows):
            for r in fmt.read(spark, manifest["aggregate_paths"]["template_counts"]).collect()
            if r["template_id"] is not None}
     assert tc2 == tc
+
+
+def test_route_time_partitioned_sinks_prune(spark, tmp_path):
+    """time_partition='ts': every sink gains a leading ds= date
+    partition; a single-day predicate prunes at the partition level
+    (PartitionFilters on ds, not a data filter), and the partitioned
+    family's counts and matched keys equal the unpartitioned ones."""
+    import glob
+
+    from log_analysis_spark.enrich import enrich
+    from log_analysis_spark.matcher import with_template_id
+    from log_analysis_spark.sources.writers import (
+        read_sink, route_and_write, sink_counts,
+    )
+    from log_analysis_spark.synth import (
+        POOL_TEMPLATES, role_dict, synth_transcripts, tool_dict,
+    )
+    from log_analysis_spark.templates import CompiledMatcher
+
+    df = synth_transcripts(spark, 60)
+    parsed = enrich(
+        with_template_id(df, spark, CompiledMatcher(templates=POOL_TEMPLATES)),
+        role_dict(spark), tool_dict(spark))
+
+    sinks_t = route_and_write(parsed, str(tmp_path / "t_out"),
+                              time_partition="ts")
+    sinks_p = route_and_write(parsed, str(tmp_path / "p_out"))
+    assert sink_counts(spark, sinks_t) == sink_counts(spark, sinks_p)
+
+    # layout: ds= is the LEADING directory level of every sink
+    for name in ("by_role", "matched", "unmatched", "examples"):
+        top = [p.rsplit("/", 1)[-1]
+               for p in glob.glob(str(tmp_path / "t_out" / name / "*"))
+               if not p.rsplit("/", 1)[-1].startswith("_")]
+        assert top and all(d.startswith("ds=") for d in top), (name, top)
+
+    primary = read_sink(spark, sinks_t["by_role"], schema=None)
+    assert "ds" in primary.columns
+    one_day = primary.select(F.min("ds").alias("d")).first()["d"]
+    q = primary.filter(F.col("ds") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the ds predicate lands in PartitionFilters (directory pruning);
+    # it must NOT appear as a post-scan data filter
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "ds" in pf
+    assert q.count() == primary.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+    # value-level: matched keys agree with the unpartitioned family
+    keys_t = {(r["conv_id"], r["turn_idx"], r["template_id"])
+              for r in read_sink(spark, sinks_t["matched"]).collect()}
+    keys_p = {(r["conv_id"], r["turn_idx"], r["template_id"])
+              for r in read_sink(spark, sinks_p["matched"]).collect()}
+    assert keys_t == keys_p
