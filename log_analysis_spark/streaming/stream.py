@@ -111,6 +111,7 @@ def route_stream(
     induce_min_support: int = 1,
     max_templates: int = 10_000,
     table_format=None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """readStream -> foreachBatch(match + enrich + split sinks).
 
@@ -216,13 +217,20 @@ def route_stream(
         finally:
             parsed.unpersist()
 
-    return (
+    w = (
         stream_df.writeStream
         .foreachBatch(_process)
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
     )
+    # availableNow: drain everything already present in bounded
+    # micro-batches, then stop — the backfill/catch-up trigger (and the
+    # streaming-throughput bench protocol); processingTime is the
+    # steady-state service trigger
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
 
 
 def restore_matcher_box(
@@ -325,14 +333,17 @@ def conversation_progress_stream(stream_df: DataFrame) -> DataFrame:
     )
 
 
-def file_transcript_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+def file_transcript_stream(spark: SparkSession, in_dir: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
     """File-source stream of transcript parquet drops (the sandbox stand-in
-    for the reference's HTTP ingest endpoint / Kafka)."""
+    for the reference's HTTP ingest endpoint / Kafka).
+    ``max_files_per_trigger`` sets the micro-batch admission size —
+    smaller = lower latency, larger = higher per-batch amortization."""
     from ..sources.readers import TRANSCRIPT_SCHEMA
 
     return (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(in_dir)
     )
 

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end Structured Streaming throughput: file-source transcript
+stream -> route_stream (match UDF + enrich + matched/unmatched durable
+sinks + checkpoint) drained with the availableNow trigger.
+
+The reference is an ingest SERVICE (src/bin/log-ingest-service.rs): its
+~370K logs/s batch-matching baseline is the comparable for the
+steady-state stream path here. Protocol: pre-stage N turns as K parquet
+files, start route_stream with available_now=True (bounded micro-batches
+of ``--files-per-trigger`` files each, exactly the micro-batch work a
+processingTime service trigger would do), await termination, and report
+drained turns / wall seconds. Durable effects included in the clock:
+matched+unmatched epoch-partitioned sinks, checkpoint commits, and the
+foreachBatch persist/unpersist cycle.
+
+Usage: python scripts/stream_bench.py --turns 1000000 --files 16 \
+           --files-per-trigger 4 --cores 32
+Prints one JSON line (same contract style as bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORK = os.environ.get("STREAM_BENCH_DIR", "/dev/shm/stream_bench")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--files", type=int, default=16)
+    ap.add_argument("--files-per-trigger", type=int, default=4)
+    ap.add_argument("--cores", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the staged input for re-runs")
+    args = ap.parse_args()
+
+    from log_analysis_spark.session import get_spark
+    from log_analysis_spark.streaming.stream import (
+        MatcherBox, file_transcript_stream, route_stream,
+    )
+    from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+    from log_analysis_spark.templates import CompiledMatcher
+
+    spark = get_spark(app_name="stream_bench", master=f"local[{args.cores}]",
+                      shuffle_partitions=args.cores)
+    in_dir = os.path.join(WORK, f"in_{args.turns}_{args.files}")
+    if not os.path.exists(in_dir):
+        # synth averages ~17 turns per conversation
+        synth_transcripts(spark, max(1, args.turns // 17)).repartition(args.files) \
+            .write.mode("overwrite").parquet(in_dir)
+    n_turns = spark.read.parquet(in_dir).count()
+
+    out_dir = os.path.join(WORK, "out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    box = MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES))
+
+    # warm-up: JIT + matcher broadcast + first-batch Arrow setup on a
+    # tiny copy so the measured drain is steady-state work
+    warm_in = os.path.join(WORK, "warm_in")
+    if not os.path.exists(warm_in):
+        spark.read.parquet(in_dir).limit(2000).coalesce(1) \
+            .write.mode("overwrite").parquet(warm_in)
+    warm_out = os.path.join(WORK, "warm_out")
+    shutil.rmtree(warm_out, ignore_errors=True)
+    route_stream(spark, file_transcript_stream(spark, warm_in), box,
+                 warm_out, available_now=True).awaitTermination()
+
+    stream = file_transcript_stream(spark, in_dir,
+                                    max_files_per_trigger=args.files_per_trigger)
+    t0 = time.time()
+    q = route_stream(spark, stream, box, out_dir, available_now=True)
+    q.awaitTermination()
+    wall = time.time() - t0
+
+    matched = spark.read.parquet(os.path.join(out_dir, "matched")).count()
+    unmatched_dir = os.path.join(out_dir, "unmatched")
+    unmatched = (spark.read.parquet(unmatched_dir).count()
+                 if any(f.endswith(".parquet") for _r, _d, fs in
+                        os.walk(unmatched_dir) for f in fs) else 0)
+    n_batches = args.files // args.files_per_trigger + bool(
+        args.files % args.files_per_trigger)
+    assert matched + unmatched == n_turns, (matched, unmatched, n_turns)
+    if not args.keep:
+        shutil.rmtree(in_dir, ignore_errors=True)
+    print(json.dumps({
+        "metric": "stream_route_turns_per_sec",
+        "value": round(n_turns / wall, 1), "unit": "turns/s",
+        "wall_sec": round(wall, 3), "turns": n_turns,
+        "micro_batches": n_batches, "files": args.files,
+        "files_per_trigger": args.files_per_trigger,
+        "matched": matched, "unmatched": unmatched, "cores": args.cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -663,3 +663,36 @@ def test_templates_dim_versioned_write_and_crash_restore(spark, tmp_path):
                  os.path.join(lone, "templates_dim", "v_000001"))
     assert restore_matcher_box(
         spark, lone, base).get() is base
+
+
+def test_route_stream_available_now_drains_and_stops(spark, tmp_path):
+    """available_now=True: the query drains every staged file in bounded
+    micro-batches and terminates on its own (the backfill/catch-up
+    trigger); sink rows account for every input turn exactly once."""
+    from log_analysis_spark.streaming.stream import (
+        MatcherBox, file_transcript_stream, route_stream,
+    )
+    from log_analysis_spark.synth import POOL_TEMPLATES, synth_transcripts
+    from log_analysis_spark.templates import CompiledMatcher
+
+    in_dir = str(tmp_path / "in")
+    df = synth_transcripts(spark, 30)
+    df.repartition(4).write.mode("overwrite").parquet(in_dir)
+    n = spark.read.parquet(in_dir).count()
+
+    out_dir = str(tmp_path / "out")
+    q = route_stream(
+        spark,
+        file_transcript_stream(spark, in_dir, max_files_per_trigger=2),
+        MatcherBox(CompiledMatcher(templates=POOL_TEMPLATES)),
+        out_dir, available_now=True)
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+
+    import glob
+    matched = spark.read.parquet(out_dir + "/matched").count()
+    unmatched = (spark.read.parquet(out_dir + "/unmatched").count()
+                 if glob.glob(out_dir + "/unmatched/**/*.parquet",
+                              recursive=True) else 0)
+    assert matched + unmatched == n
+    # bounded micro-batches: 4 files at 2/trigger -> >= 2 epoch dirs
+    assert len(glob.glob(out_dir + "/matched/epoch=*")) >= 2
