@@ -874,7 +874,8 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct sort), and the re-score exactly. Ordering on
     round(cosine, 6) + vec_id."""
     from .operators.similarity import (_dot, ivf_centroids,
-                                       nonzero_unit_vectors, with_ivf_cell)
+                                       nonzero_unit_vectors, probe_cells,
+                                       with_ivf_cell)
 
     emb = _t(spark, sf_dir, "embeddings") \
         .repartition(spark.sparkContext.defaultParallelism)
@@ -883,21 +884,11 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       seed=42, iters=8)
     corpus = with_ivf_cell(nz.withColumn("_u", F.col("unit")), C) \
         .select("vec_id", "unit", "cell")
-    pairs = F.array(*[
-        F.struct(
-            F.round(_dot(F.col("unit"),
-                         F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(C)
-    ])
-    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, 3)
-    qs = (
+    qs = probe_cells(
         nz.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("unit").alias("qunit"), F.explode(probes).alias("_p"))
-        .select("query_id", "qunit", F.col("_p.cell").alias("cell"))
-    )
+        .select(F.col("vec_id").alias("query_id"), "unit")
+        .withColumn("_u", F.col("unit")),
+        C, n_probe=3, id_col="query_id", unit_out="qunit")
     scored = (
         corpus.join(F.broadcast(qs), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

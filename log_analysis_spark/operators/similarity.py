@@ -225,22 +225,73 @@ def ivf_centroids(
     return kmeans_unit_centroids(X, k, seed, iters)
 
 
+def centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    """The coarse quantizer as a tiny broadcastable dim table
+    (cell_id, cvec). Dots against it run as one JVM zip_with per
+    (row, centroid) pair — the formulation that scales in k. The
+    original per-centroid LITERAL-array expression tree (k x dim
+    literal nodes inside interpreted higher-order functions) was both
+    unscalable in k and catastrophically slow to evaluate: 62s for a
+    2,000-row window stage at k=8/dim=64, vs <1s for this join."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell_id int, cvec array<double>")
+
+
+def centroid_dots(unit_df: DataFrame, cdf: DataFrame, id_col: str,
+                  unit_col: str = "_u") -> DataFrame:
+    """(id, cell_id, cdot): 1e-9-quantized dot of every vector against
+    every centroid — broadcast nested-loop expansion x k, collapsed
+    map-side by the callers' aggregations. The fold order of the dot
+    (left-to-right F.aggregate) matches the oracle's explicit `+` chain
+    exactly."""
+    return (
+        unit_df.select(id_col, unit_col).join(F.broadcast(cdf))
+        .select(id_col, "cell_id",
+                F.round(_dot(F.col(unit_col), F.col("cvec")), 9).alias("cdot"))
+    )
+
+
 def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
-                  vec_col: str = "embedding", out_col: str = "cell") -> DataFrame:
-    """Nearest-centroid cell id per vector, JVM-side (k dot products with
-    literal centroid arrays; deterministic tie-break: lowest cell id).
-    At scale the corpus is written partitioned by cell once."""
+                  vec_col: str = "embedding", out_col: str = "cell",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid cell id per vector (deterministic tie-break:
+    lowest cell id on 1e-9-quantized dot ties).
+
+    Plan shape: broadcast-join the k-row centroid dim, argmax via
+    groupBy(id) — the x-k expansion collapses in the map-side partial
+    aggregation (one row per id reaches the shuffle), then one join
+    back on the id. At scale the corpus is written partitioned by cell
+    once, so this is a one-time cost per corpus version."""
     unit_df = with_unit_vector(df, vec_col, "_u") if "_u" not in df.columns else df
-    pairs = F.array(*[
-        F.struct(
-            F.round(_dot(F.col("_u"), F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ])
-    mx = F.array_max(F.transform(pairs, lambda s: s["dot"]))
-    cell = F.array_min(F.filter(pairs, lambda s: s["dot"] >= mx))["cell"]
-    return unit_df.withColumn(out_col, cell).drop("_u")
+    cdf = centroids_df(df.sparkSession, centroids)
+    # max of struct(cdot, -cell_id): highest dot, lowest cell on ties
+    # (no negated double — avoids -0.0 comparison subtleties)
+    best = (
+        centroid_dots(unit_df, cdf, id_col)
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cdot").alias("d"),
+                            (-F.col("cell_id")).alias("nc"))).alias("b"))
+        .select(id_col, (-F.col("b.nc")).alias(out_col))
+    )
+    return unit_df.join(best, id_col).drop("_u")
+
+
+def probe_cells(qs: DataFrame, centroids: np.ndarray, n_probe: int,
+                id_col: str = "query_id", unit_col: str = "unit",
+                unit_out: str = "_qunit") -> DataFrame:
+    """(id, unit_out, cell): each query's n_probe nearest cells, one row
+    per probe. Rank order (cdot desc, cell_id desc) reproduces the
+    original reversed-ascending struct sort exactly — on 1e-9-quantized
+    dot ties the HIGHER cell id probes first — so the oracle's
+    list_reverse(list_sort(...)) replay still matches."""
+    cdf = centroids_df(qs.sparkSession, centroids)
+    d = centroid_dots(qs, cdf, id_col, unit_col="_u")
+    w = Window.partitionBy(id_col).orderBy(F.desc("cdot"), F.desc("cell_id"))
+    top = (d.withColumn("_r", F.row_number().over(w))
+           .filter(F.col("_r") <= n_probe)
+           .select(id_col, F.col("cell_id").alias("cell")))
+    return qs.select(id_col, F.col(unit_col).alias(unit_out)).join(top, id_col)
 
 
 def ivf_topk(
@@ -257,22 +308,13 @@ def ivf_topk(
     cosine re-scoring on cell members only. Recall rises with n_probe
     (n_probe = k cells -> exact)."""
     corpus = with_unit_vector(df, vec_col, "unit")
-    corpus = with_ivf_cell(corpus.withColumn("_u", F.col("unit")), centroids) \
+    corpus = with_ivf_cell(corpus.withColumn("_u", F.col("unit")), centroids,
+                           id_col=id_col) \
         .select(id_col, "unit", "cell")
 
     qs = with_unit_vector(queries, vec_col, "unit").withColumn("_u", F.col("unit"))
-    # per-query probe list: top n_probe centroid dots, exploded
-    pairs = F.array(*[
-        F.struct(
-            F.round(_dot(F.col("_u"), F.array(*[F.lit(float(x)) for x in c])), 9).alias("dot"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ])
-    probes = F.slice(F.reverse(F.array_sort(pairs)), 1, n_probe)
-    qs = (qs.select(query_id_col, F.col("unit").alias("_qunit"),
-                    F.explode(probes).alias("_p"))
-          .select(query_id_col, "_qunit", F.col("_p.cell").alias("cell")))
+    qs = probe_cells(qs, centroids, n_probe, id_col=query_id_col,
+                     unit_out="_qunit")
 
     scored = (
         corpus.join(F.broadcast(qs), "cell")
