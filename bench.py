@@ -144,7 +144,14 @@ def main() -> None:
 
     # window control FIRST: report how fast this host is RIGHT NOW
     # relative to the pinned calm-window baseline, so cross-round
-    # comparisons can normalize out the sandbox's ~2x CPU drift
+    # comparisons can normalize out the sandbox's ~2x CPU drift.
+    # CAVEAT (round 5, measured): the control is single-threaded, so it
+    # sees per-core speed but NOT multi-core contention — a co-tenant
+    # saturating 20 of 32 cores leaves drift at ~1.0 while 32-way
+    # stages run 2x slower. loadavg_start/end are recorded so post-hoc
+    # window classification can catch that case (loadavg >> 0 at start
+    # or rising across the run = contended window even if drift ~ 1).
+    loadavg_start = os.getloadavg()
     control_sec = _host_control()
 
     # --- headline SQL/operator queries at sf_dir -------------------------
@@ -328,6 +335,8 @@ def main() -> None:
         "host_control_sec": round(control_sec, 4),
         "host_control_baseline_sec": CONTROL_BASELINE_SEC,
         "host_drift": round(control_sec / CONTROL_BASELINE_SEC, 3),
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
         "pipeline_turns": n_turns,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
