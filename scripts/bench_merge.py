@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Merge several bench.py JSON lines into a best-window artifact: the
+per-query MINIMUM across runs (contention only adds time — the same
+estimator as stage_scaling's min mode), with per-run provenance
+(host_drift + loadavg) retained. Use on hosts whose co-tenant load
+oscillates faster than one full bench run: each query needs only ONE
+clean window across the whole session to be measured clean.
+
+Usage: python scripts/bench_merge.py run1.json run2.json ... > merged.json
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    runs = [json.load(open(p)) for p in sys.argv[1:]]
+    queries: dict[str, float] = {}
+    prov = []
+    for i, r in enumerate(runs):
+        for k, v in r["queries"].items():
+            if k not in queries or v < queries[k]:
+                queries[k] = v
+        prov.append({
+            "run": i, "host_drift": r.get("host_drift"),
+            "loadavg_start": r.get("loadavg_start"),
+            "loadavg_end": r.get("loadavg_end"),
+            "pipeline_e2e": r["queries"].get("pipeline_e2e"),
+        })
+    base = dict(runs[0])
+    base["queries"] = queries
+    base["value"] = queries.get("pipeline_e2e", base.get("value"))
+    base["merge"] = {"n_runs": len(runs), "estimator": "per-query min",
+                     "runs": prov}
+    turns = base.get("pipeline_turns")
+    if turns and "pipeline_e2e" in queries:
+        base["turns_per_sec"] = round(turns / queries["pipeline_e2e"], 1)
+    if turns and "match_single_sink" in queries:
+        base["match_single_sink_turns_per_sec"] = round(
+            turns / queries["match_single_sink"], 1)
+    if turns and "match_only" in queries:
+        base["match_only_turns_per_sec"] = round(
+            turns / queries["match_only"], 1)
+    print(json.dumps(base))
+
+
+if __name__ == "__main__":
+    main()
