@@ -158,27 +158,33 @@ def winnowing_udf(spark, k: int = 5, window: int = 4):
     [] (guarding on the raw length crashed on whitespace-padded short
     strings)."""
     from ..session import ship_package
-    from .dedup import ascii_words_py
 
     ship_package(spark)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _win(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            s = " ".join(ascii_words_py(t)) if isinstance(t, str) else ""
-            if len(s) < k:
-                out.append([])
-                continue
-            hs = np.array([
-                int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") >> 4
-                for i in range(len(s) - k + 1)
-            ], dtype=np.int64)
-            if len(hs) <= window:
-                out.append([int(hs.min())])
-                continue
-            mins = {int(hs[i:i + window].min()) for i in range(len(hs) - window + 1)}
-            out.append(sorted(mins))
-        return pd.Series(out)
+        return pd.Series([winnowing_py(t, k, window) for t in texts])
 
     return _win
+
+
+def winnowing_py(text, k: int = 5, window: int = 4) -> list[int]:
+    """Pure winnowing kernel (the UDF maps this over each Arrow batch;
+    tests exercise the guarantee directly): WS_CLASS-normalize, hash
+    every char k-gram, emit the distinct sorted per-window minima.
+    Winnowing's theorem: two texts sharing a substring whose NORMALIZED
+    form is >= window + k - 1 chars share at least one fingerprint —
+    that is the property test's oracle."""
+    from .dedup import ascii_words_py
+
+    s = " ".join(ascii_words_py(text)) if isinstance(text, str) else ""
+    if len(s) < k:
+        return []
+    hs = np.array([
+        int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") >> 4
+        for i in range(len(s) - k + 1)
+    ], dtype=np.int64)
+    if len(hs) <= window:
+        return [int(hs.min())]
+    return sorted({int(hs[i:i + window].min())
+                   for i in range(len(hs) - window + 1)})

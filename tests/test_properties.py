@@ -212,3 +212,45 @@ def test_star_and_label_components_agree_on_random_graphs(spark):
         label = {r["doc_id"]: r["rep_id"]
                  for r in neardup_components(pairs, max_iter=50).collect()}
         assert star == expected == label, (seed, edges)
+
+
+# --- winnowing guarantee -------------------------------------------------
+_wtexts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=80)
+
+
+@given(_wtexts, _wtexts, _wtexts)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_shared_substring_guarantee(prefix, shared, suffix):
+    """Winnowing's theorem (Schleimer/Wilkerson/Aiken): if two documents
+    share a substring whose normalized form is >= window + k - 1 chars,
+    they share at least one fingerprint — regardless of where the
+    substring sits (shift-robustness, the property whole-doc digests
+    lack). Also: fingerprints are a subset of the doc's own k-gram
+    hashes, sorted and distinct."""
+    from log_analysis_spark.operators.dedup import ascii_words_py
+    from log_analysis_spark.operators.text_analysis import winnowing_py
+
+    k, w = 5, 4
+    doc_a = prefix + " " + shared + " " + suffix
+    doc_b = shared
+    fa, fb = winnowing_py(doc_a, k, w), winnowing_py(doc_b, k, w)
+
+    assert fa == sorted(set(fa)) and fb == sorted(set(fb))
+
+    norm_shared = " ".join(ascii_words_py(shared))
+    # the guarantee needs the shared region to survive normalization as
+    # one contiguous run INSIDE doc_a too; splicing with spaces keeps it
+    # contiguous exactly when shared has no leading/trailing whitespace
+    if norm_shared == shared.strip() == shared and len(shared) >= w + k - 1:
+        assert set(fa) & set(fb), (doc_a, doc_b)
+
+
+@given(_wtexts)
+@settings(max_examples=100, deadline=None)
+def test_winnowing_total_and_deterministic(text):
+    from log_analysis_spark.operators.text_analysis import winnowing_py
+
+    assert winnowing_py(text) == winnowing_py(text)
+    assert winnowing_py(None) == [] and winnowing_py("") == []
