@@ -937,8 +937,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     win = winnowing_udf(spark, k=5, window=4)
+    # The documents table is one small file -> one input split; without a
+    # repartition the per-char md5 kernel runs on a single core. At 100 TB
+    # the scan yields thousands of splits and this is a no-op-cost round
+    # robin; here it is the difference between 1x and 32x kernel width.
     return (
-        docs.select("doc_id", F.explode(win(F.col("text"))).alias("fp"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(win(F.col("text"))).alias("fp"))
         .orderBy("doc_id", "fp")
     )
 

@@ -163,28 +163,49 @@ def winnowing_udf(spark, k: int = 5, window: int = 4):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _win(texts: pd.Series) -> pd.Series:
-        return pd.Series([winnowing_py(t, k, window) for t in texts])
+        return pd.Series(winnowing_batch(texts, k, window))
 
     return _win
 
 
+def winnowing_batch(texts, k: int = 5, window: int = 4) -> list[list[int]]:
+    """Batch winnowing kernel: one gram→hash cache shared across the
+    Arrow batch (real corpora repeat template text heavily — sf0.1
+    documents hold 1.47M gram instances but only ~2k distinct grams, so
+    caching turns ~1 md5/char into ~0) and a vectorized sliding-window
+    min. Emits, per doc, the distinct sorted per-window minima of the
+    md5 rolling gram hashes of the WS_CLASS-normalized text."""
+    from .dedup import ascii_words_py
+
+    cache: dict[str, int] = {}
+    out: list[list[int]] = []
+    for text in texts:
+        s = " ".join(ascii_words_py(text)) if isinstance(text, str) else ""
+        n = len(s) - k + 1
+        if n <= 0:
+            out.append([])
+            continue
+        hs = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            g = s[i:i + k]
+            v = cache.get(g)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 4
+                cache[g] = v
+            hs[i] = v
+        if n <= window:
+            out.append([int(hs.min())])
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            out.append(np.unique(mins).tolist())
+    return out
+
+
 def winnowing_py(text, k: int = 5, window: int = 4) -> list[int]:
-    """Pure winnowing kernel (the UDF maps this over each Arrow batch;
-    tests exercise the guarantee directly): WS_CLASS-normalize, hash
-    every char k-gram, emit the distinct sorted per-window minima.
+    """Pure single-document winnowing kernel (delegates to the batch
+    kernel; tests exercise the guarantee directly): WS_CLASS-normalize,
+    hash every char k-gram, emit the distinct sorted per-window minima.
     Winnowing's theorem: two texts sharing a substring whose NORMALIZED
     form is >= window + k - 1 chars share at least one fingerprint —
     that is the property test's oracle."""
-    from .dedup import ascii_words_py
-
-    s = " ".join(ascii_words_py(text)) if isinstance(text, str) else ""
-    if len(s) < k:
-        return []
-    hs = np.array([
-        int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") >> 4
-        for i in range(len(s) - k + 1)
-    ], dtype=np.int64)
-    if len(hs) <= window:
-        return [int(hs.min())]
-    return sorted({int(hs[i:i + window].min())
-                   for i in range(len(hs) - window + 1)})
+    return winnowing_batch([text], k, window)[0]
