@@ -490,7 +490,10 @@ def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.token_classes import signatures_udf
 
     ev = _t(spark, sf_dir, "events")
-    lines = ev.select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line"))
+    # single-file scan -> repartition so the classification kernel runs
+    # at full width (no-op-cost at real scan split counts)
+    lines = (ev.repartition(spark.sparkContext.defaultParallelism)
+             .select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line")))
     sig = signatures_udf(spark)(F.col("line"))
     return (
         lines.select(sig["log_type_sig"].alias("log_type_sig"),

@@ -272,6 +272,42 @@ def signatures_py(text: str) -> tuple[str, str]:
     return " ".join(l1), " ".join(l2)
 
 
+def signatures_batch(texts) -> list[tuple[str, str]]:
+    """Batch signature kernel: identical to mapping signatures_py, but
+    with two caches shared across the Arrow batch — whole-line (log
+    corpora repeat template-rendered lines; sf0.1 events: 100k lines,
+    59k distinct) and (token, prev) classification (85k token instances,
+    22k distinct pairs), so the regex cascade in classify_token_py runs
+    once per distinct pair instead of once per instance."""
+    line_cache: dict[str, tuple[str, str]] = {}
+    cls_cache: dict[tuple[str, str], str] = {}
+    out: list[tuple[str, str]] = []
+    for text in texts:
+        key = text or ""
+        sig = line_cache.get(key)
+        if sig is None:
+            toks = _re.split(" +", key.translate(_WS_TRANS).strip(" "))
+            l1: list[str] = []
+            l2: list[str] = []
+            prev = ""
+            for t in toks:
+                ck = (t, prev)
+                c = cls_cache.get(ck)
+                if c is None:
+                    c = classify_token_py(t, prev)
+                    cls_cache[ck] = c
+                if c == "S":
+                    l1.append(t)
+                    l2.append(t)
+                elif c != "E":
+                    l2.append(f"<{c}>")
+                prev = t
+            sig = (" ".join(l1), " ".join(l2))
+            line_cache[key] = sig
+        out.append(sig)
+    return out
+
+
 def signatures_udf(spark):
     """pandas UDF text -> struct(log_type_sig, template_sig) — the
     hot-path rendering of the taxonomy."""
@@ -287,7 +323,7 @@ def signatures_udf(spark):
 
     @F.pandas_udf(schema)
     def _sig(texts: pd.Series) -> pd.DataFrame:
-        pairs = [signatures_py(t) for t in texts]
+        pairs = signatures_batch(texts)
         return pd.DataFrame(pairs, columns=["log_type_sig", "template_sig"])
 
     return _sig
