@@ -951,6 +951,28 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-copy pairs: Jaccard over winnowing fingerprint
+    sets (k=16, window=8 — the pairs regime; see the operator docstring
+    for why short grams saturate on template corpora — with the
+    stop-fingerprint cap at its 1000 default). Value-gated: the
+    fingerprints are integral and engine-portable (same kernel as
+    winnowing_fingerprints), and the pair arithmetic is count ratios, so
+    the DuckDB oracle replays fingerprints -> capped self-join ->
+    Jaccard exactly. The operator runs with threshold=0.0 and the filter
+    applies on the 1e-6-rounded value in BOTH engines (minhash-gate
+    pattern: a float ulp at the boundary cannot flip membership)."""
+    from .operators.text_analysis import winnowing_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = winnowing_neardup_pairs(spark, docs, k=16, window=8, threshold=0.0)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        .filter(F.col("jaccard_r") >= 0.25)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1672,24 +1694,53 @@ SELECT doc_id, n_shingles FROM s WHERE n_shingles > 0 ORDER BY doc_id
     # md5 first-15-hex int per gram (== the kernel's digest[:8] >> 4),
     # min per sliding window of 4, distinct + sort; <=window grams
     # degenerate to the global min, exactly like the kernel
-    sql["winnowing_fingerprints"] = f"""
+    def win_cte(k: int, w: int) -> str:
+        return f"""
 WITH norm AS (SELECT doc_id, {_DUCK_NORM} AS s FROM documents),
 hs AS (
   SELECT doc_id,
-         list_transform(generate_series(1, length(s) - 4),
-                        i -> CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS h
-  FROM norm WHERE length(s) >= 5
+         list_transform(generate_series(1, length(s) - {k - 1}),
+                        i -> CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), {k})), 1, 15)) AS BIGINT)) AS h
+  FROM norm WHERE length(s) >= {k}
 ),
 wins AS (
   SELECT doc_id,
-         CASE WHEN len(h) <= 4 THEN [list_min(h)]
+         CASE WHEN len(h) <= {w} THEN [list_min(h)]
               ELSE list_sort(list_distinct(list_transform(
-                     generate_series(1, len(h) - 3),
-                     j -> list_min(h[CAST(j AS INT):CAST(j + 3 AS INT)]))))
+                     generate_series(1, len(h) - {w - 1}),
+                     j -> list_min(h[CAST(j AS INT):CAST(j + {w - 1} AS INT)]))))
          END AS fps
   FROM hs
-)
+)""".strip()
+
+    sql["winnowing_fingerprints"] = f"""
+{win_cte(5, 4)}
 SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp
+""".strip()
+
+    # winnowing near-dup replay: same fingerprint CTE, then the capped
+    # self-join Jaccard (stop-fingerprints with doc-freq > 1000 leave the
+    # intersection but still count toward sizes, mirroring
+    # _jaccard_from_shingles); both engines filter on the 1e-6-rounded
+    # value so a boundary ulp cannot flip membership
+    sql["winnowing_neardup_pairs"] = f"""
+{win_cte(16, 8)},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+freq AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+joinable AS (SELECT f.doc_id, f.fp FROM fp f JOIN freq USING (fp) WHERE df <= 1000),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM joinable a JOIN joinable b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard_r
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.25
+ORDER BY id_a, id_b
 """.strip()
 
     from .operators.dedup import minhash_affine_sql_duck
@@ -1862,6 +1913,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnowing_neardup_pairs": q_winnowing_neardup_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "simhash_sigs": q_simhash_sigs,

@@ -36,7 +36,7 @@ DOC_GATES = [
     "exact_dedup_digest", "shingle_counts", "minhash_signatures",
     "simhash_sigs", "simhash_neardup_pairs", "minhash_lsh_pairs",
     "text_quality", "lang_id", "repetition_ratio", "curation_funnel",
-    "sequence_packing", "winnowing_fingerprints",
+    "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
 ]
 
 

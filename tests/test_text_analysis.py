@@ -117,6 +117,31 @@ def test_winnowing_edge_cases(spark):
     assert len(got[5]) == 1
 
 
+def test_winnowing_neardup_pairs(spark):
+    """Near-copies (one edited sentence in a long shared document) pair
+    up above threshold; unrelated docs don't; a < b canonical order; the
+    stop-fingerprint cap only lowers jaccard (no new pairs appear when
+    the cap tightens)."""
+    from log_analysis_spark.operators.text_analysis import winnowing_neardup_pairs
+
+    base = ("error while connecting to upstream service retries exhausted "
+            "after timeout the request was aborted and the session closed "
+            "cleanly with all buffers flushed to the durable store")
+    edited = base.replace("aborted", "cancelled")
+    other = ("completely different content about scheduled maintenance "
+             "windows and quarterly capacity planning for the storage tier "
+             "nothing in common with the failure narrative above at all")
+    df = spark.createDataFrame(
+        [(1, base), (0, edited), (2, other)], "doc_id long, text string")
+    pairs = winnowing_neardup_pairs(spark, df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+    # tightening the cap can drop jaccard but never add pairs
+    capped = winnowing_neardup_pairs(spark, df, threshold=0.5,
+                                     max_doc_freq=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= {(0, 1)}
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=30)
     assert media.count() == 30
