@@ -482,6 +482,21 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_counts(out, "event_type").orderBy("event_type")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample: top-100 docs
+    by u^(1/w) with w = n_chars (the domain-mixing primitive). The key
+    arithmetic (md5 uniform -> ln(u)/w -> 1e-9 round) is engine-portable
+    so the DuckDB oracle replays the exact sample membership AND order.
+    """
+    from .operators.split import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, k=100, weight_col="n_chars")
+        .select("doc_id", F.col("n_chars").alias("weight"), "es_key")
+    )
+
+
 def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14: two-level token taxonomy signatures
     (src/token_classifier.rs:49-229). Level-1 = static tokens only (log
@@ -1488,6 +1503,19 @@ reach(node, r) AS (
 SELECT node AS doc_id, least(node, min(r)) AS rep_id FROM reach GROUP BY node ORDER BY doc_id
 """.strip()
 
+    # Efraimidis–Spirakis replay: same md5 uniform, same ln(u)/w key,
+    # same 1e-9 quantization and (key desc, id) order — membership AND
+    # order reproduce exactly. 1152921504606846977 = 2^60 + 1.
+    sql["weighted_sample"] = """
+WITH w AS (
+  SELECT doc_id, n_chars AS weight,
+         round(ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                  / 1152921504606846977.0) / n_chars, 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, es_key FROM w ORDER BY es_key DESC, doc_id LIMIT 100
+""".strip()
+
     sql["stratified_split"] = """
 WITH h AS (
   SELECT event_type, event_id,
@@ -1926,6 +1954,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_signatures": q_token_signatures,
         "induction_full_match": q_induction_full_match,
         "stratified_split": q_stratified_split,
+        "weighted_sample": q_weighted_sample,
         "neardup_components": q_neardup_components,
         "curation_funnel": q_curation_funnel,
         "sequence_packing": q_sequence_packing,

@@ -62,3 +62,44 @@ def split_counts(df: DataFrame, group_col: str, split_col: str = "split") -> Dat
             F.sum((F.col(split_col) == "test").cast("long")).alias("n_test"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "es",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sample of k rows without replacement —
+    the Efraimidis–Spirakis reservoir (key_i = u_i^(1/w_i), keep the k
+    largest keys), the standard scheme for training-data domain mixing
+    (sample each source proportionally to a quality/size weight).
+
+    Hash-deterministic, not RNG-order-dependent (same reasoning as
+    stratified_split): u_i is the md5-60-bit uniform of (seed, id), so
+    the sample is reproducible under any partitioning, on resume, and in
+    the DuckDB oracle. Ranking uses the monotone-equivalent ln(u)/w
+    (avoids cross-engine pow), quantized to 1e-9 with id as tiebreak —
+    the same float-boundary discipline as the matcher's score ties.
+
+    Scale shape: orderBy + limit compiles to TakeOrderedAndProject —
+    each partition keeps a local top-k heap and only k rows ever move to
+    the driver side of the plan; no global sort, no full shuffle. Rows
+    with NULL or non-positive weight are excluded (u^(1/w) is undefined
+    there, matching the reservoir's w > 0 precondition).
+    """
+    from .dedup import md5_long
+
+    u = (
+        (md5_long(F.col(id_col).cast("string"), salt=seed) + F.lit(1)).cast("double")
+        / F.lit(float(2**60 + 1))
+    )
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -166,3 +166,23 @@ def test_primary_sink_write_is_shuffle_free(spark, tmp_path):
     sinks = route_and_write(parsed, str(tmp_path / "out"))
     got = spark.read.parquet(sinks["by_role"]).count()
     assert got == df.count()
+
+
+def test_weighted_sample_plan_and_semantics(spark):
+    """weighted_sample compiles to TakeOrderedAndProject (per-partition
+    top-k heaps, no global sort); k bounds the output; non-positive and
+    NULL weights are excluded; the sample is deterministic and
+    seed-sensitive."""
+    from log_analysis_spark.operators.split import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = weighted_sample(docs, k=50, weight_col="n_chars")
+    assert "TakeOrderedAndProject" in _plan(q)
+    ids = [r["doc_id"] for r in q.collect()]
+    assert len(ids) == 50 == len(set(ids))
+    assert ids == [r["doc_id"] for r in weighted_sample(docs, k=50, weight_col="n_chars").collect()]
+    assert ids != [r["doc_id"] for r in weighted_sample(docs, k=50, weight_col="n_chars", seed="other").collect()]
+    bad = spark.createDataFrame([(1, 0), (2, -3), (3, None), (4, 10)],
+                                "doc_id long, w long")
+    kept = weighted_sample(bad, k=10, weight_col="w", id_col="doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [4]
