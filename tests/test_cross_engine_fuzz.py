@@ -37,6 +37,7 @@ DOC_GATES = [
     "simhash_sigs", "simhash_neardup_pairs", "minhash_lsh_pairs",
     "text_quality", "lang_id", "repetition_ratio", "curation_funnel",
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
+    "weighted_sample",
 ]
 
 
@@ -45,7 +46,11 @@ def fuzz_dir(spark, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("fuzz_sf")
     pdf = pd.DataFrame({"doc_id": range(len(ADVERSARIAL_TEXTS)),
                         "text": ADVERSARIAL_TEXTS})
-    (spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    # n_chars mirrors the testdata schema; None text -> 0 exercises the
+    # weighted-sample w > 0 exclusion on both engines
+    pdf["n_chars"] = [len(t) if isinstance(t, str) else 0
+                      for t in ADVERSARIAL_TEXTS]
+    (spark.createDataFrame(pdf.astype({"doc_id": "int64", "n_chars": "int64"}))
      .coalesce(1).write.mode("overwrite")
      .parquet(str(tmp / "documents.parquet")))
     return str(tmp)
