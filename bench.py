@@ -191,8 +191,13 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
     planes = hyperplane_codes(spark, dim, n_planes=8)
+    # materialize=False for the same reason as minhash_lsh_pairs below:
+    # the internal persist is CacheManager-registered and cleared by the
+    # clearCache() after the sweep, while the eager-checkpoint variant
+    # would leave unreachable RDD blocks across bench iterations
     timed("embedding_neardup_lsh",
-          lambda: cosine_neardup_pairs(emb, planes, threshold=0.4).count())
+          lambda: cosine_neardup_pairs(emb, planes, threshold=0.4,
+                                       materialize=False).count())
 
     # text near-dup scale path: MinHash-LSH end-to-end (signatures ->
     # banded buckets -> candidates -> candidates-only Jaccard verify)

@@ -156,24 +156,54 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed.
 
     Same-bucket self-join only; at threshold 0.95 the sign-bit collision
     probability is high (angle <= 18deg flips few planes), so recall stays
     strong while the join touches ~N^2/2^planes pairs instead of N^2.
-    """
-    b = with_lsh_bucket(with_unit_vector(df, vec_col), planes, "unit", "bucket") \
+
+    The bucketed relation feeds BOTH sides of the self-join, and its
+    projection is interpreted-HOF arithmetic (normalize + 8 plane dots
+    with no common-subexpression elimination), so evaluating it once is
+    the whole game: nonzero_unit_vectors (not with_unit_vector) keeps
+    the normalize single-evaluation within the projection, and
+    ``materialize=True`` (default) persists the (id, unit, bucket)
+    relation so the join's two sides read the same computed blocks
+    instead of each re-running the subtree (AQE broadcast-wraps one side
+    of the self-join, which defeats ReuseExchange), then eagerly
+    checkpoints the small pair result and releases the cache — the
+    minhash_lsh_pairs cache discipline, including the failure path. Same
+    final pair set either way: NULL/zero-norm rows can only produce NULL
+    cosines, which the threshold filter drops. At 100 TB the equivalent
+    move is writing the bucketed corpus once, partitioned by bucket (see
+    lsh_topk); callers passing ``materialize=False`` own the caches of
+    the lazy plan."""
+    # persist unconditionally (CacheManager-registered, so clearCache()
+    # reaches it even on the materialize=False path — the minhash
+    # convention); materialize only controls eager checkpoint + release
+    b = (
+        with_lsh_bucket(nonzero_unit_vectors(df, vec_col), planes, "unit", "bucket")
         .select(id_col, "unit", "bucket")
+        .repartition(F.col("bucket"))
+        .persist()
+    )
     x = b.alias("x")
     y = b.alias("y")
-    return (
+    result = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
         .withColumn("cosine", _dot(F.col("x.unit"), F.col("y.unit")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
     )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            b.unpersist()
+    return result
 
 
 def kmeans_unit_centroids(X: np.ndarray, k: int, seed: int,
