@@ -176,7 +176,7 @@ def main() -> None:
         "simhash_sigs", "token_signatures", "lang_id",
         "pii_redaction", "repetition_ratio", "context_window",
         "embedding_topk_lsh", "embedding_topk_ivf", "winnowing_fingerprints",
-        "winnowing_neardup_pairs",
+        "winnowing_neardup_pairs", "duplicate_spans",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

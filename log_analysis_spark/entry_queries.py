@@ -988,6 +988,41 @@ def q_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (Lee et al.-style suffix dedup,
+    distributed as positional char-gram join + gaps-and-islands merge;
+    see operators/substring_dedup.py). gram_len=30 is the regime where
+    the synthetic corpus' injected duplicates dominate vocabulary-soup
+    collisions. Value-gated: grams are raw substrings (char-based in
+    both engines), positions 0-based longs, and the island arithmetic
+    is integral, so the DuckDB oracle replays the whole chain."""
+    from .operators.substring_dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_spans(docs, gram_len=30, min_docs=2)
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip every duplicated span from the text (the cleaning action of
+    substring dedup), JVM fold over the per-doc sorted span list.
+    Value-gated: the oracle rebuilds clean_text per char (string_agg of
+    uncovered positions), which must equal the fold's gap-concatenation
+    exactly — including all-covered docs (empty string, not NULL) and
+    span-free docs (original text)."""
+    from .operators.substring_dedup import duplicate_spans, strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, gram_len=30, min_docs=2)
+    return (
+        strip_duplicate_spans(docs, spans)
+        .select("doc_id", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1904,6 +1939,56 @@ SELECT {mask_sql_duck('line')} AS signature, count(*) AS n_rows
 FROM l GROUP BY 1 ORDER BY n_rows DESC, signature ASC
 """.strip()
 
+    # substring-duplication spans: same gram/merge arithmetic as the
+    # Spark operator (gram_len=30, min_docs=2); range(a,b) is [a,b) so
+    # range(0, length-29) enumerates exactly the full-gram positions
+    _span_ctes = """
+p AS (
+  SELECT doc_id, text, unnest(range(0, length(text) - 29)) AS pos
+  FROM documents WHERE length(text) >= 30
+),
+grams AS (SELECT doc_id, pos, substr(text, pos + 1, 30) AS gram FROM p),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup d USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 30
+              THEN 1 ELSE 0 END AS ni
+  FROM hits),
+isl2 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+         count(*) AS n_grams
+  FROM isl2 GROUP BY doc_id, island)
+""".strip()
+
+    sql["duplicate_spans"] = f"""
+WITH {_span_ctes}
+SELECT doc_id, span_start, span_end, n_grams
+FROM spans ORDER BY doc_id, span_start
+""".strip()
+
+    sql["substring_dedup_clean"] = f"""
+WITH {_span_ctes},
+chars AS (
+  SELECT doc_id, text, unnest(range(0, length(text))) AS i FROM documents
+),
+kept AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN s.doc_id IS NULL
+                         THEN substr(c.text, c.i + 1, 1) ELSE '' END,
+                    '' ORDER BY c.i) AS clean_text
+  FROM chars c
+  LEFT JOIN spans s
+    ON s.doc_id = c.doc_id AND c.i BETWEEN s.span_start AND s.span_end
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, COALESCE(k.clean_text, d.text) AS clean_text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+""".strip()
+
     return sql
 
 
@@ -1940,6 +2025,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "duplicate_spans": q_duplicate_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,
         "text_quality": q_text_quality,

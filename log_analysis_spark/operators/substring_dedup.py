@@ -1,0 +1,151 @@
+"""Exact substring-duplication spans over a document corpus.
+
+Distributed re-expression of suffix-array substring dedup (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better", ACL 2022):
+find every maximal character span whose content of length >= gram_len
+also appears in at least ``min_docs`` distinct documents, then
+optionally strip those spans from the text. The reference engine has no
+counterpart (its dedup family stops at whole-line/digest level); this is
+part of the training-data layer the Spark engine adds on top.
+
+A single-node implementation builds one suffix array over the
+concatenated corpus. That structure is inherently sequential to build
+and query, so the Spark-first formulation replaces it with the
+positional-gram join:
+
+1. explode each doc into (doc_id, pos, gram) for every char position
+   (stride 1, so spans are exact to the character);
+2. one partial-agg groupBy(gram) keeps grams seen in >= min_docs
+   distinct docs;
+3. a left-semi join back marks duplicated positions;
+4. a gaps-and-islands window per doc merges overlapping/adjacent gram
+   intervals [pos, pos+gram_len-1] into maximal spans.
+
+Scale notes (100 TB):
+- The gram relation is gram_len x corpus bytes — that IS the cost of
+  exact-span resolution, and it matches the suffix-array shuffle volume
+  order (every suffix is shipped once there too). It never materializes
+  to disk: it feeds one partial-agg shuffle (distinct (gram, doc_id)
+  combine map-side) and one semi-join.
+- No pair fan-out anywhere: hot grams ("the ", boilerplate headers)
+  cost one count row and one semi-join probe per occurrence, never a
+  quadratic join, so no doc-frequency cap is needed for safety (unlike
+  ngram_jaccard_pairs).
+- The interval merge is one window shuffle on doc_id — spans per doc
+  are bounded by len(text)/gram_len.
+- Everything is JVM expressions: no Python in the hot path, and every
+  step is replayable in ANSI SQL, so the whole operator is value-gated
+  against the DuckDB oracle (positions, span boundaries, and stripped
+  text all hash-matched).
+
+Determinism: grams are raw text characters (no normalization —
+duplication is byte-for-byte, as in the paper); `substring` is
+character-based in both engines, and positions are 0-based longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gram_positions(df: DataFrame, gram_len: int,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, gram) for every char position with a full gram.
+
+    `sequence(a, b)` DESCENDS when b < a, so docs shorter than gram_len
+    must be filtered before building the position sequence (their
+    sequence would be [0, -1, ...], yielding phantom grams)."""
+    n = F.length(F.col(text_col))
+    return (
+        df.filter(n >= gram_len)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(
+                f"transform(sequence(0, length({text_col}) - {gram_len}), "
+                f"i -> substring({text_col}, i + 1, {gram_len}))"
+            )).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "gram")
+    )
+
+
+def duplicated_positions(df: DataFrame, gram_len: int = 20,
+                         min_docs: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, pos) of every gram whose content appears in >= min_docs
+    distinct documents. Partial-agg groupBy + left-semi join; join
+    strategy is left to AQE (the duplicated-gram set can be tiny or
+    corpus-sized depending on the corpus — no forced broadcast)."""
+    grams = gram_positions(df, gram_len, text_col, id_col)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    return grams.join(dup, "gram", "left_semi").select(id_col, "pos")
+
+
+def duplicate_spans(df: DataFrame, gram_len: int = 20,
+                    min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated spans per doc: (id, span_start, span_end,
+    n_grams), 0-based inclusive char offsets.
+
+    Gaps-and-islands: a new span starts where the gram interval
+    [pos, pos+gram_len-1] neither overlaps nor touches the running
+    maximum end of the preceding intervals. With a fixed gram_len the
+    running max end is max(pos) over preceding rows + gram_len - 1,
+    so the window needs only one running max and one running sum."""
+    hits = duplicated_positions(df, gram_len, min_docs, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_pos = F.max("pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_pos.isNull()
+        | (F.col("pos") > prev_max_pos + F.lit(gram_len)), 1).otherwise(0)
+    return (
+        hits.withColumn("island", F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(gram_len - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def strip_duplicate_spans(df: DataFrame, spans: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Remove every duplicated span from the text (the paper's cleaning
+    action), entirely with JVM expressions.
+
+    Spans are collected per doc (bounded: <= len/gram_len disjoint
+    spans), sorted, and folded with `aggregate`: the accumulator carries
+    (next_keep_pos, kept_so_far) and each span appends the clean gap
+    before it. Docs with no spans pass through unchanged (left join).
+    Output: (id, text, clean_text)."""
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end")))
+        .alias("spans"))
+    folded = F.expr(
+        f"aggregate(spans, struct(0L as nxt, '' as acc), "
+        f"(a, s) -> struct(s.span_end + 1 as nxt, "
+        f"  concat(a.acc, substring({text_col}, a.nxt + 1, s.span_start - a.nxt)) as acc), "
+        f"a -> concat(a.acc, substring({text_col}, a.nxt + 1, length({text_col}) - a.nxt)))"
+    )
+    return (
+        df.join(agg, id_col, "left")
+        .select(
+            id_col, text_col,
+            F.when(F.col("spans").isNull(), F.col(text_col))
+            .otherwise(folded).alias("clean_text"),
+        )
+    )

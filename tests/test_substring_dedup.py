@@ -1,0 +1,112 @@
+"""Exact substring-duplication spans (operators/substring_dedup.py).
+
+The oracle gate (duplicate_spans / substring_dedup_clean in
+entry_queries) covers the corpus path; these tests pin the edge
+geometry the synthetic corpus doesn't exercise: interval-merge
+boundaries, all-covered docs, short/NULL/empty texts, and the
+min_docs semantics (same-doc repeats alone do not count).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.substring_dedup import (
+    duplicate_spans,
+    gram_positions,
+    strip_duplicate_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(df, **kw):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_gram_positions_short_and_null_docs_emit_nothing(spark):
+    df = _docs(spark, [(1, "abc"), (2, None), (3, ""), (4, "abcd")])
+    got = {(r["doc_id"], r["pos"], r["gram"])
+           for r in gram_positions(df, gram_len=4).collect()}
+    assert got == {(4, 0, "abcd")}
+
+
+def test_exact_duplicate_pair_flags_full_span(spark):
+    df = _docs(spark, [(1, "0123456789"), (2, "0123456789"), (3, "zzzzzzzzzz")])
+    # grams of len 4: positions 0..6 all duplicated across docs 1,2
+    assert _spans(df, gram_len=4) == {(1, 0, 9, 7), (2, 0, 9, 7)}
+
+
+def test_same_doc_repeat_alone_is_not_duplication(spark):
+    # "abcdabcd" repeats within one doc, but min_docs counts DISTINCT
+    # docs — a lone doc never flags itself
+    df = _docs(spark, [(1, "abcdabcd"), (2, "qrstuvwx")])
+    assert _spans(df, gram_len=4) == set()
+
+
+def test_disjoint_spans_stay_separate_and_adjacent_merge(spark):
+    # doc 3 shares "AAAABBBB" (pos 0) and "CCCCDDDD" (pos 12) with docs
+    # 1/2; the 4-char gap ("xxxx") keeps them separate spans.
+    df = _docs(spark, [
+        (1, "AAAABBBB"),
+        (2, "CCCCDDDD"),
+        (3, "AAAABBBBxxxxCCCCDDDD"),
+    ])
+    got = _spans(df, gram_len=8)
+    assert got == {
+        (1, 0, 7, 1), (2, 0, 7, 1),
+        (3, 0, 7, 1), (3, 12, 19, 1),
+    }
+    # shrink the gap to zero: one merged span on doc 3
+    df2 = _docs(spark, [
+        (1, "AAAABBBB"),
+        (2, "CCCCDDDD"),
+        (3, "AAAABBBBCCCCDDDD"),
+    ])
+    got2 = _spans(df2, gram_len=8)
+    assert (3, 0, 15, 2) in got2
+
+
+def test_strip_removes_spans_and_keeps_clean_docs(spark):
+    df = _docs(spark, [
+        (1, "AAAABBBBtail"),
+        (2, "headAAAABBBB"),
+        (3, "untouched doc"),
+        (4, None),
+        (5, "AAAABBBB"),
+    ])
+    spans = duplicate_spans(df, gram_len=8)
+    got = {r["doc_id"]: r["clean_text"]
+           for r in strip_duplicate_spans(df, spans).collect()}
+    assert got == {
+        1: "tail",
+        2: "head",
+        3: "untouched doc",
+        4: None,
+        5: "",  # fully covered -> empty string, not NULL
+    }
+
+
+def test_min_docs_threshold(spark):
+    df = _docs(spark, [(1, "ABCDEFGH"), (2, "ABCDEFGH"), (3, "ABCDEFGH")])
+    assert _spans(df, gram_len=8, min_docs=3) == {
+        (1, 0, 7, 1), (2, 0, 7, 1), (3, 0, 7, 1)}
+    assert _spans(df, gram_len=8, min_docs=4) == set()
+
+
+def test_no_python_udfs_in_plan(spark):
+    """The whole operator must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    df = _docs(spark, [(1, "AAAABBBBxx"), (2, "AAAABBBByy")])
+    spans = duplicate_spans(df, gram_len=8)
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    clean = strip_duplicate_spans(df, spans)
+    plan2 = clean._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan2
