@@ -29,6 +29,11 @@ ADVERSARIAL_TEXTS = [
     "MiXeD CaSe TeXt With 123 Numbers 456 and 0xFF hex",
     " leading and trailing spaces ",
     "\t\n\x0b\f\r",                                         # whitespace only
+    # >=30-char multi-byte duplicated span: substring-dedup gram offsets
+    # must be CHARACTER-based on both engines (byte-based substr would
+    # slice codepoints and shift every span boundary)
+    "prefix-α ünïcode wörds überall ßhared span here-suffix-one",
+    "prefix-β ünïcode wörds überall ßhared span here-suffix-two",
 ]
 
 # document-table gates (queries that read ONLY documents.parquet)
@@ -37,7 +42,7 @@ DOC_GATES = [
     "simhash_sigs", "simhash_neardup_pairs", "minhash_lsh_pairs",
     "text_quality", "lang_id", "repetition_ratio", "curation_funnel",
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
-    "weighted_sample",
+    "weighted_sample", "duplicate_spans", "substring_dedup_clean",
 ]
 
 
