@@ -58,8 +58,14 @@ def gram_positions(df: DataFrame, gram_len: int,
     must be filtered before building the position sequence (their
     sequence would be [0, -1, ...], yielding phantom grams)."""
     n = F.length(F.col(text_col))
+    # A small corpus arrives as one file -> one input split, which would
+    # pin the gram explode (the expensive node) to a single core; at
+    # 100 TB the scan yields thousands of splits and this round robin is
+    # a no-op-cost rebalance (winnowing_fingerprints pattern).
+    spark = df.sparkSession
     return (
         df.filter(n >= gram_len)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             F.col(id_col),
             F.posexplode(F.expr(
