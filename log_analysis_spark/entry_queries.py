@@ -1023,6 +1023,23 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency perplexity proxy: mean ln unigram probability
+    per doc under the corpus' own empirical distribution (two-pass
+    corpus-statistics op; see text_analysis.unigram_logprob).
+    Value-gated (rounded at 1e-6): token counts are integral and the
+    log arithmetic is plain IEEE doubles in both engines."""
+    from .operators.text_analysis import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(docs)
+    return (
+        lp.select("doc_id", "n_tokens",
+                  F.round("avg_logprob", 6).alias("avg_logprob_r"))
+        .orderBy("doc_id")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1914,6 +1931,24 @@ SELECT doc_id, ws_tokens, bpe_ish_tokens,
 FROM g ORDER BY doc_id
 """.strip()
 
+    # same WS_CLASS tokenization as text_quality; ln(c)-ln(t) mirrors the
+    # Spark column arithmetic exactly (both engines: IEEE doubles, avg
+    # over ~tens of tokens, rounded at 1e-6 — see test_cross_engine_fuzz)
+    sql["unigram_logprob"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS c FROM t2 GROUP BY word),
+total AS (SELECT sum(c) AS t FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c) - ln(t)), 6) AS avg_logprob_r
+FROM t2 JOIN vocab USING (word) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
     # generated from the same STOPWORDS table as the Spark side; the CASE
     # walks languages in sorted order = the documented asc tie-break
     langs, lang_exprs, greatest_all = _duck_lang_parts()
@@ -2026,6 +2061,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         "duplicate_spans": q_duplicate_spans,
+        "unigram_logprob": q_unigram_logprob,
         "substring_dedup_clean": q_substring_dedup_clean,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,

@@ -121,6 +121,48 @@ def token_count_cols(col: Column) -> dict[str, Column]:
     }
 
 
+def doc_tokens(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, word) for every WS_CLASS token; empty tokens dropped (a
+    trimmed-empty text splits to [''], NULL text explodes to nothing —
+    identical in the DuckDB rendering). Round-robins to default
+    parallelism first: a single-file corpus otherwise pins the explode
+    to one task (no-op-cost at real split counts)."""
+    spark = df.sparkSession
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency quality signal (perplexity proxy): per doc, the
+    mean natural-log unigram probability of its tokens under the
+    corpus' own empirical distribution — the two-pass shape of LM-based
+    quality filtering (CCNet-style), with the corpus itself as the
+    model. High (close to 0) = boilerplate/common tokens; low = rare or
+    noisy content. Docs with no tokens emit no row.
+
+    Scale: one partial-agg shuffle on word builds the vocab, a 1-row
+    total broadcast attaches ln(total), and the token->logp join
+    shuffles on word (the vocab tail is corpus-sized at 100 TB, so no
+    broadcast hint — AQE decides). Output: (id, n_tokens, avg_logprob).
+    """
+    toks = doc_tokens(df, text_col, id_col)
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "word", (F.log("c") - F.log("t")).alias("logp"))
+    return (
+        toks.join(logp, "word")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.avg("logp").alias("avg_logprob"))
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + lang_id, quality_score, token counts (one projection)."""
     c = F.col(text_col)
