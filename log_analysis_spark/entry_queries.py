@@ -921,6 +921,25 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): seeded k-means cells (k=8, the IVF quantizer), then
+    within each cell drop vectors with an earlier-ranked (closer to the
+    centroid) neighbor at round-6 cosine >= 0.4. Value-gated: the oracle
+    replays the same centroids (shared kmeans_unit_centroids kernel on
+    the same deterministic sample), the same 1e-9-quantized cell argmax
+    and centroid-dot rank, and the same EXISTS drop rule."""
+    from .operators.similarity import (ivf_centroids, nonzero_unit_vectors,
+                                       semantic_dedup)
+
+    emb = _t(spark, sf_dir, "embeddings") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    nz = nonzero_unit_vectors(emb).select("vec_id", "embedding", "unit")
+    C = ivf_centroids(nz, k=8, vec_col="embedding", id_col="vec_id",
+                      seed=42, iters=8)
+    return semantic_dedup(emb, C, threshold=0.4).orderBy("vec_id")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
     the scale path, validated against this in tests)."""
@@ -1224,6 +1243,45 @@ s AS (SELECT qp.query_id, e.vec_id,
       FROM cells e JOIN qp ON e.cell = qp.cell AND e.vec_id <> qp.query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id ASC) AS rank FROM s)
 SELECT query_id, vec_id, cosine_r, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank
+""".strip()
+
+
+def _duck_semantic_dedup_sql(C, threshold: float) -> str:
+    """DuckDB replay of semantic_dedup given literal centroids: same
+    cells CTE discipline as _duck_ivf_topk_sql (1e-9-quantized dots,
+    lowest-cell argmax ties), rank within cell on (cdot desc, id asc)
+    — cdot IS mx, the dot to the assigned (argmax) centroid — then the
+    EXISTS drop rule at the shared round-6 cosine."""
+    k = len(C)
+    dots = []
+    for i, c in enumerate(C):
+        chain = " + ".join(f"unit[{j + 1}] * {float(x)!r}"
+                           for j, x in enumerate(c))
+        dots.append(f"round({chain}, 9) AS d_{i}")
+    mx = "greatest(" + ", ".join(f"d_{i}" for i in range(k)) + ")"
+    cell_case = ("CASE "
+                 + " ".join(f"WHEN d_{i} >= mx THEN {i}" for i in range(k - 1))
+                 + f" ELSE {k - 1} END")
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        x -> x / sqrt(list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum'))) AS unit
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_aggregate(list_transform(list_transform(embedding, y -> CAST(y AS DOUBLE)), y -> y * y), 'sum') > 0
+),
+d AS (SELECT vec_id, unit, {', '.join(dots)} FROM u),
+c AS (SELECT *, {mx} AS mx FROM d),
+cells AS (SELECT vec_id, unit, {cell_case} AS cell, mx AS cdot FROM c),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cdot DESC, vec_id ASC) AS r FROM cells),
+dup AS (SELECT DISTINCT x.vec_id AS vec_id FROM rk x JOIN rk y
+        ON x.cell = y.cell AND y.r < x.r
+        AND round(list_aggregate(list_transform(range(1, len(x.unit) + 1), i -> x.unit[i] * y.unit[i]), 'sum'), 6) >= {threshold})
+SELECT rk.vec_id, rk.cell,
+       CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM rk LEFT JOIN dup ON rk.vec_id = dup.vec_id
+ORDER BY rk.vec_id
 """.strip()
 
 
@@ -1647,6 +1705,7 @@ GROUP BY 1 ORDER BY support DESC, signature ASC
         _C = _replay_ivf_centroids(_emb_pq, k=8, seed=42, iters=8)
         if len(_C):
             sql["embedding_topk_ivf"] = _duck_ivf_topk_sql(_C, n_probe=3)
+            sql["semantic_dedup"] = _duck_semantic_dedup_sql(_C, threshold=0.4)
 
     _events_pq = f"{_oracle_sf}/events.parquet"
     if _os.path.exists(_events_pq):
@@ -2060,6 +2119,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
         "unigram_logprob": q_unigram_logprob,
         "substring_dedup_clean": q_substring_dedup_clean,

@@ -375,3 +375,80 @@ def brute_force_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the seeded spherical k-means quantizer, then
+    WITHIN each cluster drop every vector that has an earlier-ranked
+    near-neighbor (round-6 cosine >= threshold). Rank = closeness to the
+    cluster centroid (1e-9-quantized dot desc, id asc), so the kept
+    representative of every duplicate neighborhood is its most central
+    member — deterministic and engine-replayable, unlike the paper's
+    random-keep variant.
+
+    The drop rule is a plain EXISTS (y: same cell, rank(y) < rank(x),
+    cos(x, y) >= t) — no iterative component propagation, one pass.
+
+    Scale: this is the whole point of SemDeDup — the quadratic term is
+    confined to single cells (k grows with the corpus, cell size stays
+    ~constant), so the self-join shuffles on `cell` and never compares
+    across cells. Centroid training is a bounded driver-side sample
+    (ivf_centroids); the x-k cell-assignment expansion collapses in
+    map-side partial aggregation; the rank window and the pair join
+    share the same `cell` hash partitioning (one Exchange, reused). The
+    ranked relation feeds both sides of the self-join and its unit
+    projection is interpreted-HOF arithmetic, so ``materialize=True``
+    persists it once and releases after the (small) verdict set is
+    checkpointed — the cosine_neardup_pairs cache discipline.
+
+    Output: (id_col, cell, kept int 0/1) — one row per nonzero vector.
+    """
+    spark = df.sparkSession
+    cdf = centroids_df(spark, centroids)
+    corpus = (
+        nonzero_unit_vectors(df, vec_col)
+        .withColumn("_u", F.col("unit"))
+    )
+    corpus = with_ivf_cell(corpus, centroids, vec_col=vec_col,
+                           id_col=id_col).select(id_col, "unit", "cell")
+    ranked = (
+        corpus.join(F.broadcast(cdf), F.col("cell") == F.col("cell_id"))
+        .withColumn("cdot", F.round(_dot(F.col("unit"), F.col("cvec")), 9))
+        .drop("cell_id", "cvec")
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("cdot"), F.asc(id_col))
+    ranked = (
+        ranked.withColumn("r", F.row_number().over(w))
+        .repartition(F.col("cell"))
+        .persist()
+    )
+    x = ranked.alias("x")
+    y = ranked.alias("y")
+    dup_ids = (
+        x.join(y, (F.col("x.cell") == F.col("y.cell"))
+               & (F.col("y.r") < F.col("x.r"))
+               & (F.round(_dot(F.col("x.unit"), F.col("y.unit")), 6)
+                  >= threshold))
+        .select(F.col(f"x.{id_col}").alias(id_col)).distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    result = (
+        ranked.join(dup_ids, id_col, "left")
+        .select(id_col, "cell",
+                F.when(F.col("_dup").isNotNull(), F.lit(0))
+                .otherwise(F.lit(1)).alias("kept"))
+    )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            ranked.unpersist()
+    return result

@@ -137,3 +137,35 @@ def test_on_embeddings_table(spark):
     rows = out.collect()
     assert len(rows) == 8
     assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in rows)
+
+
+def test_semantic_dedup_drop_rule(spark, emb):
+    """Every dropped vector has an earlier-ranked same-cell neighbor at
+    cosine >= t; every kept vector has none — verified against a numpy
+    replay of the cells, ranks, and the EXISTS rule."""
+    from log_analysis_spark.operators.similarity import (
+        ivf_centroids, kmeans_unit_centroids, semantic_dedup)
+
+    C = ivf_centroids(emb, k=4, seed=11, iters=6)
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in semantic_dedup(emb, C, threshold=0.9).collect()}
+    assert len(got) == N
+
+    v = _np_vectors().astype(np.float64)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cdots = np.round(u @ C.T, 9)
+    cell = np.argmax(cdots, axis=1)          # ties -> lowest cell, like argmax
+    cdot = cdots[np.arange(N), cell]
+    cos = np.round(u @ u.T, 6)
+    for i in range(N):
+        assert got[i][0] == cell[i]
+        earlier = [j for j in range(N) if j != i and cell[j] == cell[i]
+                   and (cdot[j], -j) > (cdot[i], -i)]
+        expect_kept = 0 if any(cos[i, j] >= 0.9 for j in earlier) else 1
+        assert got[i][1] == expect_kept, i
+
+    # the constructed near-dups land in the same cell as their originals
+    # and exactly one member of each pair is dropped
+    for a, b in ((0, 10),):
+        if cell[a] == cell[b] and cos[a, b] >= 0.9:
+            assert (got[a][1], got[b][1]) in ((0, 1), (1, 0))
