@@ -447,6 +447,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_overlap(train_df, eval_df, n=3).orderBy("train_doc_id")
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py:
+    bloom_decontaminate) at deliberately small m=8192/k=3 so the filter
+    is loaded enough to produce false positives at this scale — the gate
+    verifies BLOOM semantics (the oracle recomputes the same seeded md5
+    positions and probes the same bitset), which an exact-membership
+    implementation would fail."""
+    from .operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train_df = docs.filter(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(train_df, eval_df, n=3, m=8192, k=3) \
+        .orderBy("train_doc_id")
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel (dedup -> lang -> quality) as ONE
     single-pass aggregate over documents; the canonical LLM-data
@@ -1539,6 +1555,37 @@ FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id ORDER BY train_doc_id
 """.strip()
 
+    # Bloom decontamination: the oracle REPLAYS the Bloom filter — same
+    # seeded md5 positions (md5_long parity), same set-bit table derived
+    # from the same eval grams — so false positives match bit-for-bit
+    _bpos = ("CAST(('0x' || substr(md5('bloom' || CAST(t.i AS VARCHAR) || ':' "
+             "|| shingle), 1, 15)) AS BIGINT) % 8192")
+    sql["bloom_decontamination"] = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 20 = 0
+),
+bits AS (
+  SELECT DISTINCT {_bpos} AS pos FROM ev CROSS JOIN range(0, 3) t(i)
+),
+tr AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents WHERE doc_id % 20 <> 0
+),
+pr AS (
+  SELECT doc_id, shingle, {_bpos} AS pos FROM tr CROSS JOIN range(0, 3) t(i)
+),
+g AS (
+  SELECT pr.doc_id, pr.shingle,
+         min(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM pr LEFT JOIN bits ON pr.pos = bits.pos
+  GROUP BY pr.doc_id, pr.shingle
+)
+SELECT doc_id AS train_doc_id, count(*) AS n_grams,
+       CAST(sum(all_set) AS BIGINT) AS bloom_hits
+FROM g GROUP BY doc_id ORDER BY train_doc_id
+""".strip()
+
     # curation funnel: per-doc quality (same formula as text_quality),
     # lang (same generated CASE as lang_id), digest + window rep
     from .operators.text_analysis import STOPWORDS as _SW
@@ -2142,5 +2189,6 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "sequence_packing": q_sequence_packing,
         "contamination": q_contamination,
+        "bloom_decontamination": q_bloom_decontamination,
         "unmatched_clusters": q_unmatched_clusters,
     }

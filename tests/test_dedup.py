@@ -250,6 +250,44 @@ def test_contamination_overlap(spark):
     assert 1 not in got
 
 
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom hits are a superset of exact shared-gram hits per doc (no
+    false negatives); at generous m the counts coincide; at tiny m false
+    positives appear but never false negatives."""
+    from log_analysis_spark.operators.dedup import (bloom_decontaminate,
+                                                    contamination_overlap)
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    train_df = spark.createDataFrame([
+        (0, "prefix words then the quick brown fox jumps suffix"),
+        (1, "completely disjoint content nothing shared here at all"),
+        (2, "the quick brown dog runs"),
+    ], "doc_id long, text string")
+    exact = {r["train_doc_id"]: r["n_shared_grams"]
+             for r in contamination_overlap(train_df, eval_df, n=3).collect()}
+
+    # generous filter: no collisions expected, bloom == exact
+    big = {r["train_doc_id"]: r["bloom_hits"]
+           for r in bloom_decontaminate(train_df, eval_df, n=3,
+                                        m=1 << 20, k=5).collect()}
+    assert big[0] == exact[0] == 3
+    assert big[2] == exact[2] == 1
+    assert big[1] == 0
+
+    # overloaded filter (m=8): everything collides — still >= exact
+    tiny = {r["train_doc_id"]: r["bloom_hits"]
+            for r in bloom_decontaminate(train_df, eval_df, n=3,
+                                         m=8, k=2).collect()}
+    for d, hits in tiny.items():
+        assert hits >= exact.get(d, 0)
+    # n_grams column counts ALL distinct grams of the doc
+    ng = {r["train_doc_id"]: r["n_grams"]
+          for r in bloom_decontaminate(train_df, eval_df, n=3,
+                                       m=8, k=2).collect()}
+    assert ng[0] == 7 and ng[2] == 3
+
+
 def test_pack_sequences_invariants(spark):
     """Packing is a partition of each bucket's docs into contiguous bins:
     bins are dense from 0, a doc's offset is its preceding total mod N,
