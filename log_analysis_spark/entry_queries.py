@@ -498,6 +498,20 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_counts(out, "event_type").orderBy("event_type")
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization rollup (operators/sessions.py): 8-hour inactivity
+    gap over each user's event stream, per-session event counts and
+    exact microsecond durations. One shuffle: the lag/cumsum window and
+    the (user, session) rollup share the hash(user) partitioning."""
+    from .operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        session_stats(ev, gap_seconds=8 * 3600)
+        .orderBy("user_id", "session_id")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Efraimidis–Spirakis weighted sample: top-100 docs
     by u^(1/w) with w = n_chars (the domain-mixing primitive). The key
@@ -1555,6 +1569,31 @@ FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id ORDER BY train_doc_id
 """.strip()
 
+    # sessionization: identical gaps-and-islands window arithmetic —
+    # exact integer microseconds, ties broken on event_id in both engines
+    sql["user_sessions"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 28800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM l
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""".strip()
+
     # Bloom decontamination: the oracle REPLAYS the Bloom filter — same
     # seeded md5 positions (md5_long parity), same set-bit table derived
     # from the same eval grams — so false positives match bit-for-bit
@@ -2184,6 +2223,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_signatures": q_token_signatures,
         "induction_full_match": q_induction_full_match,
         "stratified_split": q_stratified_split,
+        "user_sessions": q_user_sessions,
         "weighted_sample": q_weighted_sample,
         "neardup_components": q_neardup_components,
         "curation_funnel": q_curation_funnel,

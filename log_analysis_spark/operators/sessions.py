@@ -1,0 +1,72 @@
+"""Sessionization: split each user's event stream into sessions at
+inactivity gaps (gaps-and-islands), plus per-session rollups.
+
+The batch twin of Structured Streaming's ``session_window`` (see
+streaming/stream.py: streaming_session_counts): on complete data the two
+produce identical sessions — the streaming variant merges
+within-watermark; this one is one lag + one cumulative sum.
+
+Reference analog: the reference groups lines into request/transaction
+scopes before aggregation (SURVEY.md §2.5 windows); sessionization is
+that operation on the transcripts/events axis.
+
+Scale: ONE shuffle total. The lag and the cumulative sum share one
+window (hash-partition by user, sort by ts within partition), and the
+per-session rollup groups by (user, session_id) — a superset of the
+window's hash(user) partitioning, so Catalyst adds no second Exchange.
+Skewed mega-users sort within one partition (the window is per-user by
+definition); if a single user exceeds a partition, sessionize upstream
+per shard and merge at boundaries — not done here because the rollup
+output is session-sized, never event-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """events + ``session_id`` (1-based per user, in time order): a new
+    session starts when the gap since the user's previous event exceeds
+    ``gap_seconds``. Rows with NULL user or NULL ts are dropped — a
+    session needs both, and engines disagree on NULL sort placement, so
+    excluding them keeps the assignment engine-deterministic. Ties on ts
+    break by ``order_cols`` (exact microsecond arithmetic, no floats).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_us", us)
+        .withColumn("session_id", F.sum(new_session).over(w))
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-session rollup: (user, session_id, n_events, session_start,
+    session_end, duration_us). Exactly one shuffle (see module doc)."""
+    s = sessionize(df, gap_seconds, user_col, ts_col, order_cols)
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"),
+             (F.max("_us") - F.min("_us")).alias("duration_us"))
+    )

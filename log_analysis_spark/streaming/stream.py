@@ -301,6 +301,39 @@ def windowed_template_counts(
     )
 
 
+def streaming_session_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session rollups via ``session_window`` — the streaming
+    twin of operators/sessions.py (same inactivity-gap rule: an event
+    exactly ``gap`` after the previous one still merges, Spark's
+    touching-interval merge == the batch ``diff > gap`` split). The
+    watermark bounds state: sessions idle past it finalize and their
+    state drops, so an unbounded stream holds state only for users
+    active within the watermark horizon. On a fully drained input the
+    output equals the batch ``session_stats`` (session_start = window
+    start, last event = window end - gap) — asserted in tests.
+    """
+    return (
+        stream_df
+        .filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        # watermarks require TIMESTAMP (NTZ sources fail analysis); the
+        # session timezone is pinned UTC by get_spark so the cast is
+        # deterministic
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"),
+                 F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(user_col, F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events")
+    )
+
+
 def conversation_progress_stream(stream_df: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation turn counter.
 

@@ -1,0 +1,85 @@
+"""Sessionization: gaps-and-islands semantics, and batch == streaming
+session_window on drained input."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.sessions import session_stats, sessionize
+
+T0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two sessions (gap 3600s splits at the 2h jump)
+        (0, 1, T0),
+        (1, 1, T0 + dt.timedelta(seconds=600)),
+        (2, 1, T0 + dt.timedelta(seconds=1200)),
+        (3, 1, T0 + dt.timedelta(hours=2)),
+        (4, 1, T0 + dt.timedelta(hours=2, seconds=60)),
+        # user 2: one event exactly gap seconds after the previous —
+        # stays in the SAME session (rule is diff > gap, not >=)
+        (5, 2, T0),
+        (6, 2, T0 + dt.timedelta(seconds=3600)),
+        # user 2: and one 1s past the gap -> new session
+        (7, 2, T0 + dt.timedelta(seconds=7201)),
+        # NULL user / NULL ts rows are excluded
+        (8, None, T0),
+        (9, 3, None),
+        # tie on ts: event_id orders deterministically
+        (10, 4, T0),
+        (11, 4, T0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz")
+
+
+def test_sessionize_semantics(spark):
+    ev = _events(spark)
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(ev, gap_seconds=3600).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2,
+                   5: 1, 6: 1, 7: 2, 10: 1, 11: 1}
+
+    stats = {(r["user_id"], r["session_id"]): r
+             for r in session_stats(ev, gap_seconds=3600).collect()}
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 1)]["duration_us"] == 1200 * 1_000_000
+    assert stats[(1, 2)]["n_events"] == 2
+    assert stats[(2, 1)]["n_events"] == 2
+    assert stats[(2, 2)]["n_events"] == 1
+    assert stats[(4, 1)]["n_events"] == 2
+    assert stats[(4, 1)]["duration_us"] == 0
+    assert not any(u in (None, 3) for u, _ in stats)
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window over a drained file stream == batch session_stats:
+    same session starts, same last-event times, same event counts."""
+    from log_analysis_spark.streaming.stream import streaming_session_stats
+
+    in_dir = str(tmp_path / "in")
+    ev = _events(spark)
+    ev.write.mode("overwrite").parquet(in_dir)
+
+    stream = (spark.readStream.schema(ev.schema).parquet(in_dir))
+    agg = streaming_session_stats(stream, gap="1 hour", watermark="10 hours")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("sess").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["session_start"]): r
+           for r in spark.sql("SELECT * FROM sess").collect()}
+
+    batch = session_stats(ev, gap_seconds=3600).collect()
+    assert len(got) == len(batch) == 5
+    for r in batch:
+        g = got[(r["user_id"], r["session_start"])]
+        assert g["n_events"] == r["n_events"]
+        # streaming window end = last event + gap
+        assert g["session_end"] == r["session_end"] + dt.timedelta(hours=1)
