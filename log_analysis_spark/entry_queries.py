@@ -1029,10 +1029,10 @@ def q_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import winnowing_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = winnowing_neardup_pairs(spark, docs, k=16, window=8, threshold=0.0)
+    pairs = winnowing_neardup_pairs(spark, docs, k=16, window=8,
+                                    threshold=0.0, threshold_r=0.25)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
-        .filter(F.col("jaccard_r") >= 0.25)
         .orderBy("id_a", "id_b")
     )
 
