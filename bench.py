@@ -176,7 +176,8 @@ def main() -> None:
         "simhash_sigs", "token_signatures", "lang_id",
         "pii_redaction", "repetition_ratio", "context_window",
         "embedding_topk_lsh", "embedding_topk_ivf", "winnowing_fingerprints",
-        "winnowing_neardup_pairs", "duplicate_spans",
+        "winnowing_neardup_pairs", "duplicate_spans", "unigram_logprob",
+        "user_sessions", "bloom_decontamination", "cms_token_counts",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 
@@ -211,6 +212,21 @@ def main() -> None:
     timed("minhash_lsh_pairs",
           lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6,
                                     materialize=False).count())
+
+    # semantic dedup: centroids trained once outside the timed loop (the
+    # driver-side k-means sample is scale-independent; the timed part is
+    # the distributed cell-assign + within-cell rule). materialize=False
+    # for the clearCache discipline shared with the LSH benches.
+    from log_analysis_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    sem_C = ivf_centroids(emb, k=8, vec_col="embedding", id_col="vec_id",
+                          seed=42, iters=8)
+    timed("semantic_dedup",
+          lambda: semantic_dedup(emb, sem_C, threshold=0.4,
+                                 materialize=False).count())
 
     # drop every cached relation the query benches left behind (operators
     # like minhash_lsh_pairs persist intermediates for their multi-consumer

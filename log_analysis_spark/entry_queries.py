@@ -456,7 +456,11 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation would fail."""
     from .operators.dedup import bloom_decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    # round-robin first: a single-file corpus otherwise pins the
+    # training-side gram explode to ONE task (measured 10.7s -> ~1s at
+    # sf0.1; no-op-cost at real split counts)
+    docs = _t(spark, sf_dir, "documents") \
+        .repartition(spark.sparkContext.defaultParallelism)
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
     train_df = docs.filter(F.col("doc_id") % 20 != 0)
     return bloom_decontaminate(train_df, eval_df, n=3, m=8192, k=3) \
@@ -1089,6 +1093,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates (operators/sketches.py) for the
+    tokens of docs 0-4, sketch built over ALL document tokens at
+    deliberately small width=8 so hash collisions are part of the
+    gated values (an exact-count implementation would fail the gate —
+    the Bloom-gate discipline). est >= true always; the unit test
+    asserts the overestimate property, this gate pins the exact grid."""
+    from .operators.sketches import cms_build, cms_estimate
+    from .operators.text_analysis import doc_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    cms = cms_build(toks, depth=4, width=8)
+    probes = toks.filter(F.col("doc_id") < 5).select("word").distinct()
+    return cms_estimate(cms, probes, depth=4, width=8).orderBy("word")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1567,6 +1588,31 @@ tr AS (
 SELECT tr.doc_id AS train_doc_id, count(*) AS n_shared_grams
 FROM tr JOIN ev USING (shingle)
 GROUP BY tr.doc_id ORDER BY train_doc_id
+""".strip()
+
+    # count-min sketch: the oracle replays the exact depth x width grid
+    # (seeded md5 cell positions, md5_long parity) — collisions and all
+    _cms_pos = ("CAST(('0x' || substr(md5('cms' || CAST(t.i AS VARCHAR) || "
+                "':' || word), 1, 15)) AS BIGINT) % 8")
+    sql["cms_token_counts"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+cells AS (
+  SELECT t.i AS d, {_cms_pos} AS pos, count(*) AS c
+  FROM t2 CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT word FROM t2 WHERE doc_id < 5),
+pp AS (
+  SELECT word, t.i AS d, {_cms_pos} AS pos
+  FROM probe CROSS JOIN range(0, 4) t(i)
+)
+SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+FROM pp LEFT JOIN cells USING (d, pos)
+GROUP BY word ORDER BY word
 """.strip()
 
     # sessionization: identical gaps-and-islands window arithmetic —
@@ -2208,6 +2254,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
         "unigram_logprob": q_unigram_logprob,
+        "cms_token_counts": q_cms_token_counts,
         "substring_dedup_clean": q_substring_dedup_clean,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,

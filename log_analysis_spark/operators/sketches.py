@@ -1,0 +1,65 @@
+"""Count-min sketch: fixed-size mergeable token-frequency summary.
+
+The 100 TB framing: exact per-token counts need a full shuffle on the
+token key (vocab-sized state); a CMS is a depth x width grid of
+counters whose size is FIXED by construction, built with one map-side-
+collapsing aggregation, mergeable across partitions/days/corpora by
+cell-wise addition. Point queries overestimate only (min over depth
+rows bounds the collision inflation) — the classic heavy-hitter /
+frequency-threshold primitive when the vocabulary itself is too big to
+shuffle.
+
+Engine-portable by the dedup family's md5 parity: row d hashes a token
+to ``md5_long('cms{d}:' || token) % width``, so a SQL oracle replays
+the exact grid, collisions included — the sketch is value-gateable,
+not just approximately-right (same discipline as the Bloom
+decontaminator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def _cms_cells(token: Column, depth: int, width: int) -> Column:
+    """array<struct<d, pos>>: the token's cell per sketch row."""
+    return F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 (md5_long(token, salt=f"cms{d}:") % width).alias("pos"))
+        for d in range(depth)
+    ])
+
+
+def cms_build(tokens: DataFrame, depth: int = 4, width: int = 1024,
+              token_col: str = "word") -> DataFrame:
+    """Build the sketch from a (.., token_col) relation — one occurrence
+    per row. Returns (d, pos, c): at most depth x width rows. The
+    explode fans each occurrence x depth, and the groupBy collapses
+    map-side to <= depth x width rows per task before the one (tiny)
+    shuffle."""
+    return (
+        tokens.select(F.explode(_cms_cells(F.col(token_col), depth, width))
+                      .alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, depth: int = 4,
+                 width: int = 1024, token_col: str = "word") -> DataFrame:
+    """Point-query the sketch for every probe token: (token_col,
+    est_count), est >= true count always. The sketch side is
+    depth x width bounded, so it broadcasts; absent cells count 0."""
+    expanded = probes.select(
+        token_col,
+        F.explode(_cms_cells(F.col(token_col), depth, width)).alias("cell"))
+    return (
+        expanded.join(F.broadcast(cms),
+                      (F.col("cell.d") == F.col("d"))
+                      & (F.col("cell.pos") == F.col("pos")), "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )

@@ -1,0 +1,48 @@
+"""Count-min sketch: overestimate-only, exactness at generous width,
+cell-wise mergeability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.sketches import cms_build, cms_estimate
+
+
+def _tokens(spark):
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i, w in enumerate(words):
+        rows += [(j, w) for j in range(3 * (i + 1))]
+    return spark.createDataFrame(rows, "doc_id long, word string")
+
+
+def test_cms_overestimate_and_exact_at_width(spark):
+    toks = _tokens(spark)
+    true = {r["word"]: r["c"] for r in
+            toks.groupBy("word").agg(F.count(F.lit(1)).alias("c")).collect()}
+    probes = toks.select("word").distinct()
+
+    # overloaded grid: estimates may inflate but never undercount
+    tiny = cms_estimate(cms_build(toks, depth=3, width=2), probes,
+                        depth=3, width=2).collect()
+    assert all(r["est_count"] >= true[r["word"]] for r in tiny)
+
+    # generous grid: no collisions, estimates exact
+    big = cms_estimate(cms_build(toks, depth=4, width=4096), probes,
+                       depth=4, width=4096).collect()
+    assert {r["word"]: r["est_count"] for r in big} == true
+
+
+def test_cms_merges_cellwise(spark):
+    """CMS(all) == cell-wise sum of CMS(part1) + CMS(part2) — the
+    property that makes the sketch a distributed/partial aggregate."""
+    toks = _tokens(spark)
+    p1 = toks.filter(F.col("doc_id") % 2 == 0)
+    p2 = toks.filter(F.col("doc_id") % 2 != 0)
+    whole = {(r["d"], r["pos"]): r["c"]
+             for r in cms_build(toks, depth=3, width=16).collect()}
+    merged: dict = {}
+    for part in (p1, p2):
+        for r in cms_build(part, depth=3, width=16).collect():
+            merged[(r["d"], r["pos"])] = merged.get((r["d"], r["pos"]), 0) + r["c"]
+    assert merged == whole
