@@ -41,7 +41,7 @@ DOC_GATES = [
     "exact_dedup_digest", "shingle_counts", "minhash_signatures",
     "simhash_sigs", "simhash_neardup_pairs", "minhash_lsh_pairs",
     "text_quality", "lang_id", "repetition_ratio", "curation_funnel",
-    "unigram_logprob",
+    "unigram_logprob", "bloom_decontamination", "cms_token_counts",
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
     "weighted_sample", "duplicate_spans", "substring_dedup_clean",
 ]
