@@ -101,6 +101,7 @@ EVENT_GATES = [
     "variable_extraction", "context_window", "pii_redaction",
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
+    "user_sessions",
 ]
 
 
@@ -207,7 +208,7 @@ def test_embedding_gate_on_adversarial_corpus(spark, embeddings_fuzz_dir,
 # so this fixture is dim 64 and the IVF test re-points the env-keyed
 # oracle cache at the fuzz dir so the replay trains on the SAME
 # adversarial table the Spark query reads.
-ANN_GATES = ["embedding_topk_lsh", "embedding_topk_ivf"]
+ANN_GATES = ["embedding_topk_lsh", "embedding_topk_ivf", "semantic_dedup"]
 
 
 @pytest.fixture(scope="module")
