@@ -1136,6 +1136,72 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 appendix A1)
+    over documents: per-rule booleans + the pass conjunction, with the
+    raw signals the rules read. min_words=40 sits at the synthetic
+    corpus' word-count knee so the flag discriminates (331/500 pass at
+    sf0.01); all other thresholds are the paper's."""
+    from .operators.text_analysis import gopher_features, gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    g = gopher_features(c)
+    fl = gopher_flags(c, min_words=40)
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        g["req_stop_hits"].alias("req_stop_hits"),
+        *[fl[k].cast("int").alias(k)
+          for k in ("flag_word_count", "flag_mean_word_len",
+                    "flag_symbol_ratio", "flag_bullet", "flag_ellipsis",
+                    "flag_alpha", "flag_stop", "gopher_pass")],
+    ).orderBy("doc_id")
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (two-pass corpus-statistics
+    keyword extraction; see text_analysis.tfidf_topk). Rank order is
+    1e-9-quantized score desc then word asc — the repo tie-break
+    convention — so the DuckDB replay reproduces membership AND rank."""
+    from .operators.text_analysis import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5).orderBy("doc_id", "rank")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (operators/line_dedup.py) over
+    per-user log documents assembled from the shared event-line SQL —
+    the 'freeform trace <uid>' shape repeats verbatim inside each
+    user's document, so duplicated-line stripping does real work here
+    (synthetic documents are single-line). Gated on the md5 of each
+    cleaned document plus the kept/dropped tallies."""
+    from .operators.line_dedup import line_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_FMT_LINE_SQL.format(S="STRING"))
+    docs = (
+        ev.select(F.coalesce("user_id", F.lit(0)).alias("uid"),
+                  F.coalesce("event_id", F.lit(-1)).alias("eid"),
+                  line.alias("line"))
+        .groupBy("uid")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("eid", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"))
+    )
+    out = line_dedup(docs, id_col="uid")
+    return out.select(
+        F.col("uid").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines", "n_dropped",
+    ).orderBy("doc_id")
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (python kernel — rows-only driver check)."""
     from .operators.dedup import simhash_udf
@@ -2140,6 +2206,107 @@ FROM t2 JOIN vocab USING (word) CROSS JOIN total
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
+    # Gopher rules: every signal mirrors the Spark column arithmetic
+    # (same WS_CLASS split, same replace()-based '#'/'...' counts, same
+    # greatest(n,1) guards); list_filter == the interpreted HOF filter
+    req = ", ".join(f"'{w}'" for w in
+                    ("the", "be", "to", "of", "and", "that", "have", "with"))
+    _gopher_all = ("n_words >= 40 AND n_words <= 100000 AND mwl >= 3 AND "
+                   "mwl <= 10 AND swr <= 0.1 AND bullet <= 0.9 AND "
+                   "ell <= 0.3 AND alpha >= 0.8 AND stops >= 2")
+    sql["gopher_quality"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN length(trim(text)) > 0
+              THEN len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+              ELSE 0 END AS n_words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_words,
+         length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) * 1.0 / greatest(n_words, 1) AS mwl,
+         (length(text) - length(replace(text, '#', ''))
+          + (length(text) - length(replace(text, '...', ''))) / 3.0) / greatest(n_words, 1) AS swr,
+         len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) * 1.0 / greatest(len(lines), 1) AS bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) * 1.0 / greatest(len(lines), 1) AS ell,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) * 1.0 / greatest(n_words, 1) AS alpha,
+         len(list_filter(list_distinct(words), w -> w IN ({req}))) AS stops
+  FROM f
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len, round(alpha, 6) AS alpha_word_frac,
+       stops AS req_stop_hits,
+       CAST(n_words >= 40 AND n_words <= 100000 AS INT) AS flag_word_count,
+       CAST(mwl >= 3 AND mwl <= 10 AS INT) AS flag_mean_word_len,
+       CAST(swr <= 0.1 AS INT) AS flag_symbol_ratio,
+       CAST(bullet <= 0.9 AS INT) AS flag_bullet,
+       CAST(ell <= 0.3 AS INT) AS flag_ellipsis,
+       CAST(alpha >= 0.8 AS INT) AS flag_alpha,
+       CAST(stops >= 2 AS INT) AS flag_stop,
+       CAST({_gopher_all} AS INT) AS gopher_pass
+FROM g ORDER BY doc_id
+""".strip()
+
+    # TF-IDF: integral tf/df, shared ln per (n_docs, df) pair; rank by
+    # the 1e-9-quantized score then word asc (repo tie-break convention)
+    sql["tfidf_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM t2 GROUP BY doc_id, word),
+dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, word, tf * ln(n_docs * 1.0 / df) AS tfidf
+  FROM tf JOIN dfq USING (word) CROSS JOIN nd
+),
+r AS (SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(tfidf, 9) DESC, word) AS rnk
+      FROM scored)
+SELECT doc_id, word, CAST(rnk AS INT) AS "rank", round(tfidf, 6) AS tfidf
+FROM r WHERE rnk <= 5 ORDER BY doc_id, "rank"
+""".strip()
+
+    # C4-style line dedup over per-user documents assembled from the
+    # shared event-line SQL; window count/row_number == the Spark
+    # groupBy(count, min(struct)) + join formulation
+    sql["line_dedup"] = f"""
+WITH l AS (
+  SELECT coalesce(event_id, -1) AS eid, coalesce(user_id, 0) AS uid,
+         {fmt_line_duck} AS line
+  FROM events
+),
+docs AS (SELECT uid, string_agg(line, chr(10) ORDER BY eid, line) AS text
+         FROM l GROUP BY uid),
+ls AS (SELECT uid, string_split(text, chr(10)) AS parts FROM docs),
+px AS (SELECT uid, unnest(range(0, len(parts))) AS pos, parts FROM ls),
+lx AS (SELECT uid, pos, list_extract(parts, pos + 1) AS line FROM px),
+fx AS (
+  SELECT uid, pos, line,
+         (trim(line) = ''
+          OR count(*) OVER (PARTITION BY line) < 2
+          OR row_number() OVER (PARTITION BY line ORDER BY uid, pos) = 1) AS keep
+  FROM lx
+),
+clean AS (
+  SELECT uid,
+         coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+         count(*) AS n_lines,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+  FROM fx GROUP BY uid
+)
+SELECT uid AS doc_id, md5(clean_text) AS clean_md5,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_dropped AS BIGINT) AS n_dropped
+FROM clean ORDER BY doc_id
+""".strip()
+
     # generated from the same STOPWORDS table as the Spark side; the CASE
     # walks languages in sorted order = the documented asc tie-break
     langs, lang_exprs, greatest_all = _duck_lang_parts()
@@ -2260,6 +2427,9 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
+        "tfidf_topk": q_tfidf_topk,
+        "line_dedup": q_line_dedup,
         "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,
         "variable_extraction": q_variable_extraction,

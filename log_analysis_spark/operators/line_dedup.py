@@ -1,0 +1,106 @@
+"""C4-style corpus-wide line deduplication.
+
+The sixth dedup scheme, acting at LINE granularity: across the whole
+corpus, every duplicated non-blank line keeps only its first occurrence
+(first = smallest (doc_id, line_pos)); later instances are stripped from
+their documents. This is the public C4 / RefinedWeb boilerplate rule —
+repeated nav bars, cookie banners, and license footers appear verbatim
+in millions of pages, and removing all-but-one instance is the single
+highest-yield cleanup on web-scale training text (Raffel et al., JMLR
+2020, §2.2; reference analog: the template sink dedupes repeated log
+shapes, src/log_matcher.rs template pool).
+
+Scale notes (100 TB):
+- The line relation is ~corpus bytes. Duplicate detection is ONE
+  groupBy(line) with `count` + `min(struct(doc,pos))` — both combine
+  map-side, so a boilerplate line with 10^8 instances arrives at the
+  reducer as one row per upstream partition. This is deliberately NOT
+  the single-window formulation exact dedup uses (dedup.py): a window
+  over `line` would co-locate every instance of a hot line in one task,
+  and hot lines are the defining workload here. The join back
+  (lines ⋈ line-dim) fans a hot line out to its instances but never
+  concentrates them; AQE decides the strategy (no broadcast hint — the
+  line dim is corpus-sized at scale).
+- Blank/whitespace-only lines are never dropped: they are formatting,
+  and they are also the hottest key in any corpus — excluding them keeps
+  the worst skew out of the shuffle entirely.
+- Reassembly is one groupBy(doc) with a collect_list bounded by the
+  document's own line count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, line) for every '\\n'-separated line, trailing empties
+    preserved (split limit -1); NULL text yields no rows. Round-robins
+    to default parallelism first so a single input split can't pin the
+    explode to one task."""
+    spark = df.sparkSession
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), "\n", -1))
+                .alias("pos", "line"))
+    )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_count: int = 2) -> DataFrame:
+    """Strip all-but-first instances of corpus-duplicated lines.
+
+    A non-blank line whose corpus-wide instance count reaches
+    ``min_count`` keeps only its first occurrence (smallest
+    (doc_id, pos)); blank lines and under-threshold lines always stay.
+    Returns one row per input document:
+    (id_col, clean_text, n_lines, n_dropped) — NULL text propagates as
+    NULL clean_text with zero counts, empty text round-trips as the
+    single blank line it splits to.
+    """
+    lines = split_lines(df, text_col, id_col)
+    nonblank = lines.filter(F.trim(F.col("line")) != "")
+
+    # map-side-combining agg: hot boilerplate lines collapse before the
+    # shuffle (see module docstring for why not a window here)
+    firsts = nonblank.groupBy("line").agg(
+        F.count(F.lit(1)).alias("line_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_at"),
+    )
+
+    keep = (
+        F.trim(F.col("line")) == ""
+    ) | (F.col("line_n") < min_count) | (
+        (F.col("first_at")[id_col] == F.col(id_col))
+        & (F.col("first_at")["pos"] == F.col("pos"))
+    )
+
+    flagged = lines.join(firsts, "line", "left").withColumn("keep", keep)
+
+    # collect_list skips NULL elements, so gating the struct on `keep`
+    # reassembles only surviving lines in one pass with the counters
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"), F.struct("pos", "line")))),
+                lambda x: x["line"]),
+            "\n").alias("clean_text"),
+    )
+
+    # left join back so NULL-text documents survive with NULL clean_text
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )

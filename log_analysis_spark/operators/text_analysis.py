@@ -121,6 +121,109 @@ def token_count_cols(col: Column) -> dict[str, Column]:
     }
 
 
+# Gopher rule-based quality filter (Rae et al. 2021, arXiv 2112.11446,
+# appendix A1 — the public web-text repetition/format rules). The
+# "required words" are the paper's English function-word presence check.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_features(col: Column) -> dict[str, Column]:
+    """Raw signals behind the Gopher document-format rules. Everything
+    is JVM-side; the two per-element regex checks (bullet lines,
+    alpha-bearing words) use higher-order `filter` — interpreted, but
+    bounded by the row's own line/word count and identical to the
+    oracle's list_filter rendering."""
+    words = _words(col)
+    n_words = F.when(F.length(F.trim(col)) > 0, F.size(words)).otherwise(0)
+    nw1 = F.greatest(n_words, F.lit(1))
+    lines = F.split(col, "\n", -1)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    hash_cnt = F.length(col) - F.length(F.replace(col, F.lit("#")))
+    ell_cnt = (F.length(col) - F.length(F.replace(col, F.lit("...")))) / 3
+    return {
+        "n_words": n_words,
+        # mean word length = non-whitespace chars / words
+        "mean_word_len": (F.length(F.regexp_replace(col, WS_CLASS, ""))
+                          / nw1),
+        "symbol_word_ratio": (hash_cnt + ell_cnt) / nw1,
+        "bullet_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*•]")))
+            / n_lines),
+        "ellipsis_line_frac": (
+            F.size(F.filter(lines,
+                            lambda l: l.rlike(r"(\.\.\.|…)[ \t]*$")))
+            / n_lines),
+        "alpha_word_frac": (
+            F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nw1),
+        "req_stop_hits": F.size(F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]))),
+    }
+
+
+def gopher_flags(col: Column, min_words: int = 50, max_words: int = 100_000,
+                 ) -> dict[str, Column]:
+    """Per-rule booleans + the conjunction, thresholds per the paper:
+    50..100k words, mean word length 3..10, symbol-to-word <= 0.1,
+    bullet lines <= 90%, ellipsis lines <= 30%, >= 80% of words carry an
+    alphabetic char, >= 2 distinct required function words."""
+    g = gopher_features(col)
+    flags = {
+        "flag_word_count": (g["n_words"] >= min_words)
+                           & (g["n_words"] <= max_words),
+        "flag_mean_word_len": (g["mean_word_len"] >= 3)
+                              & (g["mean_word_len"] <= 10),
+        "flag_symbol_ratio": g["symbol_word_ratio"] <= 0.1,
+        "flag_bullet": g["bullet_line_frac"] <= 0.9,
+        "flag_ellipsis": g["ellipsis_line_frac"] <= 0.3,
+        "flag_alpha": g["alpha_word_frac"] >= 0.8,
+        "flag_stop": g["req_stop_hits"] >= 2,
+    }
+    out = dict(flags)
+    passed = F.lit(True)
+    for c in flags.values():
+        passed = passed & c
+    out["gopher_pass"] = passed
+    return out
+
+
+def tfidf_topk(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Top-k TF-IDF keywords per document: tf = in-doc token count,
+    idf = ln(n_docs / doc_freq), rank by 1e-9-quantized score desc then
+    word asc (the repo-wide tie-break convention — ln() may differ by
+    an ulp across engines, ties within a doc share the exact same
+    (tf, df) arithmetic so they are bit-identical per engine).
+
+    Scale: (doc,word) tf agg and word df agg both combine map-side; the
+    token->idf join shuffles on word with NO broadcast hint (the vocab
+    tail is corpus-sized at 100 TB — AQE decides); the per-doc top-k is
+    one window shuffle on the (doc,word) relation, which is already
+    far smaller than the token relation. Output:
+    (id, word, rank, tfidf) — docs with no tokens emit no rows.
+    """
+    toks = doc_tokens(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "word",
+                (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+                .alias("tfidf"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 def doc_tokens(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(id, word) for every WS_CLASS token; empty tokens dropped (a

@@ -34,6 +34,13 @@ ADVERSARIAL_TEXTS = [
     # slice codepoints and shift every span boundary)
     "prefix-α ünïcode wörds überall ßhared span here-suffix-one",
     "prefix-β ünïcode wörds überall ßhared span here-suffix-two",
+    # multi-line shapes for the gopher line-fraction rules and C4 line
+    # dedup: bullets, ellipsis endings (ASCII and U+2026), duplicated
+    # boilerplate lines, blank lines between content
+    "• bullet one\n- bullet two\n* bullet three\nplain line",
+    "Share this article\n\nthe real content is here\nShare this article",
+    "trailing dots...\nunicode ellipsis…\nmore text here\t \nthe end",
+    "Share this article\nanother doc repeating the banner line",
 ]
 
 # document-table gates (queries that read ONLY documents.parquet)
@@ -44,6 +51,7 @@ DOC_GATES = [
     "unigram_logprob", "bloom_decontamination", "cms_token_counts",
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
     "weighted_sample", "duplicate_spans", "substring_dedup_clean",
+    "gopher_quality", "tfidf_topk",
 ]
 
 
@@ -101,7 +109,7 @@ EVENT_GATES = [
     "variable_extraction", "context_window", "pii_redaction",
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
-    "user_sessions",
+    "user_sessions", "line_dedup",
 ]
 
 

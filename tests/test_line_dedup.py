@@ -1,0 +1,86 @@
+"""C4-style corpus-wide line dedup (operators/line_dedup.py).
+
+The oracle gate (line_dedup in entry_queries) covers the events-derived
+corpus path; these tests pin the semantics the gate corpus can't
+isolate: global first-occurrence ordering, blank-line immunity, the
+min_count threshold, NULL/empty documents, and the JVM-only plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.line_dedup import line_dedup, split_lines
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in line_dedup(df, **kw).collect()}
+
+
+def test_keep_first_across_documents(spark):
+    out = _run(spark, [
+        (0, "alpha\nShare this\nomega"),
+        (1, "Share this\nunique line\nShare this"),
+    ])
+    # first instance is (doc 0, pos 1); both doc-1 instances drop
+    assert out[0]["clean_text"] == "alpha\nShare this\nomega"
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "unique line"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 2
+
+
+def test_within_document_duplicates_drop(spark):
+    out = _run(spark, [(7, "beat\nbeat\nbeat\nend")])
+    assert out[7]["clean_text"] == "beat\nend"
+    assert out[7]["n_dropped"] == 2
+
+
+def test_blank_lines_never_drop(spark):
+    out = _run(spark, [
+        (0, "a\n\nb"),
+        (1, "\n\n"),          # three empty lines (two separators)
+        (2, "  \n  "),        # whitespace-only lines repeat across docs
+        (3, "  \nc"),
+    ])
+    assert out[0]["clean_text"] == "a\n\nb"
+    assert out[1]["clean_text"] == "\n\n" and out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "  \n  "
+    assert out[3]["clean_text"] == "  \nc"
+
+
+def test_min_count_threshold(spark):
+    rows = [(0, "dup\nx"), (1, "dup\ny")]
+    # two instances < min_count=3: both stay
+    out = _run(spark, rows, min_count=3)
+    assert out[1]["clean_text"] == "dup\ny" and out[1]["n_dropped"] == 0
+    out2 = _run(spark, rows + [(2, "dup\nz")], min_count=3)
+    assert out2[1]["clean_text"] == "y"
+    assert out2[2]["clean_text"] == "z"
+
+
+def test_null_and_empty_documents(spark):
+    out = _run(spark, [(0, None), (1, ""), (2, "only")])
+    assert out[0]["clean_text"] is None
+    assert out[0]["n_lines"] == 0 and out[0]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_lines"] == 1
+    assert out[2]["clean_text"] == "only"
+
+
+def test_all_lines_dropped_yields_empty(spark):
+    out = _run(spark, [(0, "banner"), (1, "banner")])
+    assert out[0]["clean_text"] == "banner"
+    assert out[1]["clean_text"] == "" and out[1]["n_dropped"] == 1
+
+
+def test_split_lines_positions_and_trailing_empty(spark):
+    df = spark.createDataFrame([(0, "a\nb\n")], "doc_id long, text string")
+    rows = {(r["pos"], r["line"]) for r in split_lines(df).collect()}
+    assert rows == {(0, "a"), (1, "b"), (2, "")}
+
+
+def test_plan_stays_jvm_side(spark):
+    """No Python evaluation nodes anywhere in the operator's plan."""
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

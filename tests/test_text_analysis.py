@@ -293,3 +293,59 @@ def test_token_counts_vertical_tab_cross_engine(spark):
     assert got == want
     # the \x0B separates tokens on both engines now
     assert got["a\x0bb c"][0] == 3
+
+
+def test_gopher_flags_semantics(spark):
+    from log_analysis_spark.operators.text_analysis import gopher_flags
+
+    rows = [
+        (0, " ".join(["the", "cats", "sat", "with", "food"] * 12)),  # clean
+        (1, "### " * 30 + "the of and"),                 # symbol-heavy
+        (2, "• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j"),  # all bullets
+        (3, "the end is near...\nand so...\nvery soon…\nok"),  # ellipsis lines
+        (4, " ".join(["12345"] * 60) + " the of"),       # no alpha words
+        (5, "zebra quokka vortex " * 20),                # no required words
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fl = gopher_flags(F.col("text"), min_words=10)
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in fl.items()]).collect()}
+
+    assert got[0]["gopher_pass"] is True
+    assert got[1]["flag_symbol_ratio"] is False
+    assert got[2]["flag_bullet"] is False
+    assert got[3]["flag_ellipsis"] is False
+    assert got[4]["flag_alpha"] is False
+    assert got[5]["flag_stop"] is False
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert got[d]["gopher_pass"] in (False, None) and not got[d]["gopher_pass"]
+    # NULL/empty fail the word-count rule explicitly
+    assert got[6]["flag_word_count"] is False
+    assert got[7]["flag_word_count"] is False
+
+
+def test_tfidf_topk_ranking(spark):
+    import math
+
+    from log_analysis_spark.operators.text_analysis import tfidf_topk
+
+    df = spark.createDataFrame([
+        (0, "apple apple banana common"),
+        (1, "banana cherry common"),
+        (2, "cherry cherry cherry common"),
+        (3, None),
+    ], "doc_id long, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["word"], r["tfidf"]))
+    # 'common' has df == n_docs -> idf 0, never ranks above real terms
+    assert by_doc[0][0][1] == "apple"
+    assert abs(by_doc[0][0][2] - round(2 * math.log(3 / 1), 6)) < 1e-6
+    assert by_doc[2][0][1] == "cherry"
+    assert 3 not in by_doc  # NULL text emits no rows
+    # every doc emits at most k rows with dense ranks from 1
+    for doc, rows_ in by_doc.items():
+        assert [r[0] for r in sorted(rows_)] == list(range(1, len(rows_) + 1))
