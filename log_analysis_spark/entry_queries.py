@@ -491,6 +491,22 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(pairs).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup representative selection: pairs -> components -> keep the
+    highest-quality doc per cluster (ties to smallest id). The window
+    runs only over the dup minority; singletons take the anti-join
+    branch. Oracle = recursive-CTE components + the same 6-dp quality."""
+    from .operators.curation import keep_best_per_cluster
+    from .operators.dedup import neardup_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # max_doc_freq=None: oracle computes exact uncapped Jaccard (see
+    # q_neardup_components)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=None)
+    comp = neardup_components(pairs)
+    return keep_best_per_cluster(docs, comp).orderBy("cluster_id")
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/test split coverage (src/dataset_splitter.rs:69-208):
     per-group train/test counts under the hash-deterministic 20% split.
@@ -1811,6 +1827,68 @@ reach(node, r) AS (
 SELECT node AS doc_id, least(node, min(r)) AS rep_id FROM reach GROUP BY node ORDER BY doc_id
 """.strip()
 
+    # keep-best-per-cluster: same recursive components + the same 6-dp
+    # quality formula as curation_funnel; rank by (q desc, id asc) within
+    # clusters, singletons pass through
+    sql["dedup_keep_best"] = f"""
+WITH RECURSIVE s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE nc * 1.0 / (sa.sz + sb.sz - nc) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (SELECT node AS doc_id, least(node, min(r)) AS rep_id FROM reach GROUP BY node),
+f AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words,
+         length(text) AS n_chars, text
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_distinct(words)) * 1.0 / greatest(len(words), 1) AS uniq_ratio,
+         len(list_filter(list_distinct(words), w -> w IN ({en_ws}))) * 1.0 / greatest(len(words), 1) AS stop_ratio,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{|}}~]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(n_chars, 1) AS digit_ratio
+  FROM f
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 WHEN n_words > 0 THEN 0.4 ELSE 0.0 END) * 0.3
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 4) END) * 0.2
+           + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE greatest(0.0, 1.0 - (digit_ratio - 0.3) * 3) END) * 0.2
+           + least(1.0, uniq_ratio * 1.25) * 0.15
+           + least(1.0, stop_ratio * 10) * 0.15
+         , 6) AS q
+  FROM g
+),
+cl AS (SELECT comp.rep_id AS cluster_id, q.doc_id, q.q
+       FROM q JOIN comp ON q.doc_id = comp.doc_id),
+best AS (
+  SELECT cluster_id, doc_id, q,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cl
+)
+SELECT cluster_id, doc_id AS kept_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size, q AS best_q
+FROM best WHERE rk = 1
+UNION ALL
+SELECT q.doc_id, q.doc_id, CAST(1 AS BIGINT), q.q
+FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id WHERE comp.rep_id IS NULL
+ORDER BY cluster_id
+""".strip()
+
     # Efraimidis–Spirakis replay: same md5 uniform, same ln(u)/w key,
     # same 1e-9 quantization and (key desc, id) order — membership AND
     # order reproduce exactly. 1152921504606846977 = 2^60 + 1.
@@ -2443,6 +2521,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "weighted_sample": q_weighted_sample,
         "neardup_components": q_neardup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "curation_funnel": q_curation_funnel,
         "sequence_packing": q_sequence_packing,
         "contamination": q_contamination,

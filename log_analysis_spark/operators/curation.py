@@ -70,3 +70,53 @@ def curate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     flags = curation_flags(df, text_col, id_col, keep_lang, min_quality)
     return (flags.filter(F.col("is_rep") & F.col("lang_ok") & F.col("quality_ok"))
             .drop("is_rep", "lang_ok", "quality_ok"))
+
+
+def keep_best_per_cluster(docs: DataFrame, components: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Near-dup cluster representative selection — the step a curation
+    pipeline runs AFTER near-dup detection: given (doc_id, rep_id)
+    components (from ``neardup_components``), keep exactly ONE document
+    per cluster — the highest-quality member, ties broken to the
+    smallest id (reference dedup end-game analog: the min-id
+    representative the exact-dedup path keeps; here quality-aware).
+
+    Returns one row per cluster (singletons included):
+    (cluster_id, kept_doc_id, cluster_size, best_q).
+
+    Scale shape: the ranking window runs ONLY over documents that appear
+    in a component — at 100 TB with a few-percent near-dup rate that is a
+    window over the dup minority, not a corpus-wide sort. Singleton docs
+    take the left-anti branch: one join, no window, no per-cluster
+    shuffle. Quality is rounded to 6 dp before ranking so the order is
+    reproducible across engines (raw doubles at a tie could differ in the
+    last ulp — same convention as ``curation_flags``).
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col),
+        F.round(quality_score_col(F.col(text_col)), 6).alias("q"))
+    # dup minority: inner join against the (small) components relation
+    clustered = scored.join(components, on=id_col)
+    wp = Window.partitionBy("rep_id")
+    wo = wp.orderBy(F.col("q").desc(), F.col(id_col).asc())
+    best = (
+        clustered
+        .select(F.col("rep_id").alias("cluster_id"),
+                F.col(id_col), F.col("q"),
+                F.row_number().over(wo).alias("_rk"),
+                F.count(F.lit(1)).over(wp).alias("cluster_size"))
+        .filter(F.col("_rk") == 1)
+        .select("cluster_id", F.col(id_col).alias("kept_doc_id"),
+                "cluster_size", F.col("q").alias("best_q"))
+    )
+    singles = (
+        scored.join(components, on=id_col, how="left_anti")
+        .select(F.col(id_col).alias("cluster_id"),
+                F.col(id_col).alias("kept_doc_id"),
+                F.lit(1).cast("long").alias("cluster_size"),
+                F.col("q").alias("best_q"))
+    )
+    return best.unionByName(singles)

@@ -414,3 +414,41 @@ def test_minhash_lsh_verify_kernel_evaluated_once(spark, docs):
                            materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("_jaccard_pair(") == 1, plan.count("_jaccard_pair(")
+
+
+def test_keep_best_per_cluster(spark):
+    """Representative selection: highest quality wins within a cluster,
+    ties break to the smallest id, singletons pass through the anti-join
+    branch with cluster_size=1."""
+    from log_analysis_spark.operators.curation import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            # cluster A (rep 1): doc 2 is clearly higher quality than doc 1
+            (1, "zzz qqq xxx 111 222 333 !!! ??? ### $$$"),
+            (2, "the quick brown fox jumps over the lazy dog and runs home"),
+            # cluster B (rep 3): identical texts -> equal q -> min id kept
+            (3, "an identical sentence that is shared by both of these docs"),
+            (4, "an identical sentence that is shared by both of these docs"),
+            # singleton, never in a pair
+            (9, "a lonely document with no near duplicate in the corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, rep_id long")
+    out = {r["cluster_id"]: r
+           for r in keep_best_per_cluster(docs, comp).collect()}
+    assert set(out) == {1, 3, 9}
+    assert out[1]["kept_doc_id"] == 2 and out[1]["cluster_size"] == 2
+    assert out[3]["kept_doc_id"] == 3 and out[3]["cluster_size"] == 2
+    assert out[9]["kept_doc_id"] == 9 and out[9]["cluster_size"] == 1
+    # best_q is the cluster max of the same 6-dp quality score
+    from log_analysis_spark.operators.text_analysis import quality_score_col
+
+    q = {r["doc_id"]: r["q"] for r in docs.select(
+        "doc_id", F.round(quality_score_col(F.col("text")), 6).alias("q")
+    ).collect()}
+    assert out[1]["best_q"] == max(q[1], q[2]) == q[2]
+    assert out[3]["best_q"] == q[3] == q[4]
+    assert out[9]["best_q"] == q[9]
