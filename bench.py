@@ -178,6 +178,8 @@ def main() -> None:
         "embedding_topk_lsh", "embedding_topk_ivf", "winnowing_fingerprints",
         "winnowing_neardup_pairs", "duplicate_spans", "unigram_logprob",
         "user_sessions", "bloom_decontamination", "cms_token_counts",
+        "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
+        "heavy_hitter_tokens",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

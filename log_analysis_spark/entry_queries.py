@@ -1126,6 +1126,39 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, probes, depth=4, width=8).orderBy("word")
 
 
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over all document tokens without a vocabulary
+    shuffle (operators/sketches.heavy_hitters): per-partition
+    Misra-Gries candidates (bounded state, provable superset) + exact
+    recount of candidates only. The output equals the true >=threshold
+    set exactly, so a plain GROUP BY .. HAVING oracle gates the whole
+    sketch machinery — if MG dropped a real heavy hitter, the row sets
+    would differ."""
+    from .operators.sketches import heavy_hitters
+    from .operators.text_analysis import doc_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = doc_tokens(docs)
+    return heavy_hitters(toks, threshold=300).orderBy("word")
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile estimates of document length (operators/
+    stats.py): fixed-width bins (one bounded groupBy, mergeable by
+    bin-wise addition) + within-bin linear interpolation off the
+    cumulative histogram. The 100 TB alternative to sorting the column
+    for exact percentiles; error <= bin_width by construction. The
+    oracle replays binning, CDF walk, and interpolation exactly."""
+    from .operators.stats import quantile_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_estimates(
+        spark, docs, F.length("text"),
+        qs=[0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+        bin_width=64.0,
+    ).orderBy("q")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts + quality score per document (JVM-side expressions)."""
     from .operators.text_analysis import quality_score_col, token_count_cols
@@ -1695,6 +1728,41 @@ pp AS (
 SELECT word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
 FROM pp LEFT JOIN cells USING (d, pos)
 GROUP BY word ORDER BY word
+""".strip()
+
+    # heavy hitters: the Spark side is MG-candidates + exact recount, but
+    # its OUTPUT is exactly the true >=threshold set — the oracle is the
+    # definitional GROUP BY .. HAVING (completeness of the sketch path is
+    # what the row-set comparison checks)
+    sql["heavy_hitter_tokens"] = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS exact_count
+FROM toks WHERE word <> ''
+GROUP BY word HAVING count(*) >= 300
+ORDER BY word
+""".strip()
+
+    # histogram quantiles: same floor-binning, same window cumsum, same
+    # interpolation arithmetic, rounded at 1e-6 — replayed value-for-value
+    sql["length_quantiles"] = """
+WITH v AS (SELECT length(text) AS val FROM documents WHERE text IS NOT NULL),
+h AS (SELECT CAST(floor(val / 64.0) AS BIGINT) AS bin_id, count(*) AS cnt
+      FROM v GROUP BY 1),
+c AS (SELECT bin_id, bin_id * 64.0 AS lo, cnt,
+             sum(cnt) OVER (ORDER BY bin_id) AS cum,
+             sum(cnt) OVER () AS total
+      FROM h),
+qs AS (SELECT * FROM (VALUES (0.0),(0.25),(0.5),(0.75),(0.9),(0.99),(1.0)) t(q)),
+hit AS (SELECT q, min(bin_id) AS bin_id
+        FROM c JOIN qs ON c.cum >= qs.q * c.total GROUP BY q)
+SELECT hit.q AS q,
+       round(c.lo + 64.0 * greatest(0.0, hit.q * c.total - (c.cum - c.cnt))
+             / c.cnt, 6) AS est
+FROM hit JOIN c USING (bin_id)
+ORDER BY q
 """.strip()
 
     # sessionization: identical gaps-and-islands window arithmetic —
@@ -2500,6 +2568,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "unigram_logprob": q_unigram_logprob,
         "cms_token_counts": q_cms_token_counts,
+        "length_quantiles": q_length_quantiles,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "substring_dedup_clean": q_substring_dedup_clean,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,

@@ -63,3 +63,75 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, depth: int = 4,
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
+
+
+def mg_candidates(tokens: DataFrame, k: int,
+                  token_col: str = "word") -> DataFrame:
+    """Per-partition Misra-Gries summaries, k counters each: (word,
+    mg_count) — the candidate generator for ``heavy_hitters``.
+
+    Guarantee (the reason the downstream exact set is complete): an
+    MG(k) summary undercounts any token by at most n_p/(k+1) of its
+    partition's n_p tokens, so a token with partition share
+    > n_p/(k+1) always survives its partition. A token with GLOBAL
+    count > n/(k+1) must exceed that share in at least one partition
+    (pigeonhole over sum n_p/(k+1) = n/(k+1)), hence appears in the
+    union of summaries. State per task is k counters — bounded by
+    construction, no vocabulary shuffle.
+
+    Batch-merge form (mergeable-summaries formulation): each Arrow
+    batch is counted C-side (pandas value_counts), merged into the
+    running summary by addition, then pruned by subtracting the
+    (k+1)-th largest count and dropping non-positives — the classic
+    MG merge, same error bound as one-at-a-time decrements.
+    """
+    import pandas as pd
+
+    out_schema = f"{token_col} string, mg_count long"
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[token_col].dropna().value_counts()
+            for w, c in vc.items():
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = {w: c - kth for w, c in counters.items()
+                            if c - kth > 0}
+        yield pd.DataFrame(
+            {token_col: list(counters), "mg_count": list(counters.values())})
+
+    return tokens.select(token_col).mapInPandas(_mg, out_schema)
+
+
+def heavy_hitters(tokens: DataFrame, threshold: int,
+                  token_col: str = "word", k: int | None = None,
+                  max_k: int = 1 << 17) -> DataFrame:
+    """All tokens whose exact global count >= threshold, found WITHOUT
+    shuffling the vocabulary: MG candidates (bounded per-task state,
+    provable superset of the answer when k+1 > n/threshold) then an
+    exact recount of the candidate set only (broadcast semi join + one
+    small groupBy). Output (word, exact_count) is EXACTLY the true
+    heavy-hitter set — deterministic regardless of partitioning, so a
+    plain GROUP BY .. HAVING oracle gates the whole MG machinery.
+
+    k defaults to 2 * ceil(n / threshold) (one cheap count job): double
+    the minimum for slack against skewed partition shares. A threshold
+    so small that k would exceed ``max_k`` raises — at that point the
+    vocabulary groupBy is the honest plan, not a sketch.
+    """
+    if k is None:
+        n = tokens.count()
+        k = max(64, 2 * -(-n // max(threshold, 1)))
+    if k > max_k:
+        raise ValueError(
+            f"k={k} exceeds max_k={max_k}: threshold too small for the "
+            "sketch path — use an exact groupBy instead")
+    cand = mg_candidates(tokens, k, token_col).select(token_col).distinct()
+    return (
+        tokens.join(F.broadcast(cand), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") >= threshold)
+    )

@@ -1,0 +1,113 @@
+"""Mergeable distribution statistics: fixed-width histograms and
+interpolated quantile estimates.
+
+The training-pipeline use: length/quality distributions drive the
+thresholds everything else consumes — truncation length, packing
+``max_tokens``, quality cutoffs. At 100 TB an EXACT percentile needs a
+full sort of the column (or an all-to-one percentile_approx merge whose
+summary still rides one reducer), so the scale path is the classic
+two-step: (1) a fixed-width histogram — ONE map-side-collapsing groupBy
+whose result size is bounded by the value range, not the row count, and
+mergeable across partitions/days/corpora by bin-wise addition (same
+contract as the CMS grid, operators/sketches.py); (2) quantiles read off
+the cumulative histogram with within-bin linear interpolation, error
+bounded by bin_width by construction.
+
+Engine-portable: binning is integer floor-division, the CDF walk is a
+window cumsum, interpolation is one arithmetic expression rounded to
+6 dp — a SQL oracle replays the whole thing value-for-value (no RNG, no
+sketch nondeterminism). Spark's own ``percentile_approx`` (KLL-ish GK
+summary) is the built-in alternative; tests cross-check it against this
+histogram path, but it is NOT value-gateable across engines — its
+summary shape is implementation-defined, which is exactly why the gated
+operator is the replayable histogram.
+
+Reference analog: the benchmark summary percentiles the reference
+prints per run (src/benchmark.rs latency p50/p99 lines) — here as a
+first-class distributed operator instead of a driver-side sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fixed_width_histogram(df: DataFrame, value_col: Column | str,
+                          bin_width: float = 32.0) -> DataFrame:
+    """(bin_id, lo, hi, cnt) — one bounded groupBy, NULLs excluded.
+
+    bin_id = floor(value / bin_width); lo/hi are the bin edges. The
+    groupBy collapses map-side to <= n_bins rows per task before one
+    tiny shuffle; histograms over disjoint row sets merge by summing
+    cnt per bin_id (tested property).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+        .groupBy(F.floor(F.col("_v") / F.lit(bin_width)).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * F.lit(bin_width)).cast("double").alias("lo"),
+            ((F.col("bin_id") + 1) * F.lit(bin_width)).cast("double").alias("hi"),
+            "cnt",
+        )
+    )
+
+
+def histogram_quantiles(spark: SparkSession, hist: DataFrame,
+                        qs: list[float],
+                        bin_width: float = 32.0) -> DataFrame:
+    """(q, est) — interpolated quantile estimates off a histogram.
+
+    For each q: target = q * N counts; walk the cumulative histogram to
+    the first bin whose running count reaches target, then interpolate
+    within it: est = lo + bin_width * (target - cum_before) / cnt.
+    q=0 lands on the histogram's lower edge, q=1 on its upper edge;
+    estimate error is <= bin_width by construction.
+
+    Scale shape: the window ordering runs over BINS (bounded by the
+    value range / bin_width — hundreds, not corpus-sized), so the
+    single-partition window is a driver-scale triviality, not a shuffle
+    of the data; the q list joins as a literal VALUES relation. Rounded
+    to 6 dp for cross-engine value identity.
+    """
+    from pyspark.sql import Window
+
+    n = F.sum("cnt").over(Window.partitionBy())
+    cum = F.sum("cnt").over(
+        Window.orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = hist.select("bin_id", "lo", "cnt", cum.alias("cum"),
+                      n.alias("total"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # first bin reaching target: min bin_id among cum >= target (q=0 =>
+    # target 0 => first bin, interpolation offset clamps to 0)
+    target = F.col("q") * F.col("total")
+    hit = (
+        cdf.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= target)
+        .groupBy("q")
+        .agg(F.min_by(
+            F.struct("lo", "cnt", "cum", "total"), F.col("bin_id")
+        ).alias("b"))
+    )
+    est = (
+        F.col("b.lo")
+        + F.lit(bin_width)
+        * F.greatest(F.lit(0.0),
+                     F.col("q") * F.col("b.total")
+                     - (F.col("b.cum") - F.col("b.cnt")))
+        / F.col("b.cnt")
+    )
+    return hit.select("q", F.round(est, 6).alias("est"))
+
+
+def quantile_estimates(spark: SparkSession, df: DataFrame,
+                       value_col: Column | str, qs: list[float],
+                       bin_width: float = 32.0) -> DataFrame:
+    """histogram + quantile walk in one call: (q, est)."""
+    return histogram_quantiles(
+        spark, fixed_width_histogram(df, value_col, bin_width), qs,
+        bin_width)

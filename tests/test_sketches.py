@@ -46,3 +46,48 @@ def test_cms_merges_cellwise(spark):
         for r in cms_build(part, depth=3, width=16).collect():
             merged[(r["d"], r["pos"])] = merged.get((r["d"], r["pos"]), 0) + r["c"]
     assert merged == whole
+
+
+def _skewed_tokens(spark, n_partitions: int):
+    """~5050 tokens: two heavy words spread across all partitions plus a
+    long diverse tail (the adversarial case for per-partition MG: heavy
+    mass diluted into every partition)."""
+    rows = (["the"] * 500 + ["of"] * 350
+            + [f"rare{i}" for i in range(4200)])
+    return (spark.createDataFrame([(w,) for w in rows], "word string")
+            .repartition(n_partitions))
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    from log_analysis_spark.operators.sketches import mg_candidates
+
+    toks = _skewed_tokens(spark, 8)
+    k = 32
+    cand = mg_candidates(toks, k).collect()
+    words = {r["word"] for r in cand}
+    # survivor guarantee: global count > n/(k+1) => in the union
+    assert {"the", "of"} <= words
+    # bounded: <= k survivors per partition
+    assert len(cand) <= 8 * k
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from log_analysis_spark.operators.sketches import heavy_hitters
+
+    expected = [("of", 350), ("the", 500)]
+    for parts in (3, 11):
+        toks = _skewed_tokens(spark, parts)
+        got = sorted(
+            (r["word"], r["exact_count"])
+            for r in heavy_hitters(toks, threshold=300).collect())
+        assert got == expected, (parts, got)
+
+
+def test_heavy_hitters_k_cap_raises(spark):
+    import pytest as _pytest
+
+    from log_analysis_spark.operators.sketches import heavy_hitters
+
+    toks = _skewed_tokens(spark, 2)
+    with _pytest.raises(ValueError, match="max_k"):
+        heavy_hitters(toks, threshold=1, max_k=1024).collect()

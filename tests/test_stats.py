@@ -1,0 +1,80 @@
+"""Mergeable histogram / quantile estimates (operators/stats.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.stats import (
+    fixed_width_histogram,
+    histogram_quantiles,
+    quantile_estimates,
+)
+
+QS = [0.0, 0.25, 0.5, 0.75, 0.9, 1.0]
+W = 8.0
+
+
+@pytest.fixture(scope="module")
+def values():
+    rng = np.random.default_rng(7)
+    return np.concatenate([
+        rng.integers(0, 40, 300),      # short head
+        rng.integers(40, 200, 150),    # body
+        rng.integers(200, 1000, 50),   # long tail
+    ]).astype(float)
+
+
+def test_histogram_merge_and_nulls(spark, values):
+    """hist(A u B) == bin-wise sum of hist(A) + hist(B); NULLs dropped."""
+    half = len(values) // 2
+    mk = lambda vs: spark.createDataFrame([(float(v),) for v in vs], "x double")
+    a, b = mk(values[:half]), mk(values[half:])
+    both = mk(values).unionByName(
+        spark.createDataFrame([(None,)], "x double"))  # NULL must not bin
+
+    merged = (
+        fixed_width_histogram(a, "x", W)
+        .unionByName(fixed_width_histogram(b, "x", W))
+        .groupBy("bin_id").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = fixed_width_histogram(both, "x", W).select("bin_id", "cnt")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    assert whole.agg(F.sum("cnt")).first()[0] == len(values)
+
+
+def test_quantile_estimates_error_bound(spark, values):
+    """Each estimate within bin_width of the true order statistic at the
+    target rank; estimates monotone in q; endpoints on histogram edges."""
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    est = {r["q"]: r["est"]
+           for r in quantile_estimates(spark, df, "x", QS, W).collect()}
+    srt, n = np.sort(values), len(values)
+    for q in QS:
+        if q == 0.0:
+            assert est[q] == np.floor(srt[0] / W) * W  # lower edge
+            continue
+        true = srt[min(n - 1, int(np.ceil(q * n)) - 1)]
+        assert abs(est[q] - true) <= W, (q, est[q], true)
+    qs_sorted = sorted(QS)
+    assert all(est[a] <= est[b]
+               for a, b in zip(qs_sorted, qs_sorted[1:]))
+    assert est[1.0] == (np.floor(srt[-1] / W) + 1) * W  # upper edge
+
+
+def test_matches_builtin_percentile_approx(spark, values):
+    """Sanity vs Spark's own GK summary at high accuracy: the two
+    scale paths agree to within one bin."""
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    approx = df.agg(F.percentile_approx(
+        "x", [0.25, 0.5, 0.75], 10000)).first()[0]
+    est = {r["q"]: r["est"] for r in
+           quantile_estimates(spark, df, "x", [0.25, 0.5, 0.75], W).collect()}
+    for q, a in zip([0.25, 0.5, 0.75], approx):
+        assert abs(est[q] - a) <= 2 * W, (q, est[q], a)
+
+
+def test_histogram_quantiles_empty(spark):
+    df = spark.createDataFrame([], "x double")
+    hist = fixed_width_histogram(df, "x", W)
+    assert histogram_quantiles(spark, hist, QS, W).count() == 0
