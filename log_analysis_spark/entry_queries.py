@@ -1142,6 +1142,22 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, threshold=300).orderBy("word")
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-1 pair statistics (operators/bpe.py): word-frequency
+    table (the one corpus-scale shuffle of BPE training) -> weighted
+    adjacent-character-pair counts over the initial segmentation with the
+    '</w>' end marker. The oracle replays the substr-based pair
+    construction position-for-position, so the gate pins the exact
+    arithmetic the iterative trainer starts from (the trainer itself is
+    iterative -> pytest-gated against the published Sennrich merges)."""
+    from .operators.bpe import bpe_pair_counts, word_freqs
+    from .operators.text_analysis import doc_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = word_freqs(doc_tokens(docs))
+    return bpe_pair_counts(freqs).orderBy("pair")
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-quantile estimates of document length (operators/
     stats.py): fixed-width bins (one bounded groupBy, mergeable by
@@ -1743,6 +1759,30 @@ SELECT word, count(*) AS exact_count
 FROM toks WHERE word <> ''
 GROUP BY word HAVING count(*) >= 300
 ORDER BY word
+""".strip()
+
+    # BPE pair stats: the oracle rebuilds the character segmentation
+    # position-for-position (substr at i / i+1, end-marker pair at
+    # i = length) over the same word-frequency table — integral counts,
+    # exact equality
+    sql["bpe_pair_counts"] = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+freqs AS (SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY word),
+pos AS (
+  SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM freqs
+),
+pairs AS (
+  SELECT CASE WHEN i < length(word)
+              THEN substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+              ELSE substr(word, length(word), 1) || ' </w>' END AS pair,
+         freq
+  FROM pos
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair ORDER BY pair
 """.strip()
 
     # histogram quantiles: same floor-binning, same window cumsum, same
@@ -2570,6 +2610,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_counts": q_cms_token_counts,
         "length_quantiles": q_length_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "substring_dedup_clean": q_substring_dedup_clean,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,

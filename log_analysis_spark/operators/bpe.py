@@ -1,0 +1,171 @@
+"""Byte-pair-encoding vocabulary induction (Sennrich et al. 2016,
+ACL — public algorithm) over the corpus, Spark-first.
+
+The 100 TB decomposition every real BPE trainer uses: the ONLY
+corpus-scale pass is word counting (one groupBy shuffle; the reference
+point is token counting F15/token_count_cols — this is its vocabulary-
+induction sibling). Training then iterates over the WORD-FREQUENCY
+table, which is vocabulary-sized (~1e6 rows for web text), not
+corpus-sized — a guarded driver-side loop, the same honesty contract as
+``heavy_hitters``'s max_k (past the guard, the answer is "your vocab
+doesn't fit a trainer node", not a silent collect). Corpus-scale
+ENCODING with the learned merges is distributed again: an Arrow-batched
+pandas UDF with a per-batch word cache (web text repeats words —
+the cache turns per-token merge application into per-distinct-word).
+
+Value-gating: the first-iteration pair statistics (``bpe_pair_counts``
+over the character segmentation) are one explode + weighted groupBy —
+replayed exactly by a SQL oracle (substr-based pair construction,
+char_length guards, '</w>' end marker). The iterative trainer is
+pytest-gated against a transparent reference implementation (iterative
+= the non-SQL-expressible category, like streaming state).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+END = "</w>"
+
+
+def word_freqs(tokens: DataFrame, token_col: str = "word") -> DataFrame:
+    """(word, freq) — the one corpus-scale shuffle of BPE training.
+    Map-side combine collapses each task to its distinct words."""
+    return (tokens.groupBy(F.col(token_col).alias("word"))
+            .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _char_pairs(word: Column) -> Column:
+    """array<string> of 'a b' adjacent-pair strings over the CHARACTER
+    segmentation of ``word`` plus the end-of-word marker pair.
+
+    substr-based (not split-on-empty) so the SQL oracle renders the
+    identical construction; the char_length guard matters because
+    Spark's sequence(1, 0) is DESCENDING [1, 0], not empty.
+    """
+    inner = F.expr(
+        "CASE WHEN char_length(word) < 2 THEN array() "
+        "ELSE transform(sequence(1, char_length(word) - 1), "
+        "     i -> concat(substr(word, i, 1), ' ', substr(word, i + 1, 1))) "
+        "END")
+    last = F.concat(F.expr("substr(word, char_length(word), 1)"),
+                    F.lit(" " + END))
+    return F.concat(inner, F.array(last))
+
+
+def bpe_pair_counts(freqs: DataFrame) -> DataFrame:
+    """(pair, cnt): adjacent-symbol pair counts of the initial character
+    segmentation, weighted by word frequency — iteration 1 of BPE as a
+    distributed aggregate. Runs over the vocabulary relation (bounded),
+    not the corpus."""
+    return (
+        freqs.select("freq", F.explode(_char_pairs(F.col("word"))).alias("pair"))
+        .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _ref_pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
+    pairs: Counter = Counter()
+    for syms, f in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += f
+    return pairs
+
+
+def _apply_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(freqs: DataFrame, n_merges: int,
+              max_vocab_rows: int = 1_000_000) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` ordered merge rules from a (word, freq)
+    relation. Deterministic tie-break: highest count, then
+    lexicographically smallest pair — so the merge table is reproducible
+    across partitionings and engines.
+
+    The collect is guarded, not silent: the vocabulary table is the
+    ENTIRE state BPE training needs (corpus size is already folded into
+    freq), so past max_vocab_rows the right response is a bigger trainer
+    budget, not a distributed loop that runs n_merges shuffle jobs over
+    the same bounded table.
+    """
+    rows = freqs.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; raise the "
+            "budget (the word-freq table IS the full training state)")
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(r["word"]) + (END,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["freq"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = _ref_pair_counts(vocab)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_apply_merge(s, best): f for s, f in vocab.items()}
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the ordered merge table to one word (reference path; the
+    distributed path caches this per distinct word)."""
+    syms = tuple(word) + (END,)
+    for m in merges:
+        if len(syms) == 1:
+            break
+        syms = _apply_merge(syms, m)
+    return list(syms)
+
+
+def bpe_encode_udf(spark, merges: list[tuple[str, str]]):
+    """pandas UDF word -> array<string> subword units. Per-batch word
+    cache: web text repeats words, so merge application runs once per
+    DISTINCT word per Arrow batch, not per token."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    frozen = list(merges)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(words: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w):
+            if w is None:
+                return None
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = bpe_encode_word(w, frozen)
+            return got
+
+        return words.map(enc)
+
+    return _enc
+
+
+def bpe_token_counts(tokens: DataFrame, merges: list[tuple[str, str]],
+                     token_col: str = "word",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_bpe_tokens): per-document token counts under the learned
+    vocabulary — the packing/truncation input. One distributed encode
+    pass; the merge table rides the closure (merge tables are KB-scale)."""
+    enc = bpe_encode_udf(tokens.sparkSession, merges)
+    return (tokens.select(F.col(id_col),
+                          F.size(enc(F.col(token_col))).alias("n"))
+            .groupBy(id_col).agg(F.sum("n").alias("n_bpe_tokens")))

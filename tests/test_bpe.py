@@ -1,0 +1,77 @@
+"""BPE vocabulary induction (operators/bpe.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.bpe import (
+    END,
+    bpe_encode_udf,
+    bpe_encode_word,
+    bpe_pair_counts,
+    bpe_token_counts,
+    bpe_train,
+    word_freqs,
+)
+
+# the published toy corpus (Sennrich et al. 2016 §3.2 example shape)
+CORPUS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+@pytest.fixture(scope="module")
+def freqs(spark):
+    return spark.createDataFrame(list(CORPUS.items()), "word string, freq long")
+
+
+def test_pair_counts_hand_checked(spark, freqs):
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(freqs).collect()}
+    assert got["e s"] == 9        # newest 6 + widest 3
+    assert got["s t"] == 9
+    assert got[f"t {END}"] == 9
+    assert got["l o"] == 7 and got["o w"] == 7
+    assert got["w e"] == 8        # newest 6 + lower 2
+    assert got[f"w {END}"] == 5   # low only
+    # total pair mass = sum over words of (len+1 - 1) * freq
+    assert sum(got.values()) == sum((len(w)) * f for w, f in CORPUS.items())
+
+
+def test_train_matches_published_merges(freqs):
+    merges = bpe_train(freqs, n_merges=5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", END),
+                      ("l", "o"), ("lo", "w")]
+
+
+def test_encode_word_and_roundtrip(freqs):
+    merges = bpe_train(freqs, n_merges=5)
+    assert bpe_encode_word("lowest", merges) == ["low", "est" + END]
+    for w in list(CORPUS) + ["unseen", "xyzzy", ""]:
+        toks = bpe_encode_word(w, merges)
+        assert "".join(toks) == w + END or (w == "" and toks == [END])
+
+
+def test_encode_udf_matches_reference(spark, freqs):
+    merges = bpe_train(freqs, n_merges=5)
+    df = spark.createDataFrame(
+        [(1, "lowest"), (2, "newest"), (3, "low"), (4, None)],
+        "doc_id long, word string")
+    enc = bpe_encode_udf(spark, merges)
+    got = {r["doc_id"]: r["t"]
+           for r in df.select("doc_id", enc("word").alias("t")).collect()}
+    assert got[1] == ["low", "est" + END]
+    assert got[2] == bpe_encode_word("newest", merges)
+    assert got[4] is None
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_counts(
+                  df.filter(F.col("word").isNotNull()), merges).collect()}
+    assert counts[1] == 2
+
+
+def test_train_vocab_guard(spark, freqs):
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(freqs, n_merges=1, max_vocab_rows=2)
+
+
+def test_word_freqs_is_grouped(spark):
+    toks = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "doc_id long, word string")
+    got = dict((r["word"], r["freq"]) for r in word_freqs(toks).collect())
+    assert got == {"a": 2, "b": 1}
