@@ -179,7 +179,7 @@ def main() -> None:
         "winnowing_neardup_pairs", "duplicate_spans", "unigram_logprob",
         "user_sessions", "bloom_decontamination", "cms_token_counts",
         "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
-        "heavy_hitter_tokens",
+        "heavy_hitter_tokens", "bpe_pair_counts",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 
