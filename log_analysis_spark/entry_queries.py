@@ -507,6 +507,154 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(docs, comp).orderBy("cluster_id")
 
 
+# Role/tool rendering shared by the transcript-shape queries: pure
+# expressions over events columns, valid verbatim in Spark SQL and
+# DuckDB (the transcripts axis of BASELINE.json input_hint, derived
+# deterministically from the driver's events fixture).
+_ROLE_SQL = ("CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'user' "
+             "WHEN 1 THEN 'assistant' WHEN 2 THEN 'tool' "
+             "ELSE 'assistant' END")
+_TOOL_SQL = ("CASE CAST(event_id % 6 AS INT) WHEN 0 THEN 'bash' "
+             "WHEN 1 THEN 'search' WHEN 2 THEN 'browser' "
+             "WHEN 3 THEN 'none' WHEN 4 THEN 'python' "
+             "ELSE 'editor' END")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript relation (conv_id, turn_idx, role, text,
+    tool, turn_uid) derived from the events fixture: conversations are
+    user buckets, turn order is the stable (ts, event_id) sort, text is
+    the shared _LINE_SQL rendering. turn_uid (= event_id) is the stable
+    ingest key the integrity query uses to rank duplicate turn_idx
+    rows deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    conv = F.concat(
+        F.lit("c"),
+        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
+    )
+    base = (
+        ev.withColumn("conv_id", conv)
+        .withColumn("text", F.expr(_LINE_SQL.format(S="STRING")))
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return (
+        base.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("role", F.expr(_ROLE_SQL))
+        .withColumn("tool", F.expr(_TOOL_SQL))
+        .select("conv_id", "turn_idx", "role", "text", "tool",
+                F.col("event_id").alias("turn_uid"))
+    )
+
+
+def _defective_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The _transcripts relation with deterministic defects injected
+    (pure functions of turn_uid): duplicated turn indices, index gaps,
+    empty/whitespace-only texts — the shapes conversation_integrity
+    exists to count."""
+    t = _transcripts(spark, sf_dir)
+    rn = F.col("turn_idx")
+    uid = F.col("turn_uid")
+    bad_idx = (
+        F.when((uid % 97 == 13) & (rn > 0), rn - 1)
+        .when(uid % 97 == 29, rn + 1)
+        .otherwise(rn)
+    ).cast("int")
+    bad_text = (
+        F.when(uid % 89 == 7, F.lit(""))
+        .when(uid % 89 == 31, F.lit("  "))
+        .otherwise(F.col("text"))
+    )
+    return (
+        t.withColumn("turn_idx", bad_idx)
+        .withColumn("text", bad_text)
+    )
+
+
+# DuckDB rendering of the same two relations (CTE bodies; compose with
+# "WITH trx AS (...)" in each oracle).
+def _trx_sql_duck(line_duck: str) -> str:
+    return f"""
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+       {_ROLE_SQL} AS role, text, {_TOOL_SQL} AS tool, event_id AS turn_uid
+FROM (
+  SELECT concat('c', CAST(coalesce(user_id, 0) % 499 AS VARCHAR)) AS conv_id,
+         {line_duck} AS text, event_id, ts
+  FROM events
+)
+""".strip()
+
+
+def _defective_trx_sql_duck(line_duck: str) -> str:
+    return f"""
+SELECT conv_id,
+       CAST(CASE WHEN turn_uid % 97 = 13 AND turn_idx > 0 THEN turn_idx - 1
+                 WHEN turn_uid % 97 = 29 THEN turn_idx + 1
+                 ELSE turn_idx END AS INT) AS turn_idx,
+       role,
+       CASE WHEN turn_uid % 89 = 7 THEN ''
+            WHEN turn_uid % 89 = 31 THEN '  '
+            ELSE text END AS text,
+       tool, turn_uid
+FROM ({_trx_sql_duck(line_duck)})
+""".strip()
+
+
+def q_turn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript canonicalization: merge consecutive same-role turns
+    into segments (operators/transcript.merge_consecutive_turns — one
+    Exchange; the chat-markup form tokenizers want). Text join order is
+    turn order, engine-exact."""
+    from .operators.transcript import merge_consecutive_turns
+
+    trx = _transcripts(spark, sf_dir)
+    return (
+        merge_consecutive_turns(trx)
+        .withColumn("seg_idx", F.col("seg_idx").cast("long"))
+        .orderBy("conv_id", "seg_idx")
+    )
+
+
+def q_conversation_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation QA gate over a transcript relation with
+    deterministically injected defects: duplicate turn indices, index
+    gaps, empty turns, same-role repeats, first-role check
+    (operators/transcript.conversation_integrity)."""
+    from .operators.transcript import conversation_integrity
+
+    trx = _defective_transcripts(spark, sf_dir)
+    return (
+        conversation_integrity(trx, order_cols=("turn_uid",))
+        .orderBy("conv_id")
+    )
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-usage Markov transitions within conversations
+    (operators/transcript.tool_transitions): which tool follows which,
+    across every adjacent turn pair."""
+    from .operators.transcript import tool_transitions
+
+    trx = _transcripts(spark, sf_dir)
+    return tool_transitions(trx).orderBy("tool", "next_tool")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights over documents
+    (operators/dsir.dsir_weights, arXiv:2302.03169): target domain =
+    lang 'en' docs; per-doc mean log p_target/p_raw over md5-bucketed
+    grams, Laplace-smoothed, K=256 buckets. Bucket ids are exact
+    integers in both engines; the float mean rounds at 1e-6 (the
+    unigram_logprob discipline)."""
+    from .operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dsir_weights(docs, target=F.col("lang") == "en", n_buckets=256)
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/test split coverage (src/dataset_splitter.rs:69-208):
     per-group train/test counts under the hash-deterministic 20% split.
@@ -2028,6 +2176,83 @@ SELECT event_type,
 FROM r GROUP BY event_type ORDER BY event_type
 """.strip()
 
+    # transcript-shape oracles: same derived relation as the Spark side
+    # (_trx_sql_duck / _defective_trx_sql_duck render the identical
+    # expressions in DuckDB dialect)
+    sql["turn_merge"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+m AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN role IS DISTINCT FROM lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 1 ELSE 0 END AS new_seg
+  FROM trx
+),
+s AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(sum(new_seg) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS seg
+  FROM m
+)
+SELECT conv_id, seg AS seg_idx, min(role) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       count(*) AS n_turns, min(turn_idx) AS first_turn_idx
+FROM s GROUP BY conv_id, seg ORDER BY conv_id, seg
+""".strip()
+
+    sql["conversation_integrity"] = f"""
+WITH trx AS ({_defective_trx_sql_duck(line_duck)}),
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN role IS NOT DISTINCT FROM lag(role) OVER w THEN 1 ELSE 0 END AS rep,
+         CASE WHEN row_number() OVER w = 1 AND role = 'user' THEN 1 ELSE 0 END AS first_user
+  FROM trx
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, turn_uid)
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx,
+       CAST(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx) AS BIGINT) AS n_idx_gaps,
+       CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(sum(rep) AS BIGINT) AS n_role_repeats,
+       CAST(max(first_user) AS BIGINT) AS starts_with_user
+FROM r GROUP BY conv_id ORDER BY conv_id
+""".strip()
+
+    sql["tool_transitions"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+t AS (
+  SELECT tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM trx
+)
+SELECT tool, next_tool, count(*) AS n_transitions
+FROM t WHERE next_tool IS NOT NULL
+GROUP BY tool, next_tool ORDER BY tool, next_tool
+""".strip()
+
+    # DSIR: bucket ids are exact md5-derived integers (the split/sample
+    # family's hash); only the final mean is float, rounded at 1e-6
+    sql["dsir_weights"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         CAST(('0x' || substr(md5('dsir' || word), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM toks WHERE word <> ''
+),
+stats AS (SELECT bucket, sum(is_t) AS c_t, count(*) AS c_r FROM g GROUP BY bucket),
+tot AS (SELECT sum(c_t) AS t_total, sum(c_r) AS r_total FROM stats),
+probs AS (
+  SELECT bucket,
+         ln((c_t + 1) / (t_total + 256.0)) - ln((c_r + 1) / (r_total + 256.0)) AS logratio
+  FROM stats CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_grams, round(avg(logratio), 6) AS avg_logratio
+FROM g JOIN probs USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
     from .functions.token_classes import (
         log_type_signature_sql_duck,
         template_signature_sql_duck,
@@ -2629,6 +2854,10 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_signatures": q_token_signatures,
         "induction_full_match": q_induction_full_match,
         "stratified_split": q_stratified_split,
+        "turn_merge": q_turn_merge,
+        "conversation_integrity": q_conversation_integrity,
+        "tool_transitions": q_tool_transitions,
+        "dsir_weights": q_dsir_weights,
         "user_sessions": q_user_sessions,
         "weighted_sample": q_weighted_sample,
         "neardup_components": q_neardup_components,

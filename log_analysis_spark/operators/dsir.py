@@ -1,0 +1,121 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+public arXiv:2302.03169) scores every raw document by how much more
+likely its hashed n-gram features are under a small TARGET corpus
+(the quality domain you want more of) than under the RAW source
+corpus, then resamples proportionally to the importance weight. The
+feature model is a pair of bag-of-hashed-ngrams multinomials, so the
+per-document log importance weight is
+
+    w(doc) = sum over gram instances g of
+             [ log p_target(bucket(g)) - log p_raw(bucket(g)) ]
+
+with Laplace-smoothed bucket probabilities over K hash buckets.
+
+Spark-first shape (no Python in the hot path):
+1. tokenize + explode words (JVM split/explode on the engine-wide
+   explicit whitespace class — dedup.WS_CLASS, cross-engine parity),
+2. bucket each gram with the md5-derived 60-bit hash mod K
+   (dedup.md5_long — the engine-portable hash the split/sample
+   family already uses, so the DuckDB oracle replays buckets exactly),
+3. ONE groupBy(bucket) computes target and raw gram counts together
+   (conditional sums — one pass, one Exchange whose key space is K),
+4. the K-row probability table broadcast-joins back onto the gram
+   stream (Catalyst broadcasts it; K=1024 rows), and one
+   groupBy(doc_id) sums the log-ratios.
+
+Total: two aggregations over the gram stream + one broadcast join —
+the same cost class as TF-IDF. At 100 TB the gram stream dominates;
+both aggs are map-side-combinable (bucket key space K, doc key space
+= docs), and nothing collects to the driver.
+
+Determinism: bucket ids are exact integers; the log-ratio sum is IEEE
+double whose summation order varies across engines, so gated outputs
+round the AVERAGE log-ratio at 1e-6 (the unigram_logprob discipline).
+
+Composition: feed the weights to operators/split.weighted_sample
+(Efraimidis–Spirakis) with w = exp(avg_logratio) to get the actual
+importance-resampled subset; kept separate so the weight table is
+reusable and each piece stays oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document hashed-unigram importance weights.
+
+    ``target`` is a boolean Column over ``df`` marking the target-domain
+    documents (e.g. ``F.col("lang") == "en"``); the raw distribution is
+    the WHOLE corpus (target included — DSIR's raw pool contains the
+    target domain's lookalikes by construction).
+
+    Returns (id_col, n_grams, avg_logratio) with
+    avg_logratio = mean over the doc's gram instances of
+    ln p_target(bucket) - ln p_raw(bucket), rounded at 1e-6. Positive
+    means "looks like the target domain"; resample ∝ exp(weight).
+    """
+    from .text_analysis import _words
+
+    spark = df.sparkSession
+    flagged = df.withColumn("_is_t", target.cast("long"))
+    # tokenize once WITH the flag carried along, so no join back is
+    # needed for the bucket statistics; tokenizer = text_analysis._words
+    # (the engine-wide WS_CLASS split — same tokens in the oracle).
+    # Round-robin first: a single-file corpus otherwise pins the explode
+    # to one task (same reasoning as doc_tokens).
+    gram_stream = (
+        flagged.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col), F.col("_is_t"),
+                F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn("bucket", md5_long(F.col("word"), salt=seed) % n_buckets)
+    )
+
+    # one pass over the gram stream: per-bucket target and raw counts
+    stats = (
+        gram_stream.groupBy("bucket")
+        .agg(
+            F.sum("_is_t").alias("c_t"),
+            F.count(F.lit(1)).alias("c_r"),
+        )
+    )
+    # totals are two scalars; computing them with an agg-to-driver would
+    # be fine, but keeping them in-plan (cross-join of a 1-row relation,
+    # broadcast) keeps the operator fully declarative and resumable
+    totals = stats.agg(
+        F.sum("c_t").alias("t_total"), F.sum("c_r").alias("r_total")
+    )
+    probs = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (F.log((F.col("c_t") + 1).cast("double")
+                   / (F.col("t_total") + n_buckets).cast("double"))
+             - F.log((F.col("c_r") + 1).cast("double")
+                     / (F.col("r_total") + n_buckets).cast("double"))
+             ).alias("logratio"),
+        )
+    )
+    # K-row table joins back to the gram stream: force broadcast
+    return (
+        gram_stream.join(F.broadcast(probs), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg("logratio"), 6).alias("avg_logratio"),
+        )
+    )

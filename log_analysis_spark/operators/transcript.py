@@ -1,0 +1,175 @@
+"""Transcript-native cleaning and analytics operators.
+
+The input axis of this engine is multi-turn conversation transcripts
+(conv_id, turn_idx, role, text, tool, ts) — BASELINE.json input_hint.
+Beyond the log-template pipeline, a training-data curation pass over
+transcripts needs conversation-shape operators: merging consecutive
+same-role turns (tokenizer-friendly canonical form), per-conversation
+integrity validation (gaps / duplicate indices / empty turns / role
+repeats), and tool-usage transition statistics (the agent-behavior
+analog of the reference's per-template tallies,
+src/log_matcher.rs:214-252's grouping counts on the transcripts axis).
+
+Scale shapes (all verified via .explain — see PLANS.md):
+- merge_consecutive_turns: the lag window and the cumulative-sum window
+  share one (conv_id) hash partitioning, and the segment rollup groups
+  by (conv_id, seg_idx) — a superset of that partitioning — so the
+  whole operator is ONE Exchange over the turn stream. Per-segment
+  text concatenation is sort_array(collect_list(struct)) — segment
+  size is bounded by a conversation's consecutive same-role run, never
+  the corpus.
+- conversation_integrity: one groupBy(conv_id) after the same single
+  window pass; output is conversation-sized, never turn-sized.
+- tool_transitions: one (conv_id) window for lead(), then a count over
+  (tool, next_tool) — the second agg's key space is |tools|^2, so its
+  Exchange moves a few dozen partial rows per task (map-side combine).
+
+Skew: all three partition by conv_id; Zipf-heavy conversations sort
+within one partition by definition of the window. That is the same
+bound the pipeline's salted routing handles — a single conversation
+outgrowing an executor is handled upstream by the salting operator
+(operators/skew.py), and these rollups emit segment/conversation-sized
+output, so no downstream stage re-amplifies it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_consecutive_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse consecutive same-role turns into one segment per run
+    (gaps-and-islands): a new segment starts whenever the role differs
+    from the previous turn's role. Output one row per segment:
+    (conv_id, seg_idx, role, text, n_turns, first_turn_idx) with the
+    member texts joined by ``sep`` in turn order.
+
+    This is the canonicalization step before tokenization/packing —
+    chat markup renders one block per role change, so duplicated
+    same-role turns (retries, streaming flushes) must merge first.
+
+    Deterministic: turn order inside a conversation is (turn_col)
+    and the caller must pass a relation where turn_col is unique per
+    conversation (the pipeline's transcripts are; use
+    conversation_integrity to verify). NULL roles compare equal to
+    NULL (a run of NULL-role turns merges, matching SQL's
+    IS DISTINCT FROM).
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    prev = F.lag(F.col(role_col)).over(w)
+    is_first = F.row_number().over(w) == 1
+    # null-safe inequality: new segment iff NOT (role <=> prev), except
+    # the very first turn which always starts segment 1
+    new_seg = (is_first | ~F.col(role_col).eqNullSafe(prev)).cast("int")
+    seg = (
+        df.withColumn("_new", new_seg)
+        .withColumn("seg_idx", F.sum("_new").over(w))
+    )
+    merged = (
+        seg.groupBy(conv_col, "seg_idx")
+        .agg(
+            F.first(role_col).alias(role_col),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col(turn_col).alias("t"),
+                        F.col(text_col).alias("x"),
+                    ))),
+                    lambda s: s.getField("x"),
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(turn_col).alias("first_turn_idx"),
+        )
+    )
+    return merged
+
+
+def conversation_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-conversation QA rollup — the validation gate a transcript
+    corpus runs before training:
+
+    - ``n_turns``            total rows
+    - ``n_dup_idx``          rows minus distinct turn_idx (replays /
+                             double-writes)
+    - ``n_idx_gaps``         (max_idx - min_idx + 1) - distinct idx
+                             (missing turns inside the observed range)
+    - ``n_empty``            turns whose text is NULL or
+                             whitespace-only
+    - ``n_role_repeats``     turns whose role equals the previous
+                             turn's role (candidates for
+                             merge_consecutive_turns)
+    - ``starts_with_user``   1 if the lowest-idx turn's role is 'user'
+
+    One window pass (partition conv_id, order (turn_idx, *order_cols))
+    feeding one groupBy(conv_id) on the same partitioning — a single
+    Exchange, conversation-sized output. Pass ``order_cols`` naming a
+    stable unique key (an ingest id) when duplicate turn_idx values can
+    occur — the repeat/first-role sequence must rank those
+    deterministically for cross-engine equality.
+    """
+    order = [F.col(turn_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(conv_col).orderBy(*order)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    is_first = F.row_number().over(w) == 1
+    staged = (
+        df.withColumn("_rep", F.col(role_col).eqNullSafe(prev_role).cast("long"))
+        .withColumn("_first_user",
+                    (is_first & (F.col(role_col) == "user")).cast("long"))
+    )
+    return (
+        staged.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            (F.count(F.lit(1)) - F.countDistinct(turn_col)).alias("n_dup_idx"),
+            (F.max(turn_col) - F.min(turn_col) + 1
+             - F.countDistinct(turn_col)).alias("n_idx_gaps"),
+            F.sum(
+                (F.col(text_col).isNull()
+                 | (F.trim(F.col(text_col)) == "")).cast("long")
+            ).alias("n_empty"),
+            F.sum("_rep").alias("n_role_repeats"),
+            F.max("_first_user").alias("starts_with_user"),
+        )
+    )
+
+
+def tool_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-usage Markov statistics: for every adjacent turn pair inside
+    a conversation, count (tool, next_tool) transitions. The last turn
+    of each conversation has no successor and is excluded (matching
+    SQL lead() NULL semantics).
+
+    The agent-behavior analog of the reference's per-template grouping
+    tallies: which tool follows which reveals loops (bash→bash),
+    hand-offs (search→browser), and terminal tools.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    nxt = F.lead(F.col(tool_col)).over(w)
+    return (
+        df.withColumn("next_tool", nxt)
+        .filter(F.col("next_tool").isNotNull())
+        .groupBy(tool_col, "next_tool")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1,0 +1,123 @@
+"""Transcript-shape operators: merge, integrity, tool transitions, DSIR."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.dsir import dsir_weights
+from log_analysis_spark.operators.transcript import (
+    conversation_integrity,
+    merge_consecutive_turns,
+    tool_transitions,
+)
+
+
+def _trx(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string")
+
+
+def test_merge_consecutive_turns_basic(spark):
+    df = _trx(spark, [
+        ("c1", 0, "user", "hi", "none"),
+        ("c1", 1, "assistant", "hello", "none"),
+        ("c1", 2, "assistant", "more", "bash"),
+        ("c1", 3, "user", "bye", "none"),
+        ("c2", 0, "assistant", "solo", "none"),
+    ])
+    out = {(r["conv_id"], r["seg_idx"]): r
+           for r in merge_consecutive_turns(df).collect()}
+    assert len(out) == 4
+    seg2 = out[("c1", 2)]
+    assert seg2["role"] == "assistant"
+    assert seg2["text"] == "hello\nmore"
+    assert seg2["n_turns"] == 2
+    assert seg2["first_turn_idx"] == 1
+    assert out[("c1", 1)]["text"] == "hi"
+    assert out[("c2", 1)]["n_turns"] == 1
+
+
+def test_merge_null_roles_merge_together(spark):
+    # NULL-role runs merge (eqNullSafe), matching SQL IS DISTINCT FROM
+    df = _trx(spark, [
+        ("c1", 0, None, "a", "none"),
+        ("c1", 1, None, "b", "none"),
+        ("c1", 2, "user", "c", "none"),
+    ])
+    out = sorted(merge_consecutive_turns(df).collect(),
+                 key=lambda r: r["seg_idx"])
+    assert len(out) == 2
+    assert out[0]["role"] is None and out[0]["text"] == "a\nb"
+    assert out[1]["role"] == "user"
+
+
+def test_conversation_integrity_counts_each_defect(spark):
+    df = _trx(spark, [
+        # c1: clean 3-turn conversation starting with user
+        ("c1", 0, "user", "q", "none"),
+        ("c1", 1, "assistant", "a", "none"),
+        ("c1", 2, "user", "q2", "none"),
+        # c2: duplicate idx 1, gap (no idx 2, has idx 3), empty turn,
+        # role repeat, starts with assistant
+        ("c2", 0, "assistant", "x", "none"),
+        ("c2", 1, "assistant", "y", "none"),
+        ("c2", 1, "user", "", "none"),
+        ("c2", 3, "user", "   ", "none"),
+    ])
+    out = {r["conv_id"]: r
+           for r in conversation_integrity(df, order_cols=("text",)).collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert (c1["n_turns"], c1["n_dup_idx"], c1["n_idx_gaps"], c1["n_empty"],
+            c1["n_role_repeats"], c1["starts_with_user"]) == (3, 0, 0, 0, 0, 1)
+    assert c2["n_turns"] == 4
+    assert c2["n_dup_idx"] == 1          # idx 1 appears twice
+    assert c2["n_idx_gaps"] == 1         # 0..3 range, idx 2 missing
+    assert c2["n_empty"] == 2            # "" and whitespace-only
+    assert c2["starts_with_user"] == 0
+    # order within idx 1 breaks by text: "" (user) before "y"?  no —
+    # order_cols=("text",) ranks "" < "y", so sequence is
+    # assistant(x), user(""), assistant(y), user("   ") -> 0 repeats
+    assert c2["n_role_repeats"] == 0
+
+
+def test_tool_transitions(spark):
+    df = _trx(spark, [
+        ("c1", 0, "user", "a", "bash"),
+        ("c1", 1, "user", "b", "bash"),
+        ("c1", 2, "user", "c", "search"),
+        ("c2", 0, "user", "d", "bash"),
+        ("c2", 1, "user", "e", "search"),
+    ])
+    out = {(r["tool"], r["next_tool"]): r["n_transitions"]
+           for r in tool_transitions(df).collect()}
+    # last turn of each conversation has no successor
+    assert out == {("bash", "bash"): 1, ("bash", "search"): 2}
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    # target docs share a distinctive vocabulary; raw pool is mixed.
+    rows = []
+    for i in range(20):
+        rows.append((i, "en", "the quick brown fox jumps over the lazy dog"))
+    for i in range(20, 40):
+        rows.append((i, "de", "der schnelle braune fuchs springt ueber den hund"))
+    # held-out docs: one looks like the target, one like the source
+    rows.append((100, "xx", "quick brown fox dog"))
+    rows.append((101, "xx", "schnelle braune fuchs hund"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["avg_logratio"]
+           for r in dsir_weights(df, target=F.col("lang") == "en",
+                                 n_buckets=64).collect()}
+    assert out[100] > 0 > out[101]
+    # every doc with tokens gets a row
+    assert len(out) == 42
+
+
+def test_dsir_weights_deterministic_under_repartition(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", f"token{i % 7} shared words here")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    t = F.col("lang") == "en"
+    a = sorted(dsir_weights(df, target=t, n_buckets=32).collect())
+    b = sorted(dsir_weights(df.repartition(7), target=t, n_buckets=32).collect())
+    assert a == b
