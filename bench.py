@@ -180,6 +180,7 @@ def main() -> None:
         "user_sessions", "bloom_decontamination", "cms_token_counts",
         "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
         "heavy_hitter_tokens", "bpe_pair_counts",
+        "turn_merge", "dsir_weights",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

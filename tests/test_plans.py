@@ -186,3 +186,29 @@ def test_weighted_sample_plan_and_semantics(spark):
                                 "doc_id long, w long")
     kept = weighted_sample(bad, k=10, weight_col="w", id_col="doc_id").collect()
     assert [r["doc_id"] for r in kept] == [4]
+
+
+def test_turn_merge_single_exchange(spark):
+    """merge_consecutive_turns: lag window, cumsum window, and segment
+    rollup all share one hash(conv_id) partitioning — exactly one
+    Exchange over the turn stream."""
+    from log_analysis_spark.operators.transcript import merge_consecutive_turns
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "a", "none")] * 1,
+        "conv_id string, turn_idx int, role string, text string, tool string")
+    plan = _plan(merge_consecutive_turns(df))
+    assert plan.count("Exchange") == 1
+
+
+def test_dsir_probs_join_is_broadcast(spark):
+    """dsir_weights: the K-row log-ratio table must come back to the
+    gram stream as a BroadcastHashJoin (never a sort-merge over the
+    corpus-sized gram relation)."""
+    from log_analysis_spark.operators.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = dsir_weights(docs, target=F.col("lang") == "en", n_buckets=64)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
