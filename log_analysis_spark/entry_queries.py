@@ -1943,7 +1943,8 @@ c AS (SELECT bin_id, bin_id * 64.0 AS lo, cnt,
              sum(cnt) OVER (ORDER BY bin_id) AS cum,
              sum(cnt) OVER () AS total
       FROM h),
-qs AS (SELECT * FROM (VALUES (0.0),(0.25),(0.5),(0.75),(0.9),(0.99),(1.0)) t(q)),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.0),(0.25),(0.5),(0.75),(0.9),(0.99),(1.0)) t(q)),
 hit AS (SELECT q, min(bin_id) AS bin_id
         FROM c JOIN qs ON c.cum >= qs.q * c.total GROUP BY q)
 SELECT hit.q AS q,
