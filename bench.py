@@ -216,6 +216,16 @@ def main() -> None:
           lambda: minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.6,
                                     materialize=False).count())
 
+    # incremental shape: 1/4 of the corpus as the daily batch against the
+    # other 3/4's bucket index (derived in-plan here; persisted in prod)
+    from log_analysis_spark.operators.dedup import incremental_minhash_dedup
+
+    timed("incremental_dedup",
+          lambda: incremental_minhash_dedup(
+              docs.filter(F.col("doc_id") % 4 == 0),
+              docs.filter(F.col("doc_id") % 4 != 0),
+              k=16, bands=4, threshold=0.6, materialize=False).count())
+
     # semantic dedup: centroids trained once outside the timed loop (the
     # driver-side k-means sample is scale-independent; the timed part is
     # the distributed cell-assign + within-cell rule). materialize=False

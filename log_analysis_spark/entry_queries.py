@@ -989,6 +989,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated incremental dedup: the NEW-batch-vs-historical-index
+    shape (batch = doc_id % 4 == 0, history = the rest; disjoint by
+    construction). Same k=8 / 4-band / exact-Jaccard arithmetic as
+    ``minhash_lsh_pairs``, so the DuckDB oracle replays both sides and
+    restricts the bucket join to cross (batch, history) pairs. The
+    operator computes signatures for the BATCH only and joins the
+    history's (persisted-shape) bucket index — cost scales with the
+    batch, which is the whole point at 100 TB."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    pairs = incremental_minhash_dedup(batch, history, k=8, bands=4, n=3,
+                                      threshold=0.0)
+    return (
+        pairs.select("batch_id", "hist_id",
+                     F.round("jaccard", 6).alias("jaccard_r"))
+        .filter(F.col("jaccard_r") >= 0.35)
+        .orderBy("batch_id", "hist_id")
+    )
+
+
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated simhash banded pair set (VERDICT r3 #8): 16-bit band
     equality candidates + exact integer Hamming verify — fully integral,
@@ -1335,6 +1359,38 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks["bpe_ish_tokens"].alias("bpe_ish_tokens"),
         F.round(quality_score_col(F.col("text")), 4).alias("quality_score"),
     ).orderBy("doc_id")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy + distinct-char count per
+    doc (compression-ratio quality proxy). Hash-gated: the DuckDB oracle
+    recomputes the same codepoint histogram (substr walk) and -Σ p·log2 p,
+    rounded at 1e-6 so cross-libm log2 ulps can't flip the hash; the
+    distinct count is integral and gates exactly."""
+    from .operators.text_analysis import char_entropy_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy_udf(spark)
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", ent(F.col("text")).alias("_e"))
+        .select("doc_id",
+                F.round(F.col("_e.entropy") + F.lit(0.0), 6).alias("char_entropy_r"),
+                F.col("_e.n_distinct").alias("n_distinct_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-stats profiling job (the ANALYZE a pipeline runs per sink):
+    one scan over documents producing per-column present/null/distinct
+    counts and min/max — the stats that drive partition sizing, skew
+    detection, and pruning decisions downstream."""
+    from .operators.stats import profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "lang", "source", "n_chars"]).orderBy("column_name")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2528,6 +2584,28 @@ FROM v WHERE round({jac}, 6) >= 0.35
 ORDER BY id_a, id_b
 """.strip()
 
+    # incremental dedup: same replay restricted to cross (batch, history)
+    # pairs — batch = doc_id % 4 == 0, history = the rest
+    sql["incremental_dedup"] = f"""
+WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+g AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+h AS (SELECT doc_id, sh, {mh8} FROM g),
+b AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS hist_id
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket
+  WHERE a.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+v AS (
+  SELECT cand.batch_id, cand.hist_id,
+         len(list_intersect(ha.sh, hb.sh)) AS n_inter,
+         len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh)) AS n_union
+  FROM cand JOIN h ha ON ha.doc_id = cand.batch_id
+            JOIN h hb ON hb.doc_id = cand.hist_id)
+SELECT batch_id, hist_id, round({jac}, 6) AS jaccard_r
+FROM v WHERE round({jac}, 6) >= 0.35
+ORDER BY batch_id, hist_id
+""".strip()
+
     sql["embedding_topk"] = """
 WITH nn AS (SELECT * FROM embeddings
             WHERE list_aggregate(list_transform(embedding, x -> x * x), 'sum') > 0),
@@ -2568,6 +2646,38 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({COS_AB}, 6) >= 0.4
 ORDER BY id_a, id_b
 """.strip().format(COS_AB=_duck_cosine("a.embedding", "b.embedding"))
+
+    # char entropy: codepoint histogram (substr walk; DuckDB length/substr
+    # are codepoint-based, matching the kernel's utf-32 view) + -Σ p log2 p,
+    # 1e-6-rounded; the "+ 0.0" normalizes IEEE -0.0 (single-distinct-char
+    # docs) to +0.0 in both engines
+    sql["char_entropy"] = """
+WITH c AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+f AS (
+  SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS cnt
+  FROM c GROUP BY doc_id, ch),
+t AS (
+  SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n, count(*) AS nd
+  FROM f GROUP BY doc_id)
+SELECT f.doc_id,
+       round((-sum((f.cnt / t.n) * log2(f.cnt / t.n))) + 0.0, 6) AS char_entropy_r,
+       CAST(max(t.nd) AS BIGINT) AS n_distinct_chars
+FROM f JOIN t USING (doc_id)
+GROUP BY f.doc_id
+ORDER BY doc_id
+""".strip()
+
+    profile_selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count({c}) AS n_present, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_str, "
+        f"CAST(max({c}) AS VARCHAR) AS max_str FROM documents"
+        for c in ("doc_id", "lang", "source", "n_chars"))
+    sql["profile_columns"] = (
+        f"SELECT * FROM ({profile_selects}) ORDER BY column_name")
 
     en_words = ", ".join(f"'{w}'" for w in
                          ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "with"))
@@ -2825,6 +2935,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_counts": q_shingle_counts,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup": q_incremental_dedup,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
@@ -2841,6 +2952,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_neardup_pairs": q_winnowing_neardup_pairs,
         "text_quality": q_text_quality,
+        "char_entropy": q_char_entropy,
+        "profile_columns": q_profile_columns,
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,

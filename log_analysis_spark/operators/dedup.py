@@ -457,6 +457,144 @@ def minhash_lsh_pairs(
     return result
 
 
+def minhash_band_buckets(sigs: DataFrame, k: int, bands: int,
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) LSH bucket rows from a signature relation —
+    also the ROW LAYOUT of the persisted incremental-dedup index (each
+    doc contributes exactly ``bands`` rows; bucket is the md5-60bit of
+    the band's r=k/bands minhash values, the same arithmetic the DuckDB
+    oracle replays)."""
+    r = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            md5_long(F.concat_ws("_", *[
+                F.col("sig")[bi * r + j].cast("string") for j in range(r)
+            ])).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return (
+        sigs.select(id_col, F.explode(F.array(*band_cols)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def build_minhash_index(df: DataFrame, k: int = 16, bands: int = 4,
+                        n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The historical corpus's banded bucket index: one signature pass
+    over the corpus, ``bands`` rows per doc. This is the artifact a
+    100 TB pipeline computes ONCE and persists (write it
+    ``partitionBy('band')`` — or bucketed by (band, bucket) via
+    ``DataFrameWriter.bucketBy`` on a catalog table — so each day's
+    incremental join prunes to same-band files); from then on daily
+    batches join against it without ever re-reading historical text
+    except for the candidate pairs under verification."""
+    return minhash_band_buckets(
+        minhash_signatures(df, k, n, text_col, id_col), k, bands, id_col)
+
+
+def incremental_minhash_dedup(
+    batch_df: DataFrame,
+    history_df: DataFrame,
+    history_index: DataFrame | None = None,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup detection of a NEW batch against an EXISTING corpus via
+    its persisted bucket index — the shape incremental ingest actually
+    takes at 100 TB, where recomputing ``minhash_lsh_pairs`` over
+    history + batch every day (a full-corpus signature pass + self-join)
+    is the wrong cost model. Returns (batch_id, hist_id, jaccard).
+
+    Cost scales with the BATCH, not the corpus: one signature kernel
+    pass over batch rows only, a (batch buckets) ⋈ (index) equi-join on
+    (band, bucket) — index-side work is a pruned scan when the index is
+    partitioned/bucketed as ``build_minhash_index`` documents — and
+    true-Jaccard verification that touches exactly the candidate texts
+    (one left-semi against history, one against the batch). History text
+    is never scanned in full.
+
+    ``history_index``: the persisted (id, band, bucket) relation; pass
+    None to derive it from ``history_df`` on the fly (tests, or a
+    first-run bootstrap). Batch and history id spaces must be disjoint.
+
+    Candidate semantics are identical to ``minhash_lsh_pairs`` restricted
+    to cross (batch, history) pairs: same affine minhash family, same
+    band-md5 buckets, same exact n-gram Jaccard on candidates (the
+    rounded-threshold convention is the caller's, as in the gated
+    queries). Reference analog: the streaming service's match-else-induce
+    against the persisted template pool (src/ingestion_service.rs) — new
+    data is judged against durable state, not a recomputed corpus.
+    """
+    if history_index is None:
+        history_index = build_minhash_index(
+            history_df, k, bands, n, text_col, id_col)
+    batch_sigs = minhash_signatures(batch_df, k, n, text_col, id_col)
+    batch_buckets = minhash_band_buckets(batch_sigs, k, bands, id_col)
+    candidates = (
+        batch_buckets.alias("a")
+        .join(history_index.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bucket") == F.col("b.bucket")))
+        .select(F.col(f"a.{id_col}").alias("batch_id"),
+                F.col(f"b.{id_col}").alias("hist_id"))
+        .distinct()
+    ).persist()
+
+    from ..session import ship_package
+
+    spark = batch_df.sparkSession
+    ship_package(spark)
+
+    @F.pandas_udf(T.DoubleType())
+    def _jaccard_pair(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        def sh_set(t):
+            w = ascii_words_py(t) if isinstance(t, str) else []
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        out = []
+        for a, b in zip(ta, tb):
+            sa, sb = sh_set(a), sh_set(b)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    # deterministic kernel; the flag stops Catalyst pushing the
+    # threshold filter below the projection and duplicating the UDF
+    # (same plan hazard as minhash_lsh_pairs)
+    _jaccard_pair = _jaccard_pair.asNondeterministic()
+
+    # texts only for candidates: left-semi each side against its own
+    # candidate id projection (both bounded by LSH construction)
+    ta = (batch_df.select(F.col(id_col), F.col(text_col))
+          .join(candidates.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col, "left_semi")
+          .select(F.col(id_col).alias("batch_id"), F.col(text_col).alias("_ta")))
+    tb = (history_df.select(F.col(id_col), F.col(text_col))
+          .join(candidates.select(F.col("hist_id").alias(id_col)).distinct(),
+                id_col, "left_semi")
+          .select(F.col(id_col).alias("hist_id"), F.col(text_col).alias("_tb")))
+    result = (
+        candidates.join(ta, "batch_id").join(tb, "hist_id")
+        .withColumn("jaccard", _jaccard_pair(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "hist_id", "jaccard")
+    )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            candidates.unpersist()
+    return result
+
+
 # -- near-dup clustering ------------------------------------------------------
 
 def neardup_components(pairs: DataFrame, max_iter: int = 20,

@@ -111,3 +111,42 @@ def quantile_estimates(spark: SparkSession, df: DataFrame,
     return histogram_quantiles(
         spark, fixed_width_histogram(df, value_col, bin_width), qs,
         bin_width)
+
+
+def profile_columns(df: DataFrame, cols: list[str],
+                    exact_distinct: bool = True) -> DataFrame:
+    """One-scan table profiling: per column (n_present, n_null,
+    n_distinct, min_str, max_str) — the ANALYZE-style stats job a
+    pipeline runs over every sink (they drive partition sizing, skew
+    detection, and join-strategy choices downstream).
+
+    ONE aggregation over the table computes every column's stats
+    (Catalyst plans the multi-distinct via a single Expand pass — still
+    one scan, no per-column jobs), then `stack` melts the single result
+    row into one row per column. min/max are computed on the NATIVE type
+    (so numeric columns order numerically) and cast to string only for
+    the uniform output schema — string casts of BIGINT are
+    engine-identical, which is what the gated query profiles.
+
+    ``exact_distinct=False`` swaps count(distinct) for
+    approx_count_distinct (HLL) — the 100 TB default, where the Expand
+    shuffle on a high-cardinality column is the cost that matters and
+    ±2% cardinality is fine for planning stats; the exact form is the
+    cross-engine gate."""
+    aggs: list[Column] = []
+    for c in cols:
+        nd = (F.countDistinct(F.col(c)) if exact_distinct
+              else F.approx_count_distinct(F.col(c)))
+        aggs += [
+            F.count(F.col(c)).alias(f"_p_{c}"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"_n_{c}"),
+            nd.alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_lo_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_hi_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _p_{c}, _n_{c}, _d_{c}, _lo_{c}, _hi_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_present, n_null, n_distinct, min_str, max_str)")

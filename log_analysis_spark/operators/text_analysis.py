@@ -279,6 +279,45 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy_udf(spark):
+    """pandas UDF text -> struct(entropy double, n_distinct long):
+    Shannon entropy (bits/char) of the doc's character distribution plus
+    its distinct-character count — the classic compression-ratio quality
+    proxies (near-0 entropy = repetitive/boilerplate padding; far above
+    ~4.5 bits for natural language = encoded/binary junk; Gopher-style
+    pipelines filter both tails).
+
+    Row-local Arrow kernel (one np.unique over the doc's CODEPOINTS —
+    utf-32 view, so astral-plane chars count once, matching DuckDB's
+    codepoint semantics rather than Java's UTF-16 units); no shuffle,
+    scales with the scan. NULL/empty text yields NULL."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf("entropy double, n_distinct long")
+    def _ent(texts: pd.Series) -> pd.DataFrame:
+        ents: list[float | None] = []
+        nds: list[int | None] = []
+        for t in texts:
+            if not isinstance(t, str) or len(t) == 0:
+                ents.append(None)
+                nds.append(None)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            _, cnt = np.unique(cp, return_counts=True)
+            p = cnt / cnt.sum()
+            ents.append(float(-(p * np.log2(p)).sum()))
+            nds.append(int(len(cnt)))
+        return pd.DataFrame({"entropy": pd.Series(ents, dtype="float64"),
+                             "n_distinct": pd.Series(nds, dtype="Int64")})
+
+    # deterministic; flag = single evaluation even when callers project
+    # both struct fields (same Catalyst-duplication hazard as the
+    # minhash/jaccard kernels)
+    return _ent.asNondeterministic()
+
+
 def fingerprint_col(col: Column) -> Column:
     """Whole-document fingerprint: md5-derived 60-bit int of the
     normalized text (cheap JVM-side; reference analog: template cache

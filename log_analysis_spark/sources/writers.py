@@ -530,3 +530,73 @@ def latest_templates_dim(path: str, spark: SparkSession | None = None) -> str | 
     """URI of the newest COMPLETE (marker-present) dim version, else None."""
     done = [uri for _n, uri, ok in _list_dim_versions(path, spark) if ok]
     return done[-1] if done else None
+
+
+def compact_sink(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    table_format: TableFormat | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction over a sink directory: every leaf partition
+    whose data files are smaller than ``target_bytes`` on average is
+    rewritten into ceil(leaf_bytes / target_bytes) files. Returns
+    {leaf_dir: (files_before, files_after)} for the leaves it rewrote.
+
+    WHY this is a first-class job at 100 TB: streaming micro-batches and
+    daily ``ds=`` appends accrete thousands of KB-sized files per
+    partition, and scan cost shifts from bytes to per-file overhead
+    (open + footer + task schedule). Compaction restores the
+    bytes-per-task the reader configs assume. Each leaf is rewritten
+    INDEPENDENTLY (coalesce, no shuffle — the read already partitions by
+    file) with bounded memory, so the job parallelizes across leaves and
+    an interrupted run leaves other leaves untouched.
+
+    Local-filesystem swap discipline: the compacted files are written to
+    a sibling temp dir, the old data files are removed, and the new ones
+    moved in — a reader racing the swap can see a partially-swapped leaf
+    (this is a maintenance-window job). On a real lakehouse deployment
+    the same seam routes to the format's transactional rewrite (Iceberg
+    ``rewrite_data_files``), which this path-based layout deliberately
+    mirrors. Only local paths are supported; remote URIs raise rather
+    than silently walking nothing (same loud-failure rule as the sink
+    emptiness probes)."""
+    import math
+    import shutil
+    import uuid
+
+    fmt = table_format or PARQUET
+    ext = fmt.data_extension
+    local = _local_fs_path(path)
+    if local is None:
+        raise ValueError(
+            f"compact_sink supports local paths only; got {path!r} — "
+            "use the table format's transactional rewrite on remote/"
+            "catalog deployments")
+
+    # leaves = dirs that directly contain data files
+    leaves: list[tuple[str, list[str]]] = []
+    for dirpath, _dirnames, filenames in os.walk(local):
+        if os.path.basename(dirpath).startswith(".compact-"):
+            continue
+        data = [f for f in filenames if _is_data_file(f, ext)]
+        if data:
+            leaves.append((dirpath, data))
+
+    results: dict[str, tuple[int, int]] = {}
+    for leaf, files in leaves:
+        total = sum(os.path.getsize(os.path.join(leaf, f)) for f in files)
+        want = max(1, math.ceil(total / target_bytes))
+        if len(files) <= want:
+            continue
+        df = fmt.read(spark, leaf)
+        tmp = os.path.join(leaf, f".compact-{uuid.uuid4().hex[:12]}")
+        fmt.write(df.coalesce(want), tmp)
+        new = [f for f in os.listdir(tmp) if _is_data_file(f, ext)]
+        for f in files:
+            os.remove(os.path.join(leaf, f))
+        for f in new:
+            shutil.move(os.path.join(tmp, f), os.path.join(leaf, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        results[leaf] = (len(files), len(new))
+    return results

@@ -1,0 +1,61 @@
+"""compact_sink: small-file bin-packing per leaf partition — data
+equality, file-count reduction, already-compact leaves untouched."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from log_analysis_spark.sources.writers import PARQUET, compact_sink
+
+
+def _data_files(d):
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def test_compact_sink_partitioned(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS ds", "repeat('x', 50) AS payload")
+    # 8 small files per ds= leaf
+    df.repartition(8).write.partitionBy("ds").parquet(sink)
+    leaves = [os.path.join(sink, d) for d in os.listdir(sink) if d.startswith("ds=")]
+    assert all(len(_data_files(leaf)) == 8 for leaf in leaves)
+
+    before = spark.read.parquet(sink)
+    rows_before = sorted((r["id"], r["ds"]) for r in before.collect())
+
+    # huge target -> each leaf collapses to 1 file
+    results = compact_sink(spark, sink, target_bytes=1 << 30)
+    assert set(results) == set(leaves)
+    for leaf, (nb, na) in results.items():
+        assert nb == 8 and na == 1
+        assert len(_data_files(leaf)) == 1
+
+    after = spark.read.parquet(sink)
+    rows_after = sorted((r["id"], r["ds"]) for r in after.collect())
+    assert rows_after == rows_before
+
+    # idempotent: a second pass finds nothing to do
+    assert compact_sink(spark, sink, target_bytes=1 << 30) == {}
+
+
+def test_compact_sink_respects_target(spark, tmp_path):
+    sink = str(tmp_path / "flat")
+    spark.range(0, 5000).selectExpr("id", "repeat('y', 200) AS payload") \
+        .repartition(16).write.parquet(sink)
+    total = sum(os.path.getsize(os.path.join(sink, f)) for f in _data_files(sink))
+    # target = ~third of the data -> 3 files (ceil), not 1
+    import math
+    target = total // 3 + 1
+    want = max(1, math.ceil(total / target))
+    results = compact_sink(spark, sink, target_bytes=target)
+    (_leaf, (nb, na)), = results.items()
+    assert nb == 16 and na == want and 1 < na < 16
+    assert spark.read.parquet(sink).count() == 5000
+
+
+def test_compact_sink_rejects_remote_uri(spark):
+    with pytest.raises(ValueError, match="local paths only"):
+        compact_sink(spark, "s3a://bucket/sink")

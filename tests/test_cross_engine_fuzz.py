@@ -51,7 +51,7 @@ DOC_GATES = [
     "unigram_logprob", "bloom_decontamination", "cms_token_counts",
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
     "weighted_sample", "duplicate_spans", "substring_dedup_clean",
-    "gopher_quality", "tfidf_topk",
+    "gopher_quality", "tfidf_topk", "char_entropy", "incremental_dedup",
 ]
 
 

@@ -452,3 +452,44 @@ def test_keep_best_per_cluster(spark):
     assert out[1]["best_q"] == max(q[1], q[2]) == q[2]
     assert out[3]["best_q"] == q[3] == q[4]
     assert out[9]["best_q"] == q[9]
+
+
+def test_incremental_dedup_matches_cross_restriction(spark, docs, tmp_path):
+    """Incremental batch-vs-history dedup through a PERSISTED index must
+    equal the cross (batch, history) restriction of the full-corpus LSH
+    pair set at the same k/bands — the invariant that makes the daily
+    incremental job a drop-in for the full recompute."""
+    from log_analysis_spark.operators.dedup import (
+        build_minhash_index, incremental_minhash_dedup)
+
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    history = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # index round-trips through its persisted form (partitioned by band)
+    idx_path = str(tmp_path / "mh_index")
+    build_minhash_index(history, k=8, bands=4, n=3) \
+        .write.partitionBy("band").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = {
+        (r["batch_id"], r["hist_id"], round(r["jaccard"], 6))
+        for r in incremental_minhash_dedup(
+            batch, history, history_index=index,
+            k=8, bands=4, n=3, threshold=0.2).collect()
+    }
+    full = minhash_lsh_pairs(docs, k=8, bands=4, n=3, threshold=0.2)
+    expect = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 2 == 0) != (b % 2 == 0):  # one side batch, one history
+            bid, hid = (a, b) if a % 2 == 0 else (b, a)
+            expect.add((bid, hid, round(r["jaccard"], 6)))
+    assert inc == expect and len(inc) > 0
+
+    # deriving the index on the fly (bootstrap path) gives the same set
+    inc2 = {
+        (r["batch_id"], r["hist_id"], round(r["jaccard"], 6))
+        for r in incremental_minhash_dedup(
+            batch, history, k=8, bands=4, n=3, threshold=0.2).collect()
+    }
+    assert inc2 == inc

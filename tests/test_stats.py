@@ -78,3 +78,22 @@ def test_histogram_quantiles_empty(spark):
     df = spark.createDataFrame([], "x double")
     hist = fixed_width_histogram(df, "x", W)
     assert histogram_quantiles(spark, hist, QS, W).count() == 0
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from log_analysis_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "b"), (None, "c")],
+        "k long, v string")
+    rows = {r["column_name"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    k, v = rows["k"], rows["v"]
+    assert (k["n_present"], k["n_null"], k["n_distinct"]) == (4, 1, 4)
+    assert (k["min_str"], k["max_str"]) == ("1", "4")
+    assert (v["n_present"], v["n_null"], v["n_distinct"]) == (4, 1, 3)
+    assert (v["min_str"], v["max_str"]) == ("a", "c")
+    # HLL variant: same shape, cardinality within the sketch's tolerance
+    approx = {r["column_name"]: r
+              for r in profile_columns(df, ["k", "v"], exact_distinct=False).collect()}
+    assert abs(approx["k"]["n_distinct"] - 4) <= 1
+    assert abs(approx["v"]["n_distinct"] - 3) <= 1

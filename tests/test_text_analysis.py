@@ -349,3 +349,23 @@ def test_tfidf_topk_ranking(spark):
     # every doc emits at most k rows with dense ranks from 1
     for doc, rows_ in by_doc.items():
         assert [r[0] for r in sorted(rows_)] == list(range(1, len(rows_) + 1))
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy on hand-computable distributions; astral chars count as
+    ONE codepoint (utf-32 kernel view), not two UTF-16 units."""
+    from log_analysis_spark.operators.text_analysis import char_entropy_udf
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "\U0001d11e\U0001d11eaa"),
+         (4, None), (5, "")],
+        "doc_id long, text string")
+    ent = char_entropy_udf(spark)
+    out = {r["doc_id"]: (r["e"]["entropy"], r["e"]["n_distinct"])
+           for r in df.select("doc_id", ent("text").alias("e")).collect()}
+    assert out[0] == (0.0, 1)
+    assert out[1] == (1.0, 2)
+    assert out[2] == (2.0, 4)
+    assert out[3] == (1.0, 2)          # 2 codepoints, each twice
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
