@@ -138,6 +138,19 @@ def q_template_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-drift monitoring: per-event-type daily counts + trailing
+    7-bucket z-score with a 1e-6-quantized anomaly flag (the query a log
+    pipeline runs over its own sink counts to catch error bursts and
+    dying sources). Hash-gated: DuckDB replays the bucketed counts and
+    the same ROWS-frame window stats; NULLS FIRST pinned in the oracle's
+    window order to match Spark's ascending default."""
+    from .operators.aggregates import count_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return count_drift(ev, "event_type").orderBy("key", "bucket_us")
+
+
 def q_time_range_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+T1: key + time-range predicate, recency sort + limit
     (src/clickhouse_client.rs:158-170)."""
@@ -1731,6 +1744,30 @@ WHERE event_type = 'error' AND ts BETWEEN '2024-01-05 00:00:00' AND '2024-02-01 
 ORDER BY ts_us DESC, event_id ASC LIMIT 500
 """.strip()
 
+    # count drift: bucketed counts + trailing ROWS-frame window stats.
+    # NULLS FIRST pins DuckDB's window order to Spark's ascending default
+    # (a NULL-ts bucket row would otherwise sit in a different frame);
+    # the anomaly flag compares the 1e-6-rounded z in both engines.
+    drift_z = "CASE WHEN hist >= 3 AND sd > 0 THEN (n - mean) / sd END"
+    sql["count_drift"] = f"""
+WITH c AS (
+  SELECT event_type AS key, epoch_us(date_trunc('day', ts)) AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT key, bucket_us, n,
+         count(n) OVER tw AS hist,
+         avg(n) OVER tw AS mean,
+         stddev_samp(n) OVER tw AS sd
+  FROM c
+  WINDOW tw AS (PARTITION BY key ORDER BY bucket_us NULLS FIRST
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT key, bucket_us, n, round(mean, 6) AS trail_mean_r,
+       round({drift_z}, 6) AS z_r,
+       abs(round({drift_z}, 6)) >= 3.0 AS is_anomaly
+FROM w ORDER BY key, bucket_us
+""".strip()
+
     sql["broadcast_enrich_join"] = """
 SELECT n_name,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents,
@@ -2911,6 +2948,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "template_counts_topk": q_template_counts_topk,
         "time_range_recent": q_time_range_recent,
+        "count_drift": q_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,
         "matched_split_counts": q_matched_split_counts,
         "union_counts": q_union_counts,

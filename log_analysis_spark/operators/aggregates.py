@@ -128,3 +128,49 @@ def distinct_groups(df: DataFrame, col: str = "event_id", approx: bool = False) 
 def max_id(df: DataFrame, col: str = "template_id") -> DataFrame:
     """A7: COALESCE(max(id), 0) (src/clickhouse_client.rs:245-257)."""
     return df.agg(F.coalesce(F.max(col), F.lit(0)).alias("max_template_id"))
+
+
+def count_drift(df: DataFrame, key_col: str, ts_col: str = "ts",
+                bucket: str = "day", trailing: int = 7,
+                min_history: int = 3, z_threshold: float = 3.0) -> DataFrame:
+    """Traffic-drift detection per key: bucketed counts + trailing-window
+    z-score — the monitoring query a log pipeline runs over its own
+    template/sink counts to catch error bursts, deploy regressions, and
+    dying sources (a count falling off a cliff is as anomalous as a
+    spike).
+
+    One groupBy (key, time bucket) — the only corpus-scale shuffle, with
+    map-side partials — then one window per key over the BUCKETED
+    relation (|keys| x |buckets| rows, tiny). The trailing frame is the
+    preceding ``trailing`` OBSERVED buckets (rows, not range): buckets
+    with zero events contribute no row, so a silent key re-baselines
+    rather than alarming forever — callers needing gap-aware zeros join
+    a calendar dim first. z is NULL until ``min_history`` prior buckets
+    exist and while the trailing stddev is 0 (constant traffic); the
+    anomaly flag compares the 1e-6-quantized z so an ulp at the
+    threshold can't flip it cross-engine.
+
+    Returns (key, bucket_us, n, trail_mean_r, z_r, is_anomaly) with the
+    bucket as unix-micros (the engine-portable window convention)."""
+    counts = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.unix_micros(
+                F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp"))
+            ).alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("key").orderBy("bucket_us")
+         .rowsBetween(-trailing, -1))
+    hist = F.count("n").over(w)
+    mean = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.round(
+        F.when((hist >= min_history) & (sd > 0), (F.col("n") - mean) / sd),
+        6)
+    return counts.select(
+        "key", "bucket_us", "n",
+        F.round(mean, 6).alias("trail_mean_r"),
+        z.alias("z_r"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )

@@ -75,3 +75,42 @@ def test_stratified_split(spark):
     a = sorted((r["conv_id"], r["turn_idx"], r["split"]) for r in out.collect())
     b = sorted((r["conv_id"], r["turn_idx"], r["split"]) for r in again.collect())
     assert a == b
+
+
+def test_count_drift_flags_spike_and_dip(spark):
+    """Injected 10x spike and 90% dip must flag; steady noise must not.
+    History shorter than min_history yields NULL z (no early alarms)."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import count_drift
+
+    rows = []
+    # key 'a': 10 days of alternating 99/101 events, then a 1000-event
+    # spike on day 11 and a 10-event dip on day 12
+    for day in range(1, 11):
+        for i in range(99 + 2 * (day % 2)):
+            rows.append(("a", dt.datetime(2024, 3, day, 12, 0, 0)))
+    # dip FIRST, spike second: the spike would otherwise sit inside the
+    # dip's trailing window and inflate its stddev past flagging (a real
+    # limitation of mean/std drift — median/MAD would resist it)
+    rows += [("a", dt.datetime(2024, 3, 11, 12, 0, 0))] * 10
+    rows += [("a", dt.datetime(2024, 3, 12, 12, 0, 0))] * 1000
+    # key 'b': constant traffic -> sd == 0 -> z stays NULL throughout
+    for day in range(1, 13):
+        rows += [("b", dt.datetime(2024, 3, day, 12, 0, 0))] * 50
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    out = {(r["key"], r["bucket_us"]): r
+           for r in count_drift(df, "event_type").collect()}
+    us = lambda d: int(dt.datetime(2024, 3, d).timestamp() * 1e6)
+
+    a = [out[("a", us(d))] for d in range(1, 13)]
+    # first two days: fewer than min_history=3 prior buckets -> NULL
+    assert a[0]["z_r"] is None and a[1]["z_r"] is None and a[2]["z_r"] is None
+    # steady days are not anomalous
+    assert all(r["is_anomaly"] is False for r in a[3:10])
+    # dip day and spike day both flag
+    assert a[10]["is_anomaly"] is True and a[10]["z_r"] < -3
+    assert a[11]["is_anomaly"] is True and a[11]["z_r"] > 3
+    # constant key: sd == 0 -> NULL z, no false alarms
+    assert all(out[("b", us(d))]["z_r"] is None for d in range(1, 13))
