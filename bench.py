@@ -180,8 +180,8 @@ def main() -> None:
         "user_sessions", "bloom_decontamination", "cms_token_counts",
         "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
         "heavy_hitter_tokens", "bpe_pair_counts",
-        "turn_merge", "dsir_weights", "count_drift", "char_entropy",
-        "profile_columns",
+        "turn_merge", "dsir_weights", "count_drift", "count_drift_robust",
+        "char_entropy", "profile_columns",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

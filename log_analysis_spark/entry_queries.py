@@ -151,6 +151,18 @@ def q_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_drift(ev, "event_type").orderBy("key", "bucket_us")
 
 
+def q_count_drift_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD drift (the outlier-resistant production variant):
+    modified z-score 0.6745·(n−med)/MAD over the trailing 7 observed
+    buckets, frame materialized as a bounded self-join so EXACT medians
+    replay identically in DuckDB (interpolating median of bigints is an
+    exact double in both engines; z quantized at 1e-6)."""
+    from .operators.aggregates import count_drift_robust
+
+    ev = _t(spark, sf_dir, "events")
+    return count_drift_robust(ev, "event_type").orderBy("key", "bucket_us")
+
+
 def q_time_range_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+T1: key + time-range predicate, recency sort + limit
     (src/clickhouse_client.rs:158-170)."""
@@ -1768,6 +1780,40 @@ SELECT key, bucket_us, n, round(mean, 6) AS trail_mean_r,
 FROM w ORDER BY key, bucket_us
 """.strip()
 
+    # robust drift: exact medians need the frame's member set, so the
+    # oracle replays the SAME bounded self-join (rn window, NULLS FIRST
+    # pinned); median of bigints interpolates to an exact double in both
+    # engines, and NULL keys never pass the equi-join in either
+    robust_z = ("CASE WHEN s.hist >= 3 AND s.mad > 0 "
+                "THEN 0.6745 * (c.n - s.med) / s.mad END")
+    sql["count_drift_robust"] = f"""
+WITH c AS (
+  SELECT event_type AS key, epoch_us(date_trunc('day', ts)) AS bucket_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT key, bucket_us, n,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY bucket_us NULLS FIRST) AS rn
+  FROM c),
+p AS (
+  SELECT a.key, a.bucket_us, b.n AS peer_n
+  FROM r a JOIN r b ON a.key = b.key
+   AND b.rn BETWEEN a.rn - 7 AND a.rn - 1),
+m AS (
+  SELECT key, bucket_us, median(peer_n) AS med, count(*) AS hist
+  FROM p GROUP BY 1, 2),
+d AS (
+  SELECT p.key, p.bucket_us, median(abs(p.peer_n - m.med)) AS mad
+  FROM p JOIN m USING (key, bucket_us) GROUP BY 1, 2),
+s AS (SELECT * FROM m JOIN d USING (key, bucket_us))
+SELECT c.key, c.bucket_us, c.n, round(s.med, 6) AS med_r,
+       round({robust_z}, 6) AS z_r,
+       abs(round({robust_z}, 6)) >= 3.5 AS is_anomaly
+FROM c LEFT JOIN s USING (key, bucket_us)
+ORDER BY key, bucket_us
+""".strip()
+
     sql["broadcast_enrich_join"] = """
 SELECT n_name,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_cents,
@@ -2949,6 +2995,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_counts_topk": q_template_counts_topk,
         "time_range_recent": q_time_range_recent,
         "count_drift": q_count_drift,
+        "count_drift_robust": q_count_drift_robust,
         "broadcast_enrich_join": q_broadcast_enrich_join,
         "matched_split_counts": q_matched_split_counts,
         "union_counts": q_union_counts,

@@ -174,3 +174,63 @@ def count_drift(df: DataFrame, key_col: str, ts_col: str = "ts",
         z.alias("z_r"),
         (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
     )
+
+
+def count_drift_robust(df: DataFrame, key_col: str, ts_col: str = "ts",
+                       bucket: str = "day", trailing: int = 7,
+                       min_history: int = 3,
+                       z_threshold: float = 3.5) -> DataFrame:
+    """Median/MAD variant of :func:`count_drift` — the one to deploy.
+    Mean/std drift has a masking failure: one outlier INSIDE the
+    trailing window inflates the stddev enough to hide the next
+    anomaly (a spike yesterday mutes today's dip; demonstrated in the
+    tests). Median and MAD have a 50% breakdown point, so the modified
+    z-score 0.6745·(n − med)/MAD (Iglewicz–Hoaglin, threshold 3.5)
+    keeps flagging after outliers.
+
+    Exact medians need the frame's member SET, not a running aggregate,
+    so the trailing frame is materialized as a self-join over the
+    BUCKETED relation — |keys| × |buckets| rows joined to ≤ ``trailing``
+    peers each, i.e. bounded and tiny next to the corpus-scale count
+    shuffle that precedes it (same cost shape both engines, which is
+    what makes it hash-gateable). MAD is a second aggregation over the
+    same peer relation (deviations need the anchor's median first).
+    NULL keys never join (NULL = NULL is false in both engines) and
+    surface with NULL z, same as short history and MAD = 0."""
+    counts = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.unix_micros(
+                F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp"))
+            ).alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("key").orderBy("bucket_us")
+    c = counts.withColumn("rn", F.row_number().over(w))
+    a, b = c.alias("a"), c.alias("b")
+    peers = (
+        a.join(b, (F.col("a.key") == F.col("b.key"))
+               & (F.col("b.rn") >= F.col("a.rn") - trailing)
+               & (F.col("b.rn") <= F.col("a.rn") - 1))
+        .select(F.col("a.key").alias("key"),
+                F.col("a.bucket_us").alias("bucket_us"),
+                F.col("b.n").alias("peer_n"))
+    )
+    meds = (peers.groupBy("key", "bucket_us")
+            .agg(F.median("peer_n").alias("med"),
+                 F.count(F.lit(1)).alias("hist")))
+    mads = (peers.join(meds, ["key", "bucket_us"])
+            .groupBy("key", "bucket_us")
+            .agg(F.median(F.abs(F.col("peer_n") - F.col("med"))).alias("mad")))
+    stats = meds.join(mads, ["key", "bucket_us"])
+    z = F.round(
+        F.when((F.col("hist") >= min_history) & (F.col("mad") > 0),
+               F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad")),
+        6)
+    return (
+        counts.join(stats, ["key", "bucket_us"], "left")
+        .select("key", "bucket_us", "n",
+                F.round("med", 6).alias("med_r"),
+                z.alias("z_r"),
+                (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"))
+    )

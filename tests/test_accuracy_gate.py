@@ -114,3 +114,36 @@ def test_count_drift_flags_spike_and_dip(spark):
     assert a[11]["is_anomaly"] is True and a[11]["z_r"] > 3
     # constant key: sd == 0 -> NULL z, no false alarms
     assert all(out[("b", us(d))]["z_r"] is None for d in range(1, 13))
+
+
+def test_count_drift_robust_resists_masking(spark):
+    """The median/MAD variant must flag a dip whose trailing window
+    CONTAINS yesterday's spike — the exact case mean/std drift misses
+    (see test_count_drift_flags_spike_and_dip's ordering workaround)."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import (count_drift,
+                                                         count_drift_robust)
+
+    rows = []
+    # 4-cycle traffic 95/98/101/104: an alternating 2-cycle would put
+    # >half the peers AT the median and degenerate MAD to 0 (NULL z) —
+    # itself a real property of MAD the operator surfaces as "no signal"
+    for day in range(1, 11):
+        rows += [("a", dt.datetime(2024, 3, day, 12, 0, 0))] * (95 + 3 * (day % 4))
+    # spike FIRST, dip second — the masking order
+    rows += [("a", dt.datetime(2024, 3, 11, 12, 0, 0))] * 1000
+    rows += [("a", dt.datetime(2024, 3, 12, 12, 0, 0))] * 10
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    us = lambda d: int(dt.datetime(2024, 3, d).timestamp() * 1e6)
+
+    robust = {r["bucket_us"]: r for r in count_drift_robust(df, "event_type").collect()}
+    assert robust[us(11)]["is_anomaly"] is True and robust[us(11)]["z_r"] > 3.5
+    # the dip right after the spike STILL flags (median/MAD ignore the
+    # outlier peer); mean/std provably misses it on the same data
+    assert robust[us(12)]["is_anomaly"] is True and robust[us(12)]["z_r"] < -3.5
+    classic = {r["bucket_us"]: r for r in count_drift(df, "event_type").collect()}
+    assert classic[us(12)]["is_anomaly"] is False
+    # steady days stay quiet; early days have NULL z (short history)
+    assert robust[us(2)]["z_r"] is None
+    assert all(robust[us(d)]["is_anomaly"] is False for d in range(4, 11))

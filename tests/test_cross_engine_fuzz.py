@@ -109,7 +109,7 @@ EVENT_GATES = [
     "variable_extraction", "context_window", "pii_redaction",
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
-    "user_sessions", "line_dedup", "count_drift",
+    "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
 ]
 
 
