@@ -182,6 +182,8 @@ def main() -> None:
         "heavy_hitter_tokens", "bpe_pair_counts",
         "turn_merge", "dsir_weights", "count_drift", "count_drift_robust",
         "char_entropy", "profile_columns",
+        "bigram_logprob", "pmi_collocations", "vocab_stats",
+        "mixing_allocation", "conv_dedup",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -1306,6 +1306,81 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality signal (2-gram CCNet-style
+    perplexity proxy; text_analysis.bigram_logprob): per doc, the mean
+    ln(0.7·P(w|prev) + 0.3·P_uni(w)) over adjacent token pairs, corpus
+    as model. Value-gated at 1e-6 — the λ literals are EXPLICIT
+    parameters so the oracle embeds bit-identical doubles."""
+    from .operators.text_analysis import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = bigram_logprob(docs, lam_bigram=0.7, lam_unigram=0.3)
+    return (
+        lp.select("doc_id", "n_bigrams",
+                  F.round("avg_logprob", 6).alias("avg_logprob_r"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over adjacent token pairs with
+    min_count=5 (text_analysis.pmi_collocations) — the corpus-statistics
+    op behind multiword-expression mining and tokenizer merge
+    candidates. Rank quantized at 1e-9, ties (prev, word) asc."""
+    from .operators.text_analysis import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary diagnostics (Heaps/Zipf signals;
+    text_analysis.vocab_stats): token/type counts, TTR, hapax fraction,
+    and the OLS Zipf slope over the top-1000 ranks."""
+    from .operators.text_analysis import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+# The mixing gate's literal recipe: unnormalized ratios + a token budget
+# (renormalization over the GIVEN domains is part of what the oracle
+# checks); src3 is deliberately over-budgeted past 1 epoch.
+_MIXING_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 4.0,
+                   "src5": 0.5}
+_MIXING_BUDGET = 6000
+
+
+def q_mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing token-budget allocation (operators/mixing.py): per
+    source domain, available vs target tokens under the literal recipe
+    above, the implied epochs (>1 = oversampled domain) and the
+    no-repetition sample rate. Domains outside the recipe are excluded
+    (weight 0)."""
+    from .operators.mixing import mixing_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixing_allocation(docs, _MIXING_WEIGHTS, _MIXING_BUDGET)
+        .orderBy("source")
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level masked dedup (transcript.dedup_conversations)
+    over the first-3-turn prefix of each transcript: conversations whose
+    (role, masked text) sequences coincide — identical scripted runs
+    differing only in ids/counters — share a digest; min conv_id per
+    group survives. The prefix restriction bounds the sequence space so
+    the sf0.01 fixture actually produces multi-conversation groups (the
+    keep rule and group sizes are part of the gated values, not just
+    digests of singletons)."""
+    from .operators.transcript import dedup_conversations
+
+    trx = _transcripts(spark, sf_dir).filter(F.col("turn_idx") < 3)
+    return dedup_conversations(trx).orderBy("conv_id")
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch point estimates (operators/sketches.py) for the
     tokens of docs 0-4, sketch built over ALL document tokens at
@@ -2368,6 +2443,29 @@ FROM t WHERE next_tool IS NOT NULL
 GROUP BY tool, next_tool ORDER BY tool, next_tool
 """.strip()
 
+    # conversation-level masked dedup: same mask chain, '\\x1f' field /
+    # '\\x1e' record separators embedded as raw control chars, turn
+    # order pinned by string_agg ORDER BY = the sort_array(collect_list)
+    # rollup; md5 hex is lowercase in both engines
+    sql["conv_dedup"] = f"""
+WITH trx AS (SELECT * FROM ({_trx_sql_duck(line_duck)}) WHERE turn_idx < 3),
+m AS (
+  SELECT conv_id, turn_idx,
+         concat(coalesce(role, ''), '\x1f',
+                {mask_sql_duck("coalesce(text, '')")}) AS rec
+  FROM trx
+),
+c AS (
+  SELECT conv_id, count(*) AS n_turns,
+         md5(string_agg(rec, '\x1e' ORDER BY turn_idx)) AS digest
+  FROM m GROUP BY conv_id
+)
+SELECT conv_id, digest, n_turns,
+       count(*) OVER (PARTITION BY digest) AS group_size,
+       conv_id = min(conv_id) OVER (PARTITION BY digest) AS is_kept
+FROM c ORDER BY conv_id
+""".strip()
+
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
     # family's hash); only the final mean is float, rounded at 1e-6
     sql["dsir_weights"] = """
@@ -2811,6 +2909,127 @@ FROM t2 JOIN vocab USING (word) CROSS JOIN total
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
+    # shared token/adjacent-pair CTEs for the bigram-family oracles:
+    # ws = the WS_CLASS token list with empties dropped BEFORE pairing
+    # (mirrors doc_word_pairs), pairs enumerated positionally so
+    # adjacency is row-local exactly like the slice+arrays_zip plan
+    _pair_ctes = r"""
+docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(ws) AS word FROM docs),
+rawpairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                i -> struct_pack(prev := ws[i], word := ws[i+1]))) AS p
+  FROM docs
+),
+pairs AS (SELECT doc_id, p.prev AS prev, p.word AS word FROM rawpairs),
+uni AS (SELECT word, count(*) AS cw FROM toks GROUP BY word)
+""".strip()
+
+    # interpolated bigram LM: identical λ literals and division order as
+    # the Spark columns (0.7·cb/cp + 0.3·cw/t), rounded at 1e-6
+    sql["bigram_logprob"] = f"""
+WITH {_pair_ctes},
+total AS (SELECT sum(cw) AS t FROM uni),
+bg AS (SELECT prev, word, count(*) AS cb FROM pairs GROUP BY 1, 2),
+dim AS (
+  SELECT bg.prev, bg.word,
+         ln(CAST(0.7 AS DOUBLE) * (CAST(cb AS DOUBLE) / cp)
+            + CAST(0.3 AS DOUBLE) * (CAST(cw AS DOUBLE) / t)) AS logp
+  FROM bg
+  JOIN (SELECT word AS prev, cw AS cp FROM uni) u1 USING (prev)
+  JOIN uni USING (word)
+  CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logprob_r
+FROM pairs JOIN dim USING (prev, word)
+GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+    # PMI collocations: rank quantized at 1e-9 then (prev, word) asc —
+    # the repo-wide tie-break convention
+    sql["pmi_collocations"] = f"""
+WITH {_pair_ctes},
+nw AS (SELECT sum(cw) AS nw FROM uni),
+bg AS (SELECT prev, word, count(*) AS cb FROM pairs GROUP BY 1, 2),
+nb AS (SELECT sum(cb) AS nb FROM bg),
+scored AS (
+  SELECT bg.prev, bg.word, cb AS pair_count,
+         ln((CAST(cb AS DOUBLE) / nb)
+            / ((CAST(cp AS DOUBLE) / nw) * (CAST(cw AS DOUBLE) / nw))) AS pmi
+  FROM bg
+  JOIN (SELECT word AS prev, cw AS cp FROM uni) u1 USING (prev)
+  JOIN uni USING (word)
+  CROSS JOIN nb CROSS JOIN nw
+  WHERE cb >= 5
+)
+SELECT prev, word, pair_count, round(pmi, 6) AS pmi
+FROM scored ORDER BY round(pmi, 9) DESC, prev, word LIMIT 20
+""".strip()
+
+    # vocab diagnostics: the slope's avg form means both engines average
+    # the same <=1000 doubles (sum-order drift ~1e-12 vs the 1e-6 gate)
+    sql["vocab_stats"] = f"""
+WITH {_pair_ctes},
+u2 AS (SELECT word, cw AS c FROM uni),
+base AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax_count
+  FROM u2
+),
+top AS (SELECT word, c FROM u2 ORDER BY c DESC, word LIMIT 1000),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, word) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+),
+m AS (SELECT avg(x*y) AS mxy, avg(x) AS mx, avg(y) AS my, avg(x*x) AS mxx FROM xy),
+slope AS (
+  SELECT CASE WHEN mxx - mx * mx > 0
+              THEN (mxy - mx * my) / (mxx - mx * mx) END AS zipf_slope
+  FROM m
+)
+SELECT n_tokens, n_types,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_types AS DOUBLE) / n_tokens END, 6) AS type_token_ratio,
+       hapax_count,
+       round(CASE WHEN n_types > 0 THEN CAST(hapax_count AS DOUBLE) / n_types END, 6) AS hapax_fraction,
+       round(zipf_slope, 6) AS zipf_slope
+FROM base CROSS JOIN slope
+""".strip()
+
+    # mixing allocation: the recipe's weights as a literal VALUES dim;
+    # target = budget * (w / wsum) in exactly the Spark column order
+    _mw = ", ".join(
+        f"(CAST('{d}' AS VARCHAR), CAST({v!r} AS DOUBLE))"
+        for d, v in sorted(_MIXING_WEIGHTS.items()))
+    _mwsum = repr(float(sum(_MIXING_WEIGHTS.values())))
+    sql["mixing_allocation"] = f"""
+WITH a AS (
+  SELECT source, count(*) AS docs,
+         CAST(sum(CASE WHEN length(trim(text)) > 0
+                  THEN len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+                  ELSE 0 END) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+w(source, weight) AS (VALUES {_mw}),
+j AS (
+  SELECT a.source, docs, available_tokens, weight,
+         CAST({float(_MIXING_BUDGET)!r} AS DOUBLE) * (weight / CAST({_mwsum} AS DOUBLE)) AS target
+  FROM a JOIN w USING (source)
+)
+SELECT source, docs, available_tokens, round(weight, 6) AS weight,
+       round(target, 6) AS target_tokens,
+       round(CASE WHEN available_tokens > 0 THEN target / available_tokens END, 6) AS epochs,
+       round(CASE WHEN available_tokens > 0
+                  THEN least(CAST(1.0 AS DOUBLE), target / available_tokens) END, 6) AS sample_rate
+FROM j ORDER BY source
+""".strip()
+
     # Gopher rules: every signal mirrors the Spark column arithmetic
     # (same WS_CLASS split, same replace()-based '#'/'...' counts, same
     # greatest(n,1) guards); list_filter == the interpreted HOF filter
@@ -3029,6 +3248,11 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "duplicate_spans": q_duplicate_spans,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "pmi_collocations": q_pmi_collocations,
+        "vocab_stats": q_vocab_stats,
+        "mixing_allocation": q_mixing_allocation,
+        "conv_dedup": q_conv_dedup,
         "cms_token_counts": q_cms_token_counts,
         "length_quantiles": q_length_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,

@@ -1,0 +1,66 @@
+"""Domain-mixing token-budget allocation for training mixtures.
+
+Given per-domain target weights and a total token budget (the published
+recipe shape of The Pile / LLaMA data mixtures: each source gets a
+weight, oversampled sources run >1 epoch), compute per domain how many
+tokens are available, how many the mixture wants, and the epoch /
+sampling-rate that realizes it. Composes with
+``operators/split.weighted_sample`` (draw the per-domain sample) and
+``operators/packing.pack_sequences`` (pack the drawn tokens).
+
+Scale: ONE partial-agg shuffle on the domain column (domains are few —
+the agg collapses map-side to |domains| rows per task); the weight table
+is a literal broadcast dim. Nothing corpus-sized moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import token_count_cols
+
+
+def mixing_allocation(df: DataFrame, weights: dict[str, float],
+                      token_budget: int, domain_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-domain allocation: ``target_tokens = budget * w / sum(w)``
+    (weights renormalized over the domains given, so callers can pass
+    unnormalized ratios), ``epochs = target / available`` (>1 means the
+    domain repeats, the oversampling signal), ``sample_rate =
+    min(1, epochs)`` (the per-doc keep probability that realizes the
+    target WITHOUT repetition — a >1-epoch domain keeps everything and
+    repeats by ceil(epochs) passes).
+
+    Domains present in the data but absent from ``weights`` are dropped
+    (weight 0 = excluded from the mixture); domains in ``weights`` with
+    no data emit no row — check ``epochs`` for the domains you expected.
+    Token counts are the WS_CLASS whitespace tokens of ``text_col``
+    (swap in a real tokenizer count column upstream if you have one).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    spark = df.sparkSession
+    toks = token_count_cols(F.col(text_col))["ws_tokens"]
+    avail = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(toks).alias("available_tokens"))
+    wdim = spark.createDataFrame(
+        sorted((str(d), float(v)) for d, v in weights.items()),
+        f"{domain_col} string, weight double")
+    target = F.lit(float(token_budget)) * (F.col("weight") / F.lit(wsum))
+    epochs = target / F.col("available_tokens")
+    return (
+        avail.join(F.broadcast(wdim), domain_col)
+        .select(domain_col, "docs", "available_tokens",
+                F.round("weight", 6).alias("weight"),
+                F.round(target, 6).alias("target_tokens"),
+                F.round(F.when(F.col("available_tokens") > 0, epochs), 6)
+                .alias("epochs"),
+                F.round(F.when(F.col("available_tokens") > 0,
+                               F.least(F.lit(1.0), epochs)), 6)
+                .alias("sample_rate"))
+    )

@@ -266,6 +266,159 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def doc_word_pairs(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(id, prev, word) for every ADJACENT token pair, built ROW-LOCALLY
+    (slice + arrays_zip over the token array) — adjacency never crosses
+    rows, so no window shuffle is needed to establish order. The token
+    stream is exactly ``doc_tokens``'s (same WS_CLASS split of
+    trim(lower(text)), empties dropped BEFORE pairing so the one case
+    that produces them — a trimmed-empty doc — pairs to nothing; NULL
+    text explodes to nothing). Docs with <2 tokens emit no rows."""
+    spark = df.sparkSession
+    words = F.filter(_words(F.col(text_col)), lambda w: w != "")
+    n1 = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    return (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col),
+                F.explode(F.arrays_zip(
+                    F.slice(words, 1, n1).alias("prev"),
+                    F.slice(words, 2, n1).alias("word"))).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"),
+                F.col("p.word").alias("word"))
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam_bigram: float = 0.7,
+                   lam_unigram: float = 0.3) -> DataFrame:
+    """Interpolated bigram LM quality signal (the distributed 2-gram
+    analog of CCNet's KenLM perplexity filter): per doc, the mean
+    ln(λ₂·P_mle(w|prev) + λ₁·P_uni(w)) over its adjacent token pairs,
+    with the corpus itself as the model. Interpolation with the unigram
+    term keeps every observed pair finite without discounting machinery;
+    pass λs that sum to 1 (kept as TWO explicit parameters so an oracle
+    can embed the exact same literals — 1-0.7 in IEEE is not 0.3).
+
+    Scale: bigram and unigram counts are partial-agg shuffles on their
+    keys; the vocabulary-sized stats dim is assembled once (bigram rows
+    + both marginals + the 1-row total) so the corpus-sized pair
+    relation joins it a single time, on (prev, word), no broadcast hint
+    (the bigram tail is corpus-sized at 100 TB — AQE decides). Output:
+    (id, n_bigrams, avg_logprob); docs with <2 tokens emit no row."""
+    pairs = doc_word_pairs(df, text_col, id_col)
+    uni = (doc_tokens(df, text_col, id_col)
+           .groupBy("word").agg(F.count(F.lit(1)).alias("cw")))
+    total = uni.agg(F.sum("cw").alias("t"))
+    bg = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
+    dim = (
+        bg.join(uni.select(F.col("word").alias("prev"),
+                           F.col("cw").alias("cp")), "prev")
+        .join(uni, "word")
+        .crossJoin(F.broadcast(total))
+        .select("prev", "word",
+                F.log(F.lit(float(lam_bigram)) * (F.col("cb") / F.col("cp"))
+                      + F.lit(float(lam_unigram)) * (F.col("cw") / F.col("t")))
+                .alias("logp"))
+    )
+    return (
+        pairs.join(dim, ["prev", "word"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.avg("logp").alias("avg_logprob"))
+    )
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs: PMI = ln( (c_xy/N) / ((c_x/Nw)·(c_y/Nw)) ), the classic
+    corpus-linguistics statistic for multiword expressions ("new york",
+    "stack trace") — which is also what a tokenizer-merge or phrase-mask
+    pass wants ranked. ``min_count`` drops the unstable low-frequency
+    tail (PMI famously explodes on hapax pairs).
+
+    Scale: the same two partial-agg shuffles as bigram_logprob; both
+    totals are 1-row broadcasts; the final top-k is TakeOrdered (only k
+    rows leave the executors). Rank ties quantized at 1e-9 then broken
+    (prev, word) asc — the repo-wide convention. Output:
+    (prev, word, pair_count, pmi)."""
+    pairs = doc_word_pairs(df, text_col, id_col)
+    uni = (doc_tokens(df, text_col, id_col)
+           .groupBy("word").agg(F.count(F.lit(1)).alias("cw")))
+    nw = uni.agg(F.sum("cw").alias("nw"))
+    bg_all = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
+    nb = bg_all.agg(F.sum("cb").alias("nb"))
+    scored = (
+        bg_all.filter(F.col("cb") >= min_count)
+        .join(uni.select(F.col("word").alias("prev"),
+                         F.col("cw").alias("cp")), "prev")
+        .join(uni, "word")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nw))
+        .select("prev", "word", F.col("cb").alias("pair_count"),
+                F.log((F.col("cb") / F.col("nb"))
+                      / ((F.col("cp") / F.col("nw"))
+                         * (F.col("cw") / F.col("nw")))).alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.round(F.col("pmi"), 9).desc(), "prev", "word")
+        .limit(k)
+        .select("prev", "word", "pair_count", F.round("pmi", 6).alias("pmi"))
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", max_rank: int = 1000) -> DataFrame:
+    """One-row corpus vocabulary diagnostics: token/type counts,
+    type-token ratio, hapax fraction (Heaps-law signals — a corpus whose
+    TTR collapses after dedup was template spam), and the Zipf slope
+    (OLS of ln(freq) on ln(rank) over the top ``max_rank`` types;
+    natural text sits near -1, machine/boilerplate output far from it).
+
+    Scale: one partial-agg vocab shuffle; the scalar tallies reduce to
+    one row; the regression runs over a TakeOrdered top-``max_rank``
+    relation (bounded by construction — only max_rank rows leave the
+    executors, and the row_number window over them is bounded the same
+    way). Slope uses the avg form (avg(xy)-avg(x)avg(y))/var so both
+    engines average the same 1000 doubles — cross-engine sum-order drift
+    is ~1e-12 against the 1e-6 gate quantum."""
+    from pyspark.sql import Window
+
+    uni = (doc_tokens(df, text_col, id_col)
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    base = uni.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.coalesce(F.sum(F.when(F.col("c") == 1, 1).otherwise(0)),
+                   F.lit(0)).alias("hapax_count"))
+    top = uni.orderBy(F.col("c").desc(), "word").limit(max_rank)
+    w = Window.orderBy(F.col("c").desc(), "word")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"))
+    slope = xy.agg(
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+    ).select(
+        F.when(F.col("mxx") - F.col("mx") * F.col("mx") > 0,
+               (F.col("mxy") - F.col("mx") * F.col("my"))
+               / (F.col("mxx") - F.col("mx") * F.col("mx")))
+        .alias("zipf_slope"))
+    return base.crossJoin(F.broadcast(slope)).select(
+        "n_tokens", "n_types",
+        F.round(F.when(F.col("n_tokens") > 0,
+                       F.col("n_types") / F.col("n_tokens")), 6)
+        .alias("type_token_ratio"),
+        "hapax_count",
+        F.round(F.when(F.col("n_types") > 0,
+                       F.col("hapax_count") / F.col("n_types")), 6)
+        .alias("hapax_fraction"),
+        F.round("zipf_slope", 6).alias("zipf_slope"))
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + lang_id, quality_score, token counts (one projection)."""
     c = F.col(text_col)

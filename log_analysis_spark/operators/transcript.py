@@ -173,3 +173,55 @@ def tool_transitions(
         .groupBy(tool_col, "next_tool")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    mask_variables: bool = True,
+) -> DataFrame:
+    """Conversation-LEVEL dedup: two conversations are duplicates when
+    their turn sequences are identical — same length, same roles, same
+    text in the same turn order. With ``mask_variables`` (default) each
+    turn is first canonicalized through the variable mask
+    (functions/masks.mask_col: IP/UUID/hex/path/number spans →
+    placeholders), so conversations that differ ONLY in ids, counters,
+    or timestamps — the dominant transcript-duplication mode, e.g. the
+    same scripted agent run against different resources — collapse too.
+
+    Per conversation: digest = md5 over '\\x1f'-joined (role, masked
+    text) records concatenated in turn order with '\\x1e' separators
+    (field/record separators cannot appear in masked log text, and md5
+    makes the digest a fixed-width join key). Keep rule: the
+    lexicographically smallest conv_id of each digest group survives —
+    deterministic and engine-portable, same convention as
+    exact_dedup.
+
+    Scale: the turn→conversation rollup shuffles once on conv_id (the
+    sort_array(collect_list(struct)) form — engine-exact turn order, no
+    window); the digest groupBy moves |convs| fixed-width rows. Output
+    one row per conversation: (conv_id, digest, n_turns, group_size,
+    is_kept), so callers filter is_kept for the deduped corpus or
+    group_size > 1 for the duplicate report."""
+    from ..functions.masks import mask_col
+
+    turn_txt = F.coalesce(F.col(text_col), F.lit(""))
+    if mask_variables:
+        turn_txt = mask_col(turn_txt)
+    rec = F.concat_ws("\x1f", F.coalesce(F.col(role_col), F.lit("")), turn_txt)
+    per_conv = (
+        df.select(F.col(conv_col), F.col(turn_col), rec.alias("rec"))
+        .groupBy(conv_col)
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.md5(F.concat_ws("\x1e", F.transform(
+                 F.sort_array(F.collect_list(F.struct(turn_col, "rec"))),
+                 lambda s: s["rec"]))).alias("digest"))
+    )
+    grp = Window.partitionBy("digest")
+    return per_conv.select(
+        conv_col, "digest", "n_turns",
+        F.count(F.lit(1)).over(grp).alias("group_size"),
+        (F.col(conv_col) == F.min(conv_col).over(grp)).alias("is_kept"))

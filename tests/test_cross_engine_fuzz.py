@@ -52,6 +52,8 @@ DOC_GATES = [
     "sequence_packing", "winnowing_fingerprints", "winnowing_neardup_pairs",
     "weighted_sample", "duplicate_spans", "substring_dedup_clean",
     "gopher_quality", "tfidf_topk", "char_entropy", "incremental_dedup",
+    "bigram_logprob", "pmi_collocations", "vocab_stats",
+    "mixing_allocation",
 ]
 
 
@@ -64,6 +66,9 @@ def fuzz_dir(spark, tmp_path_factory):
     # weighted-sample w > 0 exclusion on both engines
     pdf["n_chars"] = [len(t) if isinstance(t, str) else 0
                       for t in ADVERSARIAL_TEXTS]
+    # source cycles over the mixing recipe's domains (plus one outside
+    # it) so mixing_allocation exercises both the join and the exclusion
+    pdf["source"] = [f"src{i % 6}" for i in range(len(ADVERSARIAL_TEXTS))]
     (spark.createDataFrame(pdf.astype({"doc_id": "int64", "n_chars": "int64"}))
      .coalesce(1).write.mode("overwrite")
      .parquet(str(tmp / "documents.parquet")))
@@ -110,6 +115,7 @@ EVENT_GATES = [
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
     "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
+    "conv_dedup",
 ]
 
 

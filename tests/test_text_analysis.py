@@ -369,3 +369,115 @@ def test_char_entropy_known_values(spark):
     assert out[3] == (1.0, 2)          # 2 codepoints, each twice
     assert out[4] == (None, None)
     assert out[5] == (None, None)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus where every probability is checkable by hand."""
+    import math
+
+    from log_analysis_spark.operators.text_analysis import bigram_logprob
+
+    # corpus tokens: d0 = [a b a b], d1 = [a b], d2 = [c] (<2 tokens -> no row)
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c"), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    # unigrams: a=3 b=3 c=1, T=7; bigrams: (a,b)=3 (b,a)=1
+    t = 7.0
+    p_ab = 0.7 * (3 / 3) + 0.3 * (3 / t)      # prev a (c=3), word b (c=3)
+    p_ba = 0.7 * (1 / 3) + 0.3 * (3 / t)
+    d0 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    d1 = math.log(p_ab)
+    assert set(got) == {0, 1}
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["avg_logprob"] - d0) < 1e-9
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_logprob"] - d1) < 1e-9
+
+
+def test_pmi_collocations_ranking(spark):
+    """A pair that always co-occurs outranks one diluted across
+    partners; min_count drops the rare tail."""
+    from log_analysis_spark.operators.text_analysis import pmi_collocations
+
+    rows = [(i, "new york is big") for i in range(5)]          # (new,york) x5
+    rows += [(100 + i, "big data big deal big top") for i in range(5)]
+    rows += [(200, "rare pair")]                                # count 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(df, min_count=5, k=10).collect()
+    pairs = [(r["prev"], r["word"]) for r in got]
+    assert ("new", "york") in pairs
+    assert ("rare", "pair") not in pairs                        # min_count
+    # (new, york): exclusive partners -> highest PMI in this corpus
+    assert pairs[0] == ("new", "york")
+    assert got[0]["pair_count"] == 5
+
+
+def test_vocab_stats_hand_computed(spark):
+    """TTR / hapax / Zipf slope on a distribution small enough to check
+    against a numpy OLS fit."""
+    import math
+
+    import numpy as np
+
+    from log_analysis_spark.operators.text_analysis import vocab_stats
+
+    # counts: a=8 b=4 c=2 d=1 e=1  -> 16 tokens, 5 types, 2 hapax
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d", "e"])
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = vocab_stats(df).collect()[0]
+    assert row["n_tokens"] == 16 and row["n_types"] == 5
+    assert row["hapax_count"] == 2
+    assert abs(row["type_token_ratio"] - 5 / 16) < 1e-6
+    assert abs(row["hapax_fraction"] - 2 / 5) < 1e-6
+    # ranks by (count desc, word asc): a,b,c,d,e -> counts 8,4,2,1,1
+    x = np.log(np.arange(1, 6, dtype=float))
+    y = np.log(np.array([8, 4, 2, 1, 1], dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(row["zipf_slope"] - slope) < 1e-6
+    assert math.isfinite(row["zipf_slope"]) and row["zipf_slope"] < 0
+
+
+def test_vocab_stats_degenerate_single_type(spark):
+    """One distinct word: the regression has a single point (zero
+    variance) -> slope NULL on both engines, tallies still exact."""
+    from log_analysis_spark.operators.text_analysis import vocab_stats
+
+    df = spark.createDataFrame([(0, "same same same")],
+                               "doc_id long, text string")
+    row = vocab_stats(df).collect()[0]
+    assert row["n_tokens"] == 3 and row["n_types"] == 1
+    assert row["zipf_slope"] is None
+
+
+def test_mixing_allocation_semantics(spark):
+    """Renormalization over the given domains, epoch >1 detection, the
+    min(1, epochs) sample rate, and exclusion of unlisted domains."""
+    from log_analysis_spark.operators.mixing import mixing_allocation
+
+    rows = [(i, "w " * 10, "web") for i in range(10)]        # 100 tokens
+    rows += [(100 + i, "b " * 10, "books") for i in range(2)]  # 20 tokens
+    rows += [(200, "junk tokens here", "spam")]               # unlisted
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           mixing_allocation(df, {"web": 1.0, "books": 3.0},
+                             token_budget=80).collect()}
+    assert set(got) == {"web", "books"}                       # spam excluded
+    # web: target 80*1/4 = 20 of 100 -> 0.2 epochs; books: 60 of 20 -> 3.0
+    assert abs(got["web"]["target_tokens"] - 20.0) < 1e-6
+    assert abs(got["web"]["epochs"] - 0.2) < 1e-6
+    assert abs(got["web"]["sample_rate"] - 0.2) < 1e-6
+    assert abs(got["books"]["epochs"] - 3.0) < 1e-6
+    assert abs(got["books"]["sample_rate"] - 1.0) < 1e-6      # capped
+    assert got["web"]["available_tokens"] == 100
+
+
+def test_mixing_allocation_rejects_bad_weights(spark):
+    from log_analysis_spark.operators.mixing import mixing_allocation
+
+    df = spark.createDataFrame([(0, "x", "a")],
+                               "doc_id long, text string, source string")
+    with pytest.raises(ValueError):
+        mixing_allocation(df, {}, 100)
+    with pytest.raises(ValueError):
+        mixing_allocation(df, {"a": -1.0}, 100)

@@ -121,3 +121,45 @@ def test_dsir_weights_deterministic_under_repartition(spark):
     a = sorted(dsir_weights(df, target=t, n_buckets=32).collect())
     b = sorted(dsir_weights(df.repartition(7), target=t, n_buckets=32).collect())
     assert a == b
+
+
+def test_dedup_conversations_masked_and_exact(spark):
+    """c1/c2 differ only in numeric values -> same digest after masking,
+    min conv_id kept; c3 differs in role order -> distinct; with
+    mask_variables=False c1/c2 stay distinct."""
+    from log_analysis_spark.operators.transcript import dedup_conversations
+
+    rows = [
+        ("c1", 0, "user", "start job 17"), ("c1", 1, "assistant", "done in 250ms"),
+        ("c2", 0, "user", "start job 99"), ("c2", 1, "assistant", "done in 3ms"),
+        ("c3", 0, "assistant", "start job 17"), ("c3", 1, "user", "done in 250ms"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: r for r in dedup_conversations(df).collect()}
+    assert got["c1"]["digest"] == got["c2"]["digest"]
+    assert got["c1"]["group_size"] == 2 and got["c2"]["group_size"] == 2
+    assert got["c1"]["is_kept"] and not got["c2"]["is_kept"]
+    assert got["c3"]["group_size"] == 1 and got["c3"]["is_kept"]
+    assert all(r["n_turns"] == 2 for r in got.values())
+
+    exact = {r["conv_id"]: r for r in
+             dedup_conversations(df, mask_variables=False).collect()}
+    assert exact["c1"]["digest"] != exact["c2"]["digest"]
+    assert all(r["is_kept"] for r in exact.values())
+
+
+def test_dedup_conversations_turn_order_matters(spark):
+    """Same multiset of turns in a different order is a DIFFERENT
+    conversation (the rollup is order-exact, not bag-of-turns)."""
+    from log_analysis_spark.operators.transcript import dedup_conversations
+
+    rows = [
+        ("a", 0, "user", "alpha"), ("a", 1, "user", "beta"),
+        ("b", 0, "user", "beta"), ("b", 1, "user", "alpha"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: r["digest"]
+           for r in dedup_conversations(df).collect()}
+    assert got["a"] != got["b"]
