@@ -183,7 +183,8 @@ def main() -> None:
         "turn_merge", "dsir_weights", "count_drift", "count_drift_robust",
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
-        "mixing_allocation", "conv_dedup",
+        "mixing_allocation", "conv_dedup", "token_fertility",
+        "vocab_growth",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -163,6 +163,48 @@ def q_count_drift_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_drift_robust(ev, "event_type").orderBy("key", "bucket_us")
 
 
+def q_streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift detection, value-gated by BATCH REPLAY (the
+    windowed_template_counts recipe): Structured Streaming maintains
+    event-time hourly per-key counts with watermark-bounded state
+    (streaming/stream.windowed_key_counts — this query actually RUNS the
+    stream: readStream → watermark → window groupBy → memory sink,
+    drained), then the batch half re-scores the accumulated counts
+    table with the SAME drift_from_bucketed the batch operator uses.
+    The DuckDB oracle recomputes hour buckets + the trailing z over the
+    same rows (NULL event times excluded — the rows a watermark never
+    admits)."""
+    import tempfile
+    import uuid
+
+    from .operators.aggregates import drift_from_bucketed
+    from .streaming.stream import windowed_key_counts
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.col("ts").cast("timestamp").alias("ts"),
+                      "event_type")
+    tmp = tempfile.mkdtemp(prefix="scd_gate_")
+    in_dir = os.path.join(tmp, "in")
+    lines.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(lines.schema).parquet(in_dir)
+    counts = windowed_key_counts(stream, "event_type", window="1 hour",
+                                 watermark="2 hours")
+    name = "scd_" + uuid.uuid4().hex[:8]
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(tmp, "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        drained = spark.table(name).collect()
+        schema = spark.table(name).schema
+    finally:
+        q.stop()
+    batch_counts = spark.createDataFrame(drained, schema)
+    return (drift_from_bucketed(batch_counts)
+            .orderBy(F.asc_nulls_first("key"), "bucket_us"))
+
+
 def q_time_range_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+T1: key + time-range predicate, recency sort + limit
     (src/clickhouse_client.rs:158-170)."""
@@ -1381,6 +1423,29 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_conversations(trx).orderBy("conv_id")
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (text_analysis.token_fertility):
+    BPE-ish subwords per whitespace word, the per-language token-cost
+    statistic a mixing recipe consumes. One projection + one
+    |langs|-key groupBy."""
+    from .operators.text_analysis import token_fertility
+
+    return (token_fertility(_t(spark, sf_dir, "documents"))
+            .orderBy("lang_id"))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth over ingestion time
+    (text_analysis.vocab_growth): per day, tokens ingested, first-seen
+    types, cumulative vocabulary — the Heaps curve as a time series
+    (saturation = dedup working; a new_types spike = content shift)."""
+    from .operators.text_analysis import vocab_growth
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("ts", F.expr(_LINE_SQL.format(S="STRING")).alias("text"))
+    return vocab_growth(lines, bucket="day").orderBy("bucket_us")
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch point estimates (operators/sketches.py) for the
     tokens of docs 0-4, sketch built over ALL document tokens at
@@ -1853,6 +1918,29 @@ SELECT key, bucket_us, n, round(mean, 6) AS trail_mean_r,
        round({drift_z}, 6) AS z_r,
        abs(round({drift_z}, 6)) >= 3.0 AS is_anomaly
 FROM w ORDER BY key, bucket_us
+""".strip()
+
+    # streaming drift replay: the drained stream's hour windows equal
+    # date_trunc('hour') for aligned tumbling windows; NULL ts rows are
+    # excluded (a watermark never admits them), NULL keys kept (groupBy
+    # keeps NULL groups in both engines)
+    sql["streaming_count_drift"] = f"""
+WITH c AS (
+  SELECT event_type AS key, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+w AS (
+  SELECT key, bucket_us, n,
+         count(n) OVER tw AS hist,
+         avg(n) OVER tw AS mean,
+         stddev_samp(n) OVER tw AS sd
+  FROM c
+  WINDOW tw AS (PARTITION BY key ORDER BY bucket_us NULLS FIRST
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT key, bucket_us, n, round(mean, 6) AS trail_mean_r,
+       round({drift_z}, 6) AS z_r,
+       abs(round({drift_z}, 6)) >= 3.0 AS is_anomaly
+FROM w ORDER BY key NULLS FIRST, bucket_us
 """.strip()
 
     # robust drift: exact medians need the frame's member set, so the
@@ -3030,6 +3118,60 @@ SELECT source, docs, available_tokens, round(weight, 6) AS weight,
 FROM j ORDER BY source
 """.strip()
 
+    # token fertility: the lang CASE + both token-count renderings the
+    # text_quality/lang_id oracles already pin; sums cast from HUGEINT
+    langs2, lang_exprs2, greatest_all2 = _duck_lang_parts()
+    lang_case2 = (
+        "CASE WHEN mx IS NULL OR mx < 0.01 THEN 'unknown' "
+        + " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs2[:-1])
+        + f" ELSE '{langs2[-1]}' END"
+    )
+    sql["token_fertility"] = f"""
+WITH f AS (
+  SELECT CASE WHEN length(trim(text)) > 0 THEN len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) ELSE 0 END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^ \t\n\x0b\f\rA-Za-z0-9]')) AS bpe_ish_tokens,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS words
+  FROM documents
+),
+s AS (SELECT ws_tokens, bpe_ish_tokens, {', '.join(lang_exprs2)} FROM f),
+b AS (SELECT ws_tokens, bpe_ish_tokens, greatest({greatest_all2}) AS mx,
+             {', '.join(f's_{l}' for l in langs2)} FROM s),
+l AS (SELECT ({lang_case2}) AS lang_id, ws_tokens, bpe_ish_tokens FROM b),
+a AS (
+  SELECT lang_id, count(*) AS n_docs,
+         CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe_ish_tokens) AS BIGINT) AS bpe_ish_tokens
+  FROM l GROUP BY lang_id
+)
+SELECT lang_id, n_docs, ws_tokens, bpe_ish_tokens,
+       round(CASE WHEN ws_tokens > 0
+                  THEN CAST(bpe_ish_tokens AS DOUBLE) / ws_tokens END, 6) AS fertility
+FROM a ORDER BY lang_id
+""".strip()
+
+    # vocab growth: day buckets over the shared line rendering; the
+    # cumulative frame is ROWS (buckets are distinct, but pin it anyway)
+    sql["vocab_growth"] = f"""
+WITH e AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, {line_duck} AS text
+  FROM events WHERE ts IS NOT NULL
+),
+toks AS (
+  SELECT bucket_us,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM e
+),
+t2 AS (SELECT * FROM toks WHERE word <> ''),
+pb AS (SELECT bucket_us, count(*) AS n_tokens FROM t2 GROUP BY 1),
+fs AS (SELECT word, min(bucket_us) AS bucket_us FROM t2 GROUP BY word),
+nt AS (SELECT bucket_us, count(*) AS new_types FROM fs GROUP BY 1)
+SELECT pb.bucket_us, n_tokens, coalesce(new_types, 0) AS new_types,
+       CAST(sum(coalesce(new_types, 0)) OVER (
+         ORDER BY pb.bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+FROM pb LEFT JOIN nt USING (bucket_us) ORDER BY bucket_us
+""".strip()
+
     # Gopher rules: every signal mirrors the Spark column arithmetic
     # (same WS_CLASS split, same replace()-based '#'/'...' counts, same
     # greatest(n,1) guards); list_filter == the interpreted HOF filter
@@ -3215,6 +3357,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_range_recent": q_time_range_recent,
         "count_drift": q_count_drift,
         "count_drift_robust": q_count_drift_robust,
+        "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,
         "matched_split_counts": q_matched_split_counts,
         "union_counts": q_union_counts,
@@ -3253,6 +3396,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "mixing_allocation": q_mixing_allocation,
         "conv_dedup": q_conv_dedup,
+        "token_fertility": q_token_fertility,
+        "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,
         "length_quantiles": q_length_quantiles,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,

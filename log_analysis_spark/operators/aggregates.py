@@ -160,6 +160,21 @@ def count_drift(df: DataFrame, key_col: str, ts_col: str = "ts",
             ).alias("bucket_us"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return drift_from_bucketed(counts, trailing=trailing,
+                               min_history=min_history,
+                               z_threshold=z_threshold)
+
+
+def drift_from_bucketed(counts: DataFrame, trailing: int = 7,
+                        min_history: int = 3,
+                        z_threshold: float = 3.0) -> DataFrame:
+    """The z-scoring half of :func:`count_drift`, over an already
+    bucketed (key, bucket_us, n) relation — exposed separately so the
+    STREAMING path reuses it verbatim: Structured Streaming maintains
+    the windowed counts (``streaming/stream.windowed_key_counts``), and
+    drift re-scores the accumulated |keys| x |buckets| table per
+    trigger — a cost that never scales with the stream, only with its
+    key/bucket cardinality. Same NULL semantics as count_drift."""
     w = (Window.partitionBy("key").orderBy("bucket_us")
          .rowsBetween(-trailing, -1))
     hist = F.count("n").over(w)

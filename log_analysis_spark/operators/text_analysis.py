@@ -419,6 +419,77 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
         F.round("zipf_slope", 6).alias("zipf_slope"))
 
 
+def token_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility by language: subword-ish tokens per
+    whitespace word (the statistic that decides how much of a token
+    budget each language actually buys — high-fertility languages need
+    proportionally more tokens per document, which feeds straight into
+    ``mixing_allocation`` targets). One projection computes lang-id and
+    both token counts, then ONE map-side-collapsing groupBy on the
+    |langs|-sized key. NULL-text docs count toward n_docs but
+    contribute no tokens (sum skips NULL bpe counts; ws is 0 by the
+    token_count_cols contract)."""
+    c = F.col(text_col)
+    toks = token_count_cols(c)
+    agg = (
+        df.select(lang_id_col(c).alias("lang_id"),
+                  toks["ws_tokens"].alias("ws"),
+                  toks["bpe_ish_tokens"].alias("bpe"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("ws").alias("ws_tokens"),
+             F.sum("bpe").alias("bpe_ish_tokens"))
+    )
+    return agg.select(
+        "lang_id", "n_docs", "ws_tokens", "bpe_ish_tokens",
+        F.round(F.when(F.col("ws_tokens") > 0,
+                       F.col("bpe_ish_tokens") / F.col("ws_tokens")), 6)
+        .alias("fertility"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text", ts_col: str = "ts",
+                 bucket: str = "day") -> DataFrame:
+    """Vocabulary growth over ingestion time — the Heaps-law curve as a
+    time series: per time bucket, tokens ingested, NEW types (words
+    whose first occurrence lands in that bucket), and the cumulative
+    vocabulary size. A flattening cum_types curve means the stream has
+    saturated its vocabulary (more data, nothing new); a sudden new_types
+    spike is a schema/content shift — the text-side companion to
+    count_drift. NULL timestamps are excluded (no bucket to land in).
+
+    Scale: one corpus-scale tokenize feeding two partial-agg shuffles
+    (per-bucket token counts; min-bucket per word for first-seen); the
+    cumulative window runs unpartitioned over the |buckets| relation,
+    which is bounded by the time range, not the corpus."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    b = F.unix_micros(
+        F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp")))
+    toks = (
+        df.filter(F.col(ts_col).isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(b.alias("bucket_us"),
+                F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    per_bucket = toks.groupBy("bucket_us").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = toks.groupBy("word").agg(
+        F.min("bucket_us").alias("bucket_us"))
+    new_types = first_seen.groupBy("bucket_us").agg(
+        F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_bucket.join(new_types, "bucket_us", "left")
+        .select("bucket_us", "n_tokens",
+                F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"))
+        .select("bucket_us", "n_tokens", "new_types",
+                F.sum("new_types").over(w).alias("cum_types"))
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + lang_id, quality_score, token counts (one projection)."""
     c = F.col(text_col)

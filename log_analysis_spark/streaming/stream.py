@@ -301,6 +301,40 @@ def windowed_template_counts(
     )
 
 
+def windowed_key_counts(
+    stream_df: DataFrame,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed per-key counts — the streaming half of drift
+    detection. Structured Streaming maintains the (key, window) counts
+    with watermark-bounded state (closed windows drop; NULL event times
+    are excluded, the same rows a watermark would never admit); the
+    batch half (``operators/aggregates.drift_from_bucketed``) re-scores
+    the accumulated counts table per trigger or on a schedule. Splitting
+    it this way keeps the streaming state bounded by |keys| x |open
+    windows| while the trailing z-score — which needs ORDER across
+    windows that streaming aggregation cannot see — runs over a
+    relation whose size never scales with the stream.
+
+    Output: (key, bucket_us, n) with the window start as unix-micros —
+    exactly the relation drift_from_bucketed takes, and for aligned
+    tumbling windows identical to the batch date_trunc bucketing."""
+    return (
+        stream_df
+        .filter(F.col(ts_col).isNotNull())
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                 F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("key", F.unix_micros(F.col("win.start")).alias("bucket_us"),
+                "n")
+    )
+
+
 def streaming_session_stats(
     stream_df: DataFrame,
     gap: str = "30 minutes",

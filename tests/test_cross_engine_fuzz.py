@@ -53,7 +53,7 @@ DOC_GATES = [
     "weighted_sample", "duplicate_spans", "substring_dedup_clean",
     "gopher_quality", "tfidf_topk", "char_entropy", "incremental_dedup",
     "bigram_logprob", "pmi_collocations", "vocab_stats",
-    "mixing_allocation",
+    "mixing_allocation", "token_fertility",
 ]
 
 
@@ -115,7 +115,7 @@ EVENT_GATES = [
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
     "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
-    "conv_dedup",
+    "conv_dedup", "streaming_count_drift", "vocab_growth",
 ]
 
 

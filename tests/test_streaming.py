@@ -696,3 +696,53 @@ def test_route_stream_available_now_drains_and_stops(spark, tmp_path):
     assert matched + unmatched == n
     # bounded micro-batches: 4 files at 2/trigger -> >= 2 epoch dirs
     assert len(glob.glob(out_dir + "/matched/epoch=*")) >= 2
+
+
+def test_windowed_key_counts_drift_matches_batch(spark, tmp_path):
+    """The streaming drift split (windowed counts maintained by the
+    stream, z-scoring over the drained counts table) equals the batch
+    count_drift on the same rows — including a planted 10x spike being
+    flagged on both paths. NULL event times (rows a watermark never
+    admits) are excluded on both sides."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import (
+        count_drift,
+        drift_from_bucketed,
+    )
+    from log_analysis_spark.streaming.stream import windowed_key_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = []
+    for h in range(12):
+        # baseline varies (4..6) so the trailing stddev is nonzero —
+        # constant history surfaces NULL z by design; hour 10 spikes
+        n = 40 if h == 10 else 4 + h % 3
+        for i in range(n):
+            rows.append(("err", base + dt.timedelta(hours=h, seconds=i)))
+    rows.append(("err", None))            # excluded by the watermark path
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    in_dir = str(tmp_path / "in")
+    df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    counts = windowed_key_counts(stream, "event_type", window="1 hour",
+                                 watermark="2 hours")
+    q = (counts.writeStream.outputMode("complete").format("memory")
+         .queryName("wkc_t")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        drained = spark.table("wkc_t")
+        got = (drift_from_bucketed(spark.createDataFrame(
+                   drained.collect(), drained.schema))
+               .orderBy("key", "bucket_us").collect())
+    finally:
+        q.stop()
+
+    want = (count_drift(df.filter(F.col("ts").isNotNull()),
+                        "event_type", bucket="hour")
+            .orderBy("key", "bucket_us").collect())
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    spike = [r for r in got if r["is_anomaly"]]
+    assert len(spike) == 1 and spike[0]["n"] == 40

@@ -481,3 +481,47 @@ def test_mixing_allocation_rejects_bad_weights(spark):
         mixing_allocation(df, {}, 100)
     with pytest.raises(ValueError):
         mixing_allocation(df, {"a": -1.0}, 100)
+
+
+def test_token_fertility_by_language(spark):
+    """BPE-ish subwords per whitespace word, split by lang-id; NULL
+    text counts as a doc but contributes no tokens."""
+    from log_analysis_spark.operators.text_analysis import token_fertility
+
+    rows = [
+        (0, "the cat sat on the mat and it was happy for a while"),
+        (1, "internationalization considerations"),   # long words -> high
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["lang_id"]: r for r in token_fertility(df).collect()}
+    en = got["en"]
+    assert en["n_docs"] == 1 and en["ws_tokens"] == 13
+    # every en word is <=5 chars -> mostly 1 subword per word
+    assert 1.0 <= en["fertility"] <= 1.5
+    unk = got["unknown"]                 # doc 1 + NULL doc
+    assert unk["n_docs"] == 2
+    assert unk["ws_tokens"] == 2         # NULL doc contributes 0
+    # 'internationalization' = 20 chars -> 5 subword pieces; fertility >> en
+    assert unk["fertility"] > 3.0
+
+
+def test_vocab_growth_cumulative_and_new_types(spark):
+    """First-seen attribution and the cumulative curve; repeated words
+    in later buckets add tokens but no new types; NULL ts excluded."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.text_analysis import vocab_growth
+
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0)
+    rows = [
+        ("alpha beta", d(1)),
+        ("alpha gamma", d(2)),     # gamma new, alpha repeat
+        ("alpha beta", d(3)),      # nothing new
+        ("omega", None),           # excluded
+    ]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    got = vocab_growth(df, bucket="day").orderBy("bucket_us").collect()
+    assert [r["n_tokens"] for r in got] == [2, 2, 2]
+    assert [r["new_types"] for r in got] == [2, 1, 0]
+    assert [r["cum_types"] for r in got] == [2, 3, 3]
