@@ -184,7 +184,7 @@ def main() -> None:
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "token_fertility",
-        "vocab_growth",
+        "vocab_growth", "gopher_repetition",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -1636,6 +1636,63 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1) over the same
+    assembled multi-line per-user documents as `line_dedup` (synthetic
+    documents are single-line, so line signals would be degenerate
+    there): duplicate-line fraction, duplicate-line CHARACTER fraction,
+    and the top word-2-gram's character fraction — the three standard
+    repetition gates a curation funnel applies before training.
+
+    Plan: one groupBy(uid) to assemble docs (inherent), then everything
+    is row-local — line stats are JVM array HOFs, the top-gram scan is
+    one Arrow kernel; no further shuffle. Hash-gated: the oracle replays
+    line splits with list functions and the top-gram with an
+    unnest+window replay, both 1e-6-quantized."""
+    from .operators.dedup import normalized_text
+    from .operators.text_analysis import line_repetition_cols, top_gram_udf
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_FMT_LINE_SQL.format(S="STRING"))
+    docs = (
+        ev.select(F.coalesce("user_id", F.lit(0)).alias("uid"),
+                  F.coalesce("event_id", F.lit(-1)).alias("eid"),
+                  line.alias("line"))
+        .groupBy("uid")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("eid", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"))
+    )
+    rep = line_repetition_cols(F.col("text"))
+    top = top_gram_udf(spark, 2)
+    word_chars = F.length(
+        F.regexp_replace(normalized_text(F.col("text")), " ", ""))
+    gram_chars = F.length(
+        F.regexp_replace(F.col("_g.gram"), " ", ""))
+    top_frac = F.coalesce(
+        F.col("_g.cnt") * gram_chars
+        / F.greatest(F.col("word_chars"), F.lit(1)),
+        F.lit(0.0))
+    return (
+        docs.select("uid",
+                    *(v.alias(k) for k, v in rep.items()),
+                    top(F.col("text")).alias("_g"),
+                    word_chars.alias("word_chars"))
+        .select(F.col("uid").alias("doc_id"),
+                "n_lines",
+                F.round(F.col("dup_line_frac") + F.lit(0.0), 6)
+                 .alias("dup_line_frac_r"),
+                F.round(F.col("dup_line_char_frac") + F.lit(0.0), 6)
+                 .alias("dup_line_char_frac_r"),
+                F.coalesce(F.col("_g.gram"), F.lit("")).alias("top_2gram"),
+                F.round(top_frac + F.lit(0.0), 6)
+                 .alias("top_2gram_char_frac_r"))
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (python kernel — rows-only driver check)."""
     from .operators.dedup import simhash_udf
@@ -3273,6 +3330,51 @@ SELECT uid AS doc_id, md5(clean_text) AS clean_md5,
 FROM clean ORDER BY doc_id
 """.strip()
 
+    # Gopher repetition replay: line stats via list functions over the
+    # same assembled docs; top word-2-gram via unnest + count + window
+    # top-1 (ORDER BY cnt DESC, gram = the kernel's (-cnt, gram) min —
+    # identical under binary collation for these ASCII tokens). LEFT
+    # JOIN + coalesce mirrors the kernel's NULL on < 2 words.
+    sql["gopher_repetition"] = f"""
+WITH l AS (
+  SELECT coalesce(event_id, -1) AS eid, coalesce(user_id, 0) AS uid,
+         {fmt_line_duck} AS line
+  FROM events
+),
+docs AS (SELECT uid, string_agg(line, chr(10) ORDER BY eid, line) AS text
+         FROM l GROUP BY uid),
+ls AS (SELECT uid, string_split(text, chr(10)) AS parts FROM docs),
+linestats AS (
+  SELECT uid,
+         len(parts) AS n_lines,
+         len(parts) - len(list_distinct(parts)) AS n_dup,
+         list_aggregate(list_transform(parts, x -> length(x)), 'sum') AS total_chars,
+         list_aggregate(list_transform(list_distinct(parts), x -> length(x)), 'sum') AS dist_chars
+  FROM ls),
+w AS (SELECT uid, string_split({_DUCK_NORM}, ' ') AS ws,
+             length(replace({_DUCK_NORM}, ' ', '')) AS word_chars
+      FROM docs),
+g AS (SELECT uid, unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                        i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM w),
+gc AS (SELECT uid, gram, count(*) AS cnt FROM g GROUP BY uid, gram),
+top AS (SELECT uid, gram, cnt,
+               row_number() OVER (PARTITION BY uid ORDER BY cnt DESC, gram) AS rn
+        FROM gc)
+SELECT s.uid AS doc_id,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       round(s.n_dup * 1.0 / greatest(s.n_lines, 1) + 0.0, 6) AS dup_line_frac_r,
+       round((s.total_chars - s.dist_chars) * 1.0
+             / greatest(s.total_chars, 1) + 0.0, 6) AS dup_line_char_frac_r,
+       coalesce(t.gram, '') AS top_2gram,
+       round(coalesce(t.cnt * length(replace(t.gram, ' ', '')) * 1.0
+                      / greatest(w.word_chars, 1), 0.0) + 0.0, 6) AS top_2gram_char_frac_r
+FROM linestats s
+JOIN w USING (uid)
+LEFT JOIN top t ON t.uid = s.uid AND t.rn = 1
+ORDER BY doc_id
+""".strip()
+
     # generated from the same STOPWORDS table as the Spark side; the CASE
     # walks languages in sorted order = the documented asc tie-break
     langs, lang_exprs, greatest_all = _duck_lang_parts()
@@ -3412,6 +3514,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,
         "line_dedup": q_line_dedup,
+        "gopher_repetition": q_gopher_repetition,
         "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,
         "variable_extraction": q_variable_extraction,

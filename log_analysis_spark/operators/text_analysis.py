@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import WS_CLASS
+from .dedup import WS_CLASS, ascii_words_py
 
 # BPE-ish subword pattern built on the explicit ASCII whitespace class
 # (NOT \s: Java's \s includes \x0B while RE2's doesn't — same divergence
@@ -540,6 +540,78 @@ def char_entropy_udf(spark):
     # both struct fields (same Catalyst-duplication hazard as the
     # minhash/jaccard kernels)
     return _ent.asNondeterministic()
+
+
+def line_repetition_cols(col: Column) -> dict[str, Column]:
+    """Gopher-style line-repetition signals (Rae et al. 2021, Table A1;
+    also RefinedWeb/Dolma): per-doc duplicate-LINE fraction and the
+    fraction of characters sitting in repeated lines. Complements the
+    word-n-gram `repetition_ratio` query — boilerplate often repeats
+    whole lines (headers, nav, signatures) that n-gram stats dilute.
+
+    All JVM-side, row-local (array HOFs bounded by the doc's own line
+    count — no shuffle, scales with the scan):
+
+    - ``dup_line_frac``  = (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_frac`` = chars in occurrences 2..k of each line /
+      total line chars (= (Σ len(all lines) - Σ len(distinct lines)) /
+      Σ len(all lines))
+    """
+    lines = F.split(col, "\n", -1)
+    n_lines = F.size(lines)
+    n1 = F.greatest(n_lines, F.lit(1))
+    dlines = F.array_distinct(lines)
+    zero = F.lit(0).cast("long")
+    total_chars = F.aggregate(lines, zero, lambda a, x: a + F.length(x))
+    dist_chars = F.aggregate(dlines, zero, lambda a, x: a + F.length(x))
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": (n_lines - F.size(dlines)) / n1,
+        "dup_line_char_frac": ((total_chars - dist_chars)
+                               / F.greatest(total_chars, F.lit(1))),
+    }
+
+
+def top_gram_udf(spark, n: int = 2):
+    """pandas UDF text -> struct(gram string, cnt long): the doc's most
+    frequent word n-gram (ties broken by lexicographically smallest
+    gram — deterministic and identical to the oracle's
+    ``ORDER BY cnt DESC, gram`` under binary collation for ASCII
+    tokens). Tokens come from ``ascii_words_py`` — the same explicit
+    whitespace class as the JVM normalizer and the DuckDB oracle, so all
+    three engines count identical grams. Gopher's "top n-gram character
+    fraction" divides cnt x gram chars by the doc's word chars; that
+    division stays JVM-side in the caller.
+
+    Row-local Arrow kernel, no shuffle — the distributed alternative
+    (explode grams -> groupBy(doc, gram) -> window top-1) shuffles every
+    gram of the corpus to rank per-doc locals. Returns NULL when the doc
+    has < n words."""
+    from collections import Counter
+
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf("gram string, cnt long")
+    def _top(texts: pd.Series) -> pd.DataFrame:
+        grams: list[str | None] = []
+        cnts: list[int | None] = []
+        for t in texts:
+            ws = ascii_words_py(t) if isinstance(t, str) else []
+            if len(ws) < n:
+                grams.append(None)
+                cnts.append(None)
+                continue
+            c = Counter(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            grams.append(best[0])
+            cnts.append(int(best[1]))
+        return pd.DataFrame({"gram": pd.Series(grams, dtype="object"),
+                             "cnt": pd.Series(cnts, dtype="Int64")})
+
+    # single evaluation even when callers project both struct fields
+    return _top.asNondeterministic()
 
 
 def fingerprint_col(col: Column) -> Column:

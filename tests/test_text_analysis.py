@@ -525,3 +525,45 @@ def test_vocab_growth_cumulative_and_new_types(spark):
     assert [r["n_tokens"] for r in got] == [2, 2, 2]
     assert [r["new_types"] for r in got] == [2, 1, 0]
     assert [r["cum_types"] for r in got] == [2, 3, 3]
+
+
+def test_line_repetition_hand_computed(spark):
+    from log_analysis_spark.operators.text_analysis import line_repetition_cols
+
+    rows = [
+        # 4 lines, "dup" twice: dup_line_frac 1/4; chars 3+3+5+2=13,
+        # distinct chars 3+5+2=10 -> dup_char_frac 3/13
+        (0, "dup\ndup\nalpha\nzz"),
+        (1, "only one line"),          # no dups
+        (2, "x\nx\nx\nx"),             # all dup: frac 3/4, chars 3/4
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cols = line_repetition_cols(F.col("text"))
+    got = {r["id"]: r for r in df.select(
+        "id", *(v.alias(k) for k, v in cols.items())).collect()}
+    assert got[0]["n_lines"] == 4
+    assert got[0]["dup_line_frac"] == pytest.approx(0.25)
+    assert got[0]["dup_line_char_frac"] == pytest.approx(3 / 13)
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["dup_line_char_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == pytest.approx(0.75)
+    assert got[2]["dup_line_char_frac"] == pytest.approx(0.75)
+
+
+def test_top_gram_udf_ties_and_degenerate(spark):
+    from log_analysis_spark.operators.text_analysis import top_gram_udf
+
+    top = top_gram_udf(spark, 2)
+    rows = [
+        (0, "a b a b a"),       # "a b" x2 beats "b a" x2? tie -> lexicographic "a b"
+        (1, "word"),            # < 2 words -> NULL
+        (2, ""),                # empty -> NULL
+        (3, "Z z  Z\tz"),       # normalization: lower + ws class -> "z z" x3
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["_g"] for r in df.select(
+        "id", top(F.col("text")).alias("_g")).collect()}
+    assert got[0]["gram"] == "a b" and got[0]["cnt"] == 2
+    assert got[1]["gram"] is None and got[1]["cnt"] is None
+    assert got[2]["gram"] is None
+    assert got[3]["gram"] == "z z" and got[3]["cnt"] == 3
