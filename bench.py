@@ -184,7 +184,7 @@ def main() -> None:
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "token_fertility",
-        "vocab_growth", "gopher_repetition",
+        "vocab_growth", "gopher_repetition", "ccnet_buckets",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

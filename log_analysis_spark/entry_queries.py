@@ -1348,6 +1348,20 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity buckets per language
+    (operators/text_analysis.ccnet_buckets): per-lang tercile thresholds
+    from the bounded grouped histogram-quantile op (NO per-language
+    corpus sort — the ntile formulation is the non-scalable one), then
+    two comparisons per doc. Hash-gated: the oracle replays the unigram
+    logprob, the per-lang binning/CDF/interpolation at bin_width 0.125
+    (exact in binary), and the threshold CASE."""
+    from .operators.text_analysis import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(spark, docs).orderBy("doc_id")
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality signal (2-gram CCNet-style
     perplexity proxy; text_analysis.bigram_logprob): per doc, the mean
@@ -3054,6 +3068,50 @@ FROM t2 JOIN vocab USING (word) CROSS JOIN total
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
+    # CCNet bucket replay: the unigram-logprob CTE feeds a per-lang
+    # fixed-width histogram (bin_width 0.125 = exact in binary, so
+    # floor(v/0.125) is engine-stable even on negative logprobs), the
+    # CDF walk + interpolation mirror grouped_quantile_estimates, and
+    # the head/middle/tail CASE compares the same 6-dp values both
+    # engines computed.
+    sql["ccnet_buckets"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS c FROM t2 GROUP BY word),
+total AS (SELECT sum(c) AS t FROM vocab),
+lp AS (SELECT doc_id, round(avg(ln(c) - ln(t)), 6) AS lp_r
+       FROM t2 JOIN vocab USING (word) CROSS JOIN total GROUP BY doc_id),
+scored AS (SELECT d.doc_id, d.lang, lp.lp_r
+           FROM documents d JOIN lp USING (doc_id)),
+h AS (SELECT lang, CAST(floor(lp_r / 0.125) AS BIGINT) AS bin_id, count(*) AS cnt
+      FROM scored GROUP BY 1, 2),
+c AS (SELECT lang, bin_id, bin_id * 0.125 AS lo, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin_id) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS total
+      FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.33), (0.67)) t(q)),
+hit AS (SELECT lang, q, min(bin_id) AS bin_id
+        FROM c JOIN qs ON c.cum >= qs.q * c.total GROUP BY 1, 2),
+est AS (SELECT hit.lang, hit.q,
+               round(c.lo + 0.125 * greatest(0.0, hit.q * c.total - (c.cum - c.cnt))
+                     / c.cnt, 6) AS est
+        FROM hit JOIN c ON hit.lang = c.lang AND hit.bin_id = c.bin_id),
+th AS (SELECT lang,
+              max(CASE WHEN q = 0.33 THEN est END) AS t_tail,
+              max(CASE WHEN q = 0.67 THEN est END) AS t_head
+       FROM est GROUP BY lang)
+SELECT s.doc_id, s.lang, s.lp_r,
+       CASE WHEN s.lp_r >= th.t_head THEN 'head'
+            WHEN s.lp_r >= th.t_tail THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN th USING (lang)
+ORDER BY doc_id
+""".strip()
+
     # shared token/adjacent-pair CTEs for the bigram-family oracles:
     # ws = the WS_CLASS token list with empties dropped BEFORE pairing
     # (mirrors doc_word_pairs), pairs enumerated positionally so
@@ -3515,6 +3573,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "line_dedup": q_line_dedup,
         "gopher_repetition": q_gopher_repetition,
+        "ccnet_buckets": q_ccnet_buckets,
         "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,
         "variable_extraction": q_variable_extraction,

@@ -113,6 +113,60 @@ def quantile_estimates(spark: SparkSession, df: DataFrame,
         bin_width)
 
 
+def grouped_quantile_estimates(spark: SparkSession, df: DataFrame,
+                               value_col: Column | str, group_col: str,
+                               qs: list[float],
+                               bin_width: float = 32.0) -> DataFrame:
+    """(group, q, est) — the per-group form of ``quantile_estimates``:
+    one histogram per group value, quantiles interpolated per group.
+
+    The training-pipeline use: per-LANGUAGE thresholds (CCNet buckets
+    documents into head/middle/tail by per-language perplexity
+    percentiles; length cutoffs differ by language too). Same scale
+    shape as the global form: the histogram groupBy collapses map-side
+    to <= n_groups x n_bins rows, the cumsum window runs over that
+    bounded relation (partitioned by group — no corpus-sized sort), and
+    the q list joins as a broadcast literal. Rounded to 6 dp for
+    cross-engine value identity."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    hist = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", F.floor(F.col("_v") / F.lit(bin_width)).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = F.sum("cnt").over(
+        Window.partitionBy("_g").orderBy("bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.sum("cnt").over(Window.partitionBy("_g"))
+    cdf = hist.select(
+        "_g", "bin_id",
+        (F.col("bin_id") * F.lit(bin_width)).cast("double").alias("lo"),
+        "cnt", cum.alias("cum"), n.alias("total"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.col("q") * F.col("total")
+    hit = (
+        cdf.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= target)
+        .groupBy("_g", "q")
+        .agg(F.min_by(
+            F.struct("lo", "cnt", "cum", "total"), F.col("bin_id")
+        ).alias("b"))
+    )
+    est = (
+        F.col("b.lo")
+        + F.lit(bin_width)
+        * F.greatest(F.lit(0.0),
+                     F.col("q") * F.col("b.total")
+                     - (F.col("b.cum") - F.col("b.cnt")))
+        / F.col("b.cnt")
+    )
+    return hit.select(F.col("_g").alias(group_col), "q",
+                      F.round(est, 6).alias("est"))
+
+
 def profile_columns(df: DataFrame, cols: list[str],
                     exact_distinct: bool = True) -> DataFrame:
     """One-scan table profiling: per column (n_present, n_null,

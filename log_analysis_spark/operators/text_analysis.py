@@ -266,6 +266,52 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     )
 
 
+def ccnet_buckets(spark, df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  q_head: float = 0.67, q_tail: float = 0.33,
+                  bin_width: float = 0.125) -> DataFrame:
+    """CCNet head/middle/tail buckets (Wenzek et al. 2020): per
+    LANGUAGE, split documents into perplexity terciles — head = most
+    LM-like (highest mean logprob), tail = noisiest. The defining op of
+    the CCNet pipeline; mixing recipes then sample buckets at different
+    rates. The LM here is ``unigram_logprob``'s corpus-as-model proxy.
+
+    Scale shape — deliberately NOT ntile() over (lang, logprob): that
+    is a full per-language sort of the corpus. Instead the per-language
+    tercile THRESHOLDS come from ``grouped_quantile_estimates`` (one
+    bounded histogram groupBy; window over langs x bins, not rows),
+    broadcast back, and each doc buckets by two comparisons. bin_width
+    0.125 is exact in binary, so floor(v / bin_width) is engine-stable.
+    Docs with no tokens emit no row (unigram_logprob contract).
+
+    Output: (id, lang, lp_r, bucket) with lp_r the 6-dp mean logprob;
+    thresholds compare on the same quantization both engines compute.
+    """
+    from .stats import grouped_quantile_estimates
+
+    lp = unigram_logprob(df, text_col, id_col)
+    scored = (
+        df.select(id_col, lang_col)
+        .join(lp.select(id_col, F.round("avg_logprob", 6).alias("lp_r")),
+              id_col)
+    )
+    th = grouped_quantile_estimates(
+        spark, scored, "lp_r", lang_col, [q_tail, q_head], bin_width)
+    thw = th.groupBy(lang_col).agg(
+        F.max(F.when(F.col("q") == q_tail, F.col("est"))).alias("t_tail"),
+        F.max(F.when(F.col("q") == q_head, F.col("est"))).alias("t_head"),
+    )
+    bucket = (
+        F.when(F.col("lp_r") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("lp_r") >= F.col("t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thw), lang_col)
+        .select(id_col, lang_col, "lp_r", bucket.alias("bucket"))
+    )
+
+
 def doc_word_pairs(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """(id, prev, word) for every ADJACENT token pair, built ROW-LOCALLY

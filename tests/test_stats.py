@@ -97,3 +97,54 @@ def test_profile_columns_exact_and_approx(spark):
               for r in profile_columns(df, ["k", "v"], exact_distinct=False).collect()}
     assert abs(approx["k"]["n_distinct"] - 4) <= 1
     assert abs(approx["v"]["n_distinct"] - 3) <= 1
+
+
+def test_grouped_quantiles_match_global_per_group(spark):
+    """Each group's grouped estimate equals the global op run on that
+    group alone — the grouped form is a partitioned composition, not a
+    new estimator."""
+    from log_analysis_spark.operators.stats import (
+        grouped_quantile_estimates,
+        quantile_estimates,
+    )
+
+    rows = ([("a", float(v)) for v in range(0, 100)]
+            + [("b", float(v * 3)) for v in range(0, 40)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.0, 0.33, 0.5, 0.67, 1.0]
+    got = {(r["g"], r["q"]): r["est"]
+           for r in grouped_quantile_estimates(spark, df, "v", "g", qs, 8.0).collect()}
+    for g in ("a", "b"):
+        solo = {r["q"]: r["est"] for r in quantile_estimates(
+            spark, df.filter(F.col("g") == g), "v", qs, 8.0).collect()}
+        for q in qs:
+            assert got[(g, q)] == solo[q], (g, q)
+
+
+def test_ccnet_buckets_tercile_split(spark):
+    """Per-language bucket sizes land near N/3 and bucket ranks agree
+    with logprob order (head >= middle >= tail within a language)."""
+    from log_analysis_spark.operators.text_analysis import ccnet_buckets
+
+    # two languages; word frequencies engineered so docs differ in
+    # mean unigram logprob: doc i repeats 'w{i//3}' (common -> head-ish)
+    rows = []
+    for i in range(30):
+        lang = "en" if i % 2 == 0 else "de"
+        word = f"w{i % 5}"
+        rep = 1 + (i % 7)
+        rows.append((i, " ".join([word] * rep + [f"rare{i}"]), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(spark, df).collect()
+    assert len(out) == 30
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, docs in by_lang.items():
+        order = {"head": 2, "middle": 1, "tail": 0}
+        docs = sorted(docs, key=lambda r: -r["lp_r"])
+        ranks = [order[r["bucket"]] for r in docs]
+        # monotone non-increasing: higher logprob never gets a lower-
+        # ranked bucket than a lower-logprob doc
+        assert all(a >= b for a, b in zip(ranks, ranks[1:])), (lang, ranks)
+        assert ranks[0] == 2 and ranks[-1] == 0
