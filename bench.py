@@ -185,6 +185,7 @@ def main() -> None:
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "token_fertility",
         "vocab_growth", "gopher_repetition", "ccnet_buckets",
+        "quality_classifier",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -722,6 +722,21 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality-classifier inference
+    (operators/classifier.classifier_scores — the fastText/FineWeb-Edu
+    curation stage): md5-bucketed unigrams (K=256), deterministic
+    stand-in weight table broadcast onto the gram stream, per-doc mean
+    weight -> sigmoid score -> keep threshold. Buckets and weights are
+    exact integers/integer-derived doubles in both engines; the mean
+    rounds at 1e-6 before the sigmoid (the dsir discipline)."""
+    from .operators.classifier import classifier_scores, hashed_weight_table
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = hashed_weight_table(spark, n_buckets=256)
+    return classifier_scores(docs, weights, n_buckets=256).orderBy("doc_id")
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/test split coverage (src/dataset_splitter.rs:69-208):
     per-group train/test counts under the hash-deterministic 20% split.
@@ -2650,6 +2665,36 @@ FROM g JOIN probs USING (bucket)
 GROUP BY doc_id ORDER BY doc_id
 """.strip()
 
+    # quality classifier: same gram/bucket replay as dsir_weights; the
+    # weight table is rebuilt in SQL from the bucket id (it is a pure
+    # md5-derived function — see classifier.hashed_weight_table)
+    sql["quality_classifier"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('qcls' || word), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM toks WHERE word <> ''
+),
+w AS (
+  SELECT b AS bucket,
+         (CAST(('0x' || substr(md5('qcls' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 2000001) / 1000000.0 - 1.0 AS weight
+  FROM (SELECT unnest(range(256)) AS b)
+),
+d AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(weight), 6) AS margin
+  FROM g JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, margin,
+       round(1.0 / (1.0 + exp(-margin)), 6) AS score,
+       margin >= 0 AS keep
+FROM d ORDER BY doc_id
+""".strip()
+
     from .functions.token_classes import (
         log_type_signature_sql_duck,
         template_signature_sql_duck,
@@ -3588,6 +3633,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_integrity": q_conversation_integrity,
         "tool_transitions": q_tool_transitions,
         "dsir_weights": q_dsir_weights,
+        "quality_classifier": q_quality_classifier,
         "user_sessions": q_user_sessions,
         "weighted_sample": q_weighted_sample,
         "neardup_components": q_neardup_components,

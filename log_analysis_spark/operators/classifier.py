@@ -1,0 +1,125 @@
+"""Hashing-trick linear classifier inference (quality scoring at scale).
+
+Model-based quality filtering (the fastText classifiers of CCNet /
+RedPajama, the FineWeb-Edu educational-quality scorer) is the one
+curation stage that is *inference*, not statistics: a trained linear
+model over hashed bag-of-words features scores every document, and a
+threshold on the score decides keep/drop. At 100 TB the model is tiny
+(a K-float weight vector) and the data is huge, so the right Spark
+shape is the same as DSIR's (operators/dsir.py): stream the grams,
+broadcast the model.
+
+Spark-first design — no Python in the hot path:
+1. the model is a K-row dimension DataFrame ``(bucket:long,
+   weight:double)``. In production it is the output of a training job
+   (fastText's hashing trick maps each token to one of K buckets; a
+   linear model is exactly one weight per bucket). For tests and the
+   oracle gate, :func:`hashed_weight_table` synthesises a
+   deterministic stand-in whose weights are a pure function of the
+   bucket id — replayable in any engine.
+2. tokenize + explode on the engine-wide explicit whitespace class
+   (dedup.WS_CLASS via text_analysis._words — identical tokens on
+   every engine), bucket with the md5-derived 60-bit hash mod K
+   (dedup.md5_long — the same engine-portable hash the DSIR/split
+   family uses, so the DuckDB oracle replays buckets exactly),
+3. broadcast-join the K-row weight table onto the gram stream and
+   take ONE groupBy(doc) mean — mean, not sum, so the margin is
+   length-invariant (fastText averages its word vectors for the same
+   reason),
+4. sigmoid in-plan: score = 1 / (1 + exp(-(margin + bias))).
+
+Cost class: one explode + one broadcast join + one map-side-combinable
+aggregation whose key space is the documents — identical to TF-IDF /
+DSIR. Nothing collects to the driver; the weight table broadcasts at
+K rows regardless of corpus size.
+
+Determinism: bucket ids and weights are exact (integer-derived);
+only the mean is summation-order-dependent, so gated outputs round the
+margin at 1e-6 BEFORE the sigmoid (the dsir/unigram_logprob
+discipline) and the sigmoid of that identical double at 1e-6 after.
+
+Reference analog: the reference scores lines against a learned
+template pool and thresholds on match score
+(src/log_matcher.rs:543-592); this is the corpus-curation counterpart
+where the "pool" is a trained weight vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def hashed_weight_table(
+    spark: SparkSession, n_buckets: int = 256, seed: str = "qcls"
+) -> DataFrame:
+    """Deterministic stand-in for a trained hashed-feature weight vector.
+
+    weight(bucket) = (md5_long(seed || str(bucket)) % 2000001) / 1e6 - 1.0
+    — uniform-ish in [-1, 1], a pure integer-derived function of the
+    bucket id, so any engine can rebuild the identical table. Swap this
+    for ``spark.read.parquet(model_path)`` in production; every
+    downstream plan shape is unchanged (it is a K-row broadcast dim
+    either way).
+    """
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((md5_long(F.col("id").cast("string"), salt=seed) % 2000001)
+         / F.lit(1000000.0) - 1.0).alias("weight"),
+    )
+
+
+def classifier_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    hash_seed: str = "qcls",
+) -> DataFrame:
+    """Score every document with a linear model over hashed unigrams.
+
+    ``weights`` is the ``(bucket, weight)`` model dim (K rows; see
+    :func:`hashed_weight_table`). Returns
+    ``(id_col, n_tokens, margin, score, keep)`` where margin is the
+    1e-6-rounded mean bucket weight plus ``bias``, score is the
+    sigmoid of the margin (rounded 1e-6), and keep = margin >= 0
+    (i.e. score >= 0.5) — the usual quality-filter threshold.
+
+    Tokens that hash to an unseen bucket cannot occur (the model table
+    covers all K buckets by construction), so the join is inner and
+    lossless.
+    """
+    from .text_analysis import _words
+
+    spark = df.sparkSession
+    # Round-robin before the explode: a single-file corpus otherwise
+    # pins the gram stream to one task (same reasoning as dsir_weights).
+    gram_stream = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col),
+                F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn(
+            "bucket", md5_long(F.col("word"), salt=hash_seed) % n_buckets)
+    )
+    scored = (
+        gram_stream.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg("weight"), 6) + F.lit(float(bias)))
+            .alias("margin"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "margin",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 6)
+        .alias("score"),
+        (F.col("margin") >= 0).alias("keep"),
+    )

@@ -567,3 +567,49 @@ def test_top_gram_udf_ties_and_degenerate(spark):
     assert got[1]["gram"] is None and got[1]["cnt"] is None
     assert got[2]["gram"] is None
     assert got[3]["gram"] == "z z" and got[3]["cnt"] == 3
+
+
+def test_classifier_scores_semantics_and_bias(spark):
+    from log_analysis_spark.operators.classifier import (
+        classifier_scores,
+        hashed_weight_table,
+    )
+
+    w = hashed_weight_table(spark, n_buckets=64)
+    rows = w.collect()
+    # deterministic, full-coverage model dim in [-1, 1]
+    assert len(rows) == 64
+    assert all(-1.0 <= r["weight"] <= 1.0 for r in rows)
+    assert rows == hashed_weight_table(spark, n_buckets=64).collect()
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "")],
+        "doc_id long, text string")
+    out = classifier_scores(docs, w, n_buckets=64)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # empty text yields no grams -> no row (inner gram stream)
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+    for r in got.values():
+        # keep is exactly the margin>=0 (score>=0.5) threshold
+        assert r["keep"] == (r["margin"] >= 0)
+        assert r["keep"] == (r["score"] >= 0.5)
+        assert 0.0 < r["score"] < 1.0
+    # a single repeated token's margin IS that token's bucket weight
+    # (mean of identical values), shifted exactly by bias
+    shifted = {r["doc_id"]: r for r in
+               classifier_scores(docs, w, n_buckets=64, bias=10.0).collect()}
+    assert shifted[2]["margin"] == pytest.approx(got[2]["margin"] + 10.0)
+    assert shifted[2]["keep"] and shifted[2]["score"] > 0.99
+
+
+def test_classifier_weight_join_is_broadcast(spark):
+    from log_analysis_spark.operators.classifier import (
+        classifier_scores,
+        hashed_weight_table,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = classifier_scores(docs, hashed_weight_table(spark, 64), 64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
