@@ -1983,6 +1983,13 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
 """.strip()
 
     # count drift: bucketed counts + trailing ROWS-frame window stats.
+    # NULL-ts rows are split out BEFORE the bucket expression: DuckDB
+    # 1.0's parquet scan loses the validity mask through
+    # epoch_us(date_trunc(...)) (ts IS NULL is true but the derived
+    # bucket IS NULL is false, carrying a garbage value whose sort
+    # position flaps run-to-run — caught by the adversarial fuzz gate as
+    # a nondeterministic oracle), so the NULL-bucket branch must filter
+    # on ts itself and emit a literal NULL bucket.
     # NULLS FIRST pins DuckDB's window order to Spark's ascending default
     # (a NULL-ts bucket row would otherwise sit in a different frame);
     # the anomaly flag compares the 1e-6-rounded z in both engines.
@@ -1991,19 +1998,27 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
 WITH c AS (
   SELECT event_type AS key, epoch_us(date_trunc('day', ts)) AS bucket_us,
          count(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+cn AS (
+  SELECT event_type AS key, CAST(NULL AS BIGINT) AS bucket_us, count(*) AS n
+  FROM events WHERE ts IS NULL GROUP BY 1),
 w AS (
   SELECT key, bucket_us, n,
          count(n) OVER tw AS hist,
          avg(n) OVER tw AS mean,
          stddev_samp(n) OVER tw AS sd
   FROM c
-  WINDOW tw AS (PARTITION BY key ORDER BY bucket_us NULLS FIRST
+  WINDOW tw AS (PARTITION BY key ORDER BY bucket_us
                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
 SELECT key, bucket_us, n, round(mean, 6) AS trail_mean_r,
        round({drift_z}, 6) AS z_r,
        abs(round({drift_z}, 6)) >= 3.0 AS is_anomaly
-FROM w ORDER BY key, bucket_us
+FROM w
+UNION ALL
+SELECT key, bucket_us, n, CAST(NULL AS DOUBLE) AS trail_mean_r,
+       CAST(NULL AS DOUBLE) AS z_r, CAST(NULL AS BOOLEAN) AS is_anomaly
+FROM cn
+ORDER BY key, bucket_us
 """.strip()
 
     # streaming drift replay: the drained stream's hour windows equal
@@ -2030,20 +2045,26 @@ FROM w ORDER BY key NULLS FIRST, bucket_us
 """.strip()
 
     # robust drift: exact medians need the frame's member set, so the
-    # oracle replays the SAME bounded self-join (rn window, NULLS FIRST
-    # pinned); median of bigints interpolates to an exact double in both
-    # engines, and NULL keys never pass the equi-join in either
+    # oracle replays the SAME bounded self-join; median of bigints
+    # interpolates to an exact double in both engines, and NULL keys
+    # never pass the equi-join in either. NULL buckets are excluded
+    # from the rn/peer relation in BOTH engines (not trailing periods;
+    # DuckDB 1.0's rn-self-join plan nondeterministically included/
+    # dropped a NULL-bucket peer even under a NULLS FIRST pin — caught
+    # by the adversarial fuzz gate) and re-enter via the final left join
     robust_z = ("CASE WHEN s.hist >= 3 AND s.mad > 0 "
                 "THEN 0.6745 * (c.n - s.med) / s.mad END")
     sql["count_drift_robust"] = f"""
 WITH c AS (
   SELECT event_type AS key, epoch_us(date_trunc('day', ts)) AS bucket_us,
          count(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+cn AS (
+  SELECT event_type AS key, CAST(NULL AS BIGINT) AS bucket_us, count(*) AS n
+  FROM events WHERE ts IS NULL GROUP BY 1),
 r AS (
   SELECT key, bucket_us, n,
-         row_number() OVER (PARTITION BY key
-                            ORDER BY bucket_us NULLS FIRST) AS rn
+         row_number() OVER (PARTITION BY key ORDER BY bucket_us) AS rn
   FROM c),
 p AS (
   SELECT a.key, a.bucket_us, b.n AS peer_n
@@ -2060,6 +2081,10 @@ SELECT c.key, c.bucket_us, c.n, round(s.med, 6) AS med_r,
        round({robust_z}, 6) AS z_r,
        abs(round({robust_z}, 6)) >= 3.5 AS is_anomaly
 FROM c LEFT JOIN s USING (key, bucket_us)
+UNION ALL
+SELECT key, bucket_us, n, CAST(NULL AS DOUBLE) AS med_r,
+       CAST(NULL AS DOUBLE) AS z_r, CAST(NULL AS BOOLEAN) AS is_anomaly
+FROM cn
 ORDER BY key, bucket_us
 """.strip()
 
@@ -2168,6 +2193,7 @@ SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
        template_id, count(*) AS n_turns
 FROM _assign
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY window_start_us, template_id ASC NULLS FIRST
 """.strip()

@@ -174,7 +174,18 @@ def drift_from_bucketed(counts: DataFrame, trailing: int = 7,
     the windowed counts (``streaming/stream.windowed_key_counts``), and
     drift re-scores the accumulated |keys| x |buckets| table per
     trigger — a cost that never scales with the stream, only with its
-    key/bucket cardinality. Same NULL semantics as count_drift."""
+    key/bucket cardinality. Same NULL semantics as count_drift.
+
+    A NULL bucket (NULL/unparseable ts) is not a trailing period: those
+    rows surface in the output with NULL stats but are EXCLUDED from
+    every frame — both as anchors and as peers. Besides the semantics
+    (the count of un-timestamped events is not "yesterday's traffic"),
+    this removes all dependence on engine NULL-ordering: DuckDB 1.0's
+    rn-self-join plan was observed to nondeterministically include or
+    drop the NULL bucket as a peer of the first real bucket even under
+    an ORDER BY ... NULLS FIRST pin (caught by the adversarial fuzz
+    gate), while Spark always ranked it first."""
+    real = counts.filter(F.col("bucket_us").isNotNull())
     w = (Window.partitionBy("key").orderBy("bucket_us")
          .rowsBetween(-trailing, -1))
     hist = F.count("n").over(w)
@@ -183,12 +194,19 @@ def drift_from_bucketed(counts: DataFrame, trailing: int = 7,
     z = F.round(
         F.when((hist >= min_history) & (sd > 0), (F.col("n") - mean) / sd),
         6)
-    return counts.select(
+    scored = real.select(
         "key", "bucket_us", "n",
         F.round(mean, 6).alias("trail_mean_r"),
         z.alias("z_r"),
         (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
     )
+    nullb = counts.filter(F.col("bucket_us").isNull()).select(
+        "key", "bucket_us", "n",
+        F.lit(None).cast("double").alias("trail_mean_r"),
+        F.lit(None).cast("double").alias("z_r"),
+        F.lit(None).cast("boolean").alias("is_anomaly"),
+    )
+    return scored.unionByName(nullb)
 
 
 def count_drift_robust(df: DataFrame, key_col: str, ts_col: str = "ts",
@@ -211,7 +229,10 @@ def count_drift_robust(df: DataFrame, key_col: str, ts_col: str = "ts",
     what makes it hash-gateable). MAD is a second aggregation over the
     same peer relation (deviations need the anchor's median first).
     NULL keys never join (NULL = NULL is false in both engines) and
-    surface with NULL z, same as short history and MAD = 0."""
+    surface with NULL z, same as short history and MAD = 0. NULL
+    buckets are excluded from the rn/peer relation entirely (they are
+    not trailing periods — see :func:`drift_from_bucketed`) and surface
+    through the final left join with NULL stats."""
     counts = (
         df.groupBy(
             F.col(key_col).alias("key"),
@@ -221,7 +242,8 @@ def count_drift_robust(df: DataFrame, key_col: str, ts_col: str = "ts",
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("key").orderBy("bucket_us")
-    c = counts.withColumn("rn", F.row_number().over(w))
+    c = (counts.filter(F.col("bucket_us").isNotNull())
+         .withColumn("rn", F.row_number().over(w)))
     a, b = c.alias("a"), c.alias("b")
     peers = (
         a.join(b, (F.col("a.key") == F.col("b.key"))

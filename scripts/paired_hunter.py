@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Load-gated paired scaling hunter: the calm-window variant of
+scripts/paired_scaling.py.
+
+paired_scaling.py runs its N / 4N cycles back-to-back, so on this
+host's oscillating co-tenant load a session launched in a calm minute
+is usually turbulent by cycle 1 (see BENCH/BASELINE.md round-2..5
+attempts). This daemon inverts the protocol: it keeps the two
+persistent Spark workers (local[N], local[4N]) warm and IDLE, polls
+1-min loadavg, and fires ONE paired cycle only when the box is calm
+(load < --load-gate). Each sample records loadavg at cycle start and
+end, so post-hoc filtering (keep cycles calm at BOTH ends) is
+principled rather than eyeballed. It runs until --target-calm calm
+cycles are captured or --deadline-min expires, appending one JSON line
+per cycle to stdout — leave it running for hours and read the log.
+
+Usage:
+  python scripts/paired_hunter.py --job pipeline --turns 2000000 \
+      --n 1 --load-gate 1.0 --target-calm 6 --deadline-min 240
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from paired_scaling import REPO, WORK, Worker  # noqa: E402
+
+
+def loadavg1() -> float:
+    return os.getloadavg()[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=1)
+    ap.add_argument("--job", choices=("pipeline", "match_sink"),
+                    default="pipeline")
+    ap.add_argument("--load-gate", type=float, default=1.0)
+    ap.add_argument("--target-calm", type=int, default=6)
+    ap.add_argument("--deadline-min", type=float, default=240.0)
+    ap.add_argument("--poll-sec", type=float, default=20.0)
+    args = ap.parse_args()
+
+    os.makedirs(WORK, exist_ok=True)
+    in_path = os.path.join(WORK, f"t{args.turns}")
+    gen = f'''
+import sys, os
+sys.path.insert(0, {REPO!r})
+from log_analysis_spark.session import get_spark
+from log_analysis_spark.synth import synth_transcripts
+spark = get_spark(app_name="gen", master="local[32]")
+if not os.path.exists({in_path!r}):
+    synth_transcripts(spark, n_convs=max(1000, int({args.turns} / 17.6)),
+                      partitions=64).write.mode("overwrite").parquet({in_path!r})
+print("ok")
+'''
+    subprocess.run([sys.executable, "-c", gen], check=True,
+                   capture_output=True, timeout=600)
+
+    lo = Worker(args.n, in_path, args.job)
+    hi = Worker(args.n * 4, in_path, args.job)
+    lo.wait_ready()
+    hi.wait_ready()
+    print(json.dumps({"ready": True, "job": args.job, "turns": args.turns,
+                      "n": args.n, "load_gate": args.load_gate}), flush=True)
+
+    deadline = time.time() + args.deadline_min * 60
+    samples: list[dict] = []
+    calm: list[dict] = []
+    try:
+        while time.time() < deadline and len(calm) < args.target_calm:
+            l0 = loadavg1()
+            if l0 >= args.load_gate:
+                time.sleep(args.poll_sec)
+                continue
+            t_lo = lo.run_once()
+            l_mid = loadavg1()
+            t_hi = hi.run_once()
+            l1 = loadavg1()
+            eff = (t_lo / t_hi) / 4.0
+            s = {"cycle": len(samples), "t_N": round(t_lo, 2),
+                 "t_4N": round(t_hi, 2), "efficiency": round(eff, 3),
+                 "load_start": round(l0, 2), "load_mid": round(l_mid, 2),
+                 "load_end": round(l1, 2),
+                 # calm = the co-tenant stayed away for the whole cycle
+                 "calm": max(l0, l_mid, l1) < args.load_gate + 0.5}
+            samples.append(s)
+            if s["calm"]:
+                calm.append(s)
+            print(json.dumps(s), flush=True)
+    finally:
+        lo.quit()
+        hi.quit()
+    effs = [s["efficiency"] for s in calm]
+    print(json.dumps({
+        "n": args.n, "turns": args.turns, "job": args.job,
+        "total_cycles": len(samples), "calm_cycles": len(calm),
+        "calm_median_efficiency": round(statistics.median(effs), 3) if effs else None,
+        "calm_best_efficiency": round(max(effs), 3) if effs else None,
+        "min_t_N": round(min((s["t_N"] for s in samples), default=0.0), 2),
+        "min_t_4N": round(min((s["t_4N"] for s in samples), default=0.0), 2),
+        "samples": samples,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
