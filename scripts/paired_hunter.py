@@ -47,6 +47,21 @@ def main() -> None:
     ap.add_argument("--target-calm", type=int, default=6)
     ap.add_argument("--deadline-min", type=float, default=240.0)
     ap.add_argument("--poll-sec", type=float, default=20.0)
+    # self-load allowances: the cycle's OWN work raises 1-min loadavg
+    # (t_N holds 1 core for tens of seconds, t_4N holds 4), so the calm
+    # flag must not disqualify a cycle for the load it generated itself.
+    # Defaults model ~30s at 1 core (≈ +0.5 on the 1-min average) and a
+    # following ~10s at 4 cores (≈ +0.7 more, on top of the decaying
+    # mid reading).
+    ap.add_argument("--mid-allow", type=float, default=0.7)
+    ap.add_argument("--end-allow", type=float, default=1.5)
+    # fixed-overhead probe: tiny-input cycles (turns/100) at both
+    # parallelism levels measure per-job fixed cost t0 so the summary
+    # can report the overhead-corrected efficiency
+    # (t_N - t0_N) / (4 x (t_4N - t0_4N)) alongside the raw monolith
+    # ratio (the 2M-turn monolith under-reads scaling because several
+    # seconds of fixed job setup are identical at both levels).
+    ap.add_argument("--overhead-cycles", type=int, default=3)
     args = ap.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
@@ -65,12 +80,45 @@ print("ok")
     subprocess.run([sys.executable, "-c", gen], check=True,
                    capture_output=True, timeout=600)
 
+    # --- fixed-overhead probe on a tiny input (sequential, before the
+    # main workers exist, so nothing overlaps) ---
+    t0 = {"t0_N": None, "t0_4N": None}
+    if args.overhead_cycles > 0:
+        tiny_turns = max(10_000, args.turns // 100)
+        tiny_path = os.path.join(WORK, f"t{tiny_turns}")
+        gen_tiny = gen.replace(in_path, tiny_path).replace(
+            str(args.turns), str(tiny_turns))
+        subprocess.run([sys.executable, "-c", gen_tiny], check=True,
+                       capture_output=True, timeout=600)
+        tlo = Worker(args.n, tiny_path, args.job)
+        thi = Worker(args.n * 4, tiny_path, args.job)
+        tlo.wait_ready()
+        thi.wait_ready()
+        got = 0
+        t0_deadline = time.time() + 15 * 60
+        while got < args.overhead_cycles and time.time() < t0_deadline:
+            if loadavg1() >= args.load_gate:
+                time.sleep(args.poll_sec)
+                continue
+            a = tlo.run_once()
+            b = thi.run_once()
+            s = {"overhead_cycle": got, "t0_N": round(a, 2),
+                 "t0_4N": round(b, 2), "load": round(loadavg1(), 2)}
+            print(json.dumps(s), flush=True)
+            t0["t0_N"] = min(t0["t0_N"], a) if t0["t0_N"] else a
+            t0["t0_4N"] = min(t0["t0_4N"], b) if t0["t0_4N"] else b
+            got += 1
+        tlo.quit()
+        thi.quit()
+
     lo = Worker(args.n, in_path, args.job)
     hi = Worker(args.n * 4, in_path, args.job)
     lo.wait_ready()
     hi.wait_ready()
     print(json.dumps({"ready": True, "job": args.job, "turns": args.turns,
-                      "n": args.n, "load_gate": args.load_gate}), flush=True)
+                      "n": args.n, "load_gate": args.load_gate,
+                      **{k: round(v, 2) for k, v in t0.items() if v}}),
+          flush=True)
 
     deadline = time.time() + args.deadline_min * 60
     samples: list[dict] = []
@@ -90,8 +138,11 @@ print("ok")
                  "t_4N": round(t_hi, 2), "efficiency": round(eff, 3),
                  "load_start": round(l0, 2), "load_mid": round(l_mid, 2),
                  "load_end": round(l1, 2),
-                 # calm = the co-tenant stayed away for the whole cycle
-                 "calm": max(l0, l_mid, l1) < args.load_gate + 0.5}
+                 # calm = the co-tenant stayed away for the whole cycle;
+                 # mid/end allowances discount the cycle's own load
+                 "calm": (l0 < args.load_gate
+                          and l_mid < args.load_gate + args.mid_allow
+                          and l1 < args.load_gate + args.end_allow)}
             samples.append(s)
             if s["calm"]:
                 calm.append(s)
@@ -100,13 +151,25 @@ print("ok")
         lo.quit()
         hi.quit()
     effs = [s["efficiency"] for s in calm]
+    min_t_n = min((s["t_N"] for s in samples), default=0.0)
+    min_t_4n = min((s["t_4N"] for s in samples), default=0.0)
+    corrected = None
+    if (samples and t0["t0_N"] and t0["t0_4N"]
+            and min_t_4n > t0["t0_4N"]):
+        corrected = round((min_t_n - t0["t0_N"])
+                          / (4.0 * (min_t_4n - t0["t0_4N"])), 3)
     print(json.dumps({
         "n": args.n, "turns": args.turns, "job": args.job,
         "total_cycles": len(samples), "calm_cycles": len(calm),
         "calm_median_efficiency": round(statistics.median(effs), 3) if effs else None,
         "calm_best_efficiency": round(max(effs), 3) if effs else None,
-        "min_t_N": round(min((s["t_N"] for s in samples), default=0.0), 2),
-        "min_t_4N": round(min((s["t_4N"] for s in samples), default=0.0), 2),
+        "min_t_N": round(min_t_n, 2),
+        "min_t_4N": round(min_t_4n, 2),
+        "t0_N": round(t0["t0_N"], 2) if t0["t0_N"] else None,
+        "t0_4N": round(t0["t0_4N"], 2) if t0["t0_4N"] else None,
+        # fixed-overhead-corrected min-estimator: the marginal cost of
+        # the 99x-larger input, N vs 4N
+        "corrected_min_efficiency": corrected,
         "samples": samples,
     }), flush=True)
 
