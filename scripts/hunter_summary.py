@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Summarize one or more paired_hunter logs: per-log and pooled
+min-estimator efficiencies, raw and fixed-overhead-corrected.
+
+The min-estimator treats each side's cross-cycle minimum wall as its
+uncontended floor (co-tenant load only ever ADDS time, so the minimum
+is the least-contaminated observation); raw eff = min_t_N / (4 *
+min_t_4N). When the log carries a fixed-overhead probe (t0_N / t0_4N
+from tiny-input cycles), the corrected form subtracts the per-job fixed
+cost that is identical at both parallelism levels:
+(min_t_N - t0_N) / (4 * (min_t_4N - t0_4N)).
+
+Usage: python scripts/hunter_summary.py BENCH/paired_*.log
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def parse(path: str) -> dict:
+    cycles, t0_n, t0_4n = [], None, None
+    for line in open(path):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "cycle" in rec:
+            cycles.append(rec)
+        elif "ready" in rec or "overhead_cycle" in rec:
+            # ready-line minima (if present) or per-probe observations
+            for key, cur in (("t0_N", t0_n), ("t0_4N", t0_4n)):
+                if key in rec:
+                    v = rec[key]
+                    if key == "t0_N":
+                        t0_n = v if t0_n is None else min(t0_n, v)
+                    else:
+                        t0_4n = v if t0_4n is None else min(t0_4n, v)
+    return {"cycles": cycles, "t0_N": t0_n, "t0_4N": t0_4n}
+
+
+def summarize(name: str, cycles: list[dict], t0_n, t0_4n) -> dict:
+    if not cycles:
+        return {"log": name, "cycles": 0}
+    min_n = min(c["t_N"] for c in cycles)
+    min_4n = min(c["t_4N"] for c in cycles)
+    calm = [c for c in cycles if c.get("calm")]
+    effs = [c["efficiency"] for c in cycles]
+    out = {
+        "log": name,
+        "cycles": len(cycles),
+        "calm_cycles": len(calm),
+        "min_t_N": min_n,
+        "min_t_4N": min_4n,
+        "raw_min_eff": round(min_n / (4.0 * min_4n), 3),
+        "median_eff": round(statistics.median(effs), 3),
+        "calm_median_eff": (round(statistics.median(
+            [c["efficiency"] for c in calm]), 3) if calm else None),
+    }
+    if t0_n is not None and t0_4n is not None and min_4n > t0_4n:
+        out["t0_N"], out["t0_4N"] = t0_n, t0_4n
+        out["corrected_min_eff"] = round(
+            (min_n - t0_n) / (4.0 * (min_4n - t0_4n)), 3)
+    return out
+
+
+def main() -> None:
+    paths = sys.argv[1:]
+    if not paths:
+        print(__doc__)
+        sys.exit(2)
+    all_cycles, t0_n, t0_4n = [], None, None
+    for p in paths:
+        d = parse(p)
+        print(json.dumps(summarize(p, d["cycles"], d["t0_N"], d["t0_4N"])))
+        all_cycles.extend(d["cycles"])
+        for key, v in (("n", d["t0_N"]), ("4n", d["t0_4N"])):
+            if v is None:
+                continue
+            if key == "n":
+                t0_n = v if t0_n is None else min(t0_n, v)
+            else:
+                t0_4n = v if t0_4n is None else min(t0_4n, v)
+    if len(paths) > 1:
+        print(json.dumps(summarize("POOLED", all_cycles, t0_n, t0_4n)))
+
+
+if __name__ == "__main__":
+    main()
