@@ -184,8 +184,8 @@ def main() -> None:
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "token_fertility",
-        "vocab_growth", "gopher_repetition", "ccnet_buckets",
-        "quality_classifier",
+        "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
+        "ccnet_buckets", "quality_classifier",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -1722,6 +1722,56 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST of the Gopher repetition battery (Rae et al. 2021 Table
+    A1; `gopher_repetition` carries the line signals + top-2-gram):
+    top-3/4-gram character fractions and duplicate-5..10-gram character
+    COVERAGE fractions — the fraction of token characters sitting inside
+    any n-gram that occurs >= 2 times in the doc, counting each token
+    once however many duplicated grams overlap it (overlap union, so the
+    fraction is bounded by 1 even on `x x x x x x` pathologies).
+
+    Plan: the same one groupBy(uid) doc assembly as gopher_repetition,
+    then ONE Arrow kernel emits all eight signals (six separate
+    top-gram-style kernels would re-tokenize the doc six times); the
+    fraction divisions stay JVM-side. Hash-gated: the DuckDB oracle
+    replays gram positions with unnest(range(..)), duplicated grams with
+    HAVING count(*) >= 2, and the coverage union with DISTINCT token
+    positions joined back to per-token lengths."""
+    from .operators.text_analysis import DUP_NS, TOP_NS, gopher_battery_udf
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_FMT_LINE_SQL.format(S="STRING"))
+    docs = (
+        ev.select(F.coalesce("user_id", F.lit(0)).alias("uid"),
+                  F.coalesce("event_id", F.lit(-1)).alias("eid"),
+                  line.alias("line"))
+        .groupBy("uid")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("eid", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"))
+    )
+    bat = gopher_battery_udf(spark)
+    b = docs.select("uid", bat(F.col("text")).alias("_b"))
+    wc = F.greatest(F.col("_b.word_chars"), F.lit(1))
+    cols = [F.col("uid").alias("doc_id")]
+    for n in TOP_NS:
+        gram_chars = F.length(
+            F.regexp_replace(F.col(f"_b.top{n}_gram"), " ", ""))
+        frac = F.coalesce(
+            F.col(f"_b.top{n}_cnt") * gram_chars / wc, F.lit(0.0))
+        cols.append(F.coalesce(F.col(f"_b.top{n}_gram"), F.lit(""))
+                    .alias(f"top{n}_gram"))
+        cols.append(F.round(frac + F.lit(0.0), 6)
+                    .alias(f"top{n}_char_frac_r"))
+    for n in DUP_NS:
+        cols.append(F.round(F.col(f"_b.dup{n}_chars") / wc + F.lit(0.0), 6)
+                    .alias(f"dup{n}_char_frac_r"))
+    return b.select(*cols).orderBy("doc_id")
+
+
 def q_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (python kernel — rows-only driver check)."""
     from .operators.dedup import simhash_udf
@@ -3504,6 +3554,71 @@ LEFT JOIN top t ON t.uid = s.uid AND t.rn = 1
 ORDER BY doc_id
 """.strip()
 
+    # gopher_dup_ngrams: replay the battery kernel per n — top grams via
+    # the count/row_number replay above; duplicate-gram coverage via
+    # positions (unnest range), HAVING count >= 2, DISTINCT covered
+    # token positions (the overlap union), then per-token lengths.
+    def _gram_expr(n: int) -> str:
+        return " || ' ' || ".join(f"ws[i + {j}]" if j else "ws[i]"
+                                  for j in range(n))
+
+    _dng_ctes = [f"""
+l AS (
+  SELECT coalesce(event_id, -1) AS eid, coalesce(user_id, 0) AS uid,
+         {fmt_line_duck} AS line
+  FROM events
+),
+docs AS (SELECT uid, string_agg(line, chr(10) ORDER BY eid, line) AS text
+         FROM l GROUP BY uid),
+w AS (SELECT uid, string_split({_DUCK_NORM}, ' ') AS ws,
+             length(replace({_DUCK_NORM}, ' ', '')) AS word_chars
+      FROM docs)""".strip()]
+    _dng_cols = ["w.uid AS doc_id"]
+    _dng_joins = []
+    from .operators.text_analysis import DUP_NS as _DNG_DUP
+    from .operators.text_analysis import TOP_NS as _DNG_TOP
+    for n in _DNG_TOP:
+        _dng_ctes.append(f"""
+g{n} AS (SELECT uid, i, {_gram_expr(n)} AS gram
+         FROM (SELECT uid, ws,
+                      unnest(range(1, greatest(len(ws) - {n - 1}, 0) + 1)) AS i
+               FROM w)),
+top{n} AS (SELECT uid, gram, cnt, row_number() OVER
+             (PARTITION BY uid ORDER BY cnt DESC, gram) AS rn
+           FROM (SELECT uid, gram, count(*) AS cnt
+                 FROM g{n} GROUP BY uid, gram))""".strip())
+        _dng_cols.append(f"coalesce(t{n}.gram, '') AS top{n}_gram")
+        _dng_cols.append(
+            f"round(coalesce(t{n}.cnt * length(replace(t{n}.gram, ' ', ''))"
+            f" * 1.0 / greatest(w.word_chars, 1), 0.0) + 0.0, 6)"
+            f" AS top{n}_char_frac_r")
+        _dng_joins.append(
+            f"LEFT JOIN top{n} t{n} ON t{n}.uid = w.uid AND t{n}.rn = 1")
+    for n in _DNG_DUP:
+        _dng_ctes.append(f"""
+g{n} AS (SELECT uid, i, {_gram_expr(n)} AS gram
+         FROM (SELECT uid, ws,
+                      unnest(range(1, greatest(len(ws) - {n - 1}, 0) + 1)) AS i
+               FROM w)),
+cov{n} AS (SELECT DISTINCT uid, pos FROM
+             (SELECT o.uid, unnest(range(o.i, o.i + {n})) AS pos
+              FROM g{n} o
+              JOIN (SELECT uid, gram FROM g{n}
+                    GROUP BY uid, gram HAVING count(*) >= 2) d
+                ON o.uid = d.uid AND o.gram = d.gram)),
+cch{n} AS (SELECT c.uid, sum(length(w2.ws[c.pos])) AS chars
+           FROM cov{n} c JOIN w w2 ON w2.uid = c.uid GROUP BY c.uid)
+""".strip())
+        _dng_cols.append(
+            f"round(coalesce(c{n}.chars, 0) * 1.0"
+            f" / greatest(w.word_chars, 1) + 0.0, 6)"
+            f" AS dup{n}_char_frac_r")
+        _dng_joins.append(f"LEFT JOIN cch{n} c{n} ON c{n}.uid = w.uid")
+    sql["gopher_dup_ngrams"] = (
+        "WITH " + ",\n".join(_dng_ctes) + "\nSELECT "
+        + ",\n       ".join(_dng_cols) + "\nFROM w\n"
+        + "\n".join(_dng_joins) + "\nORDER BY doc_id")
+
     # generated from the same STOPWORDS table as the Spark side; the CASE
     # walks languages in sorted order = the documented asc tie-break
     langs, lang_exprs, greatest_all = _duck_lang_parts()
@@ -3644,6 +3759,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "line_dedup": q_line_dedup,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_dup_ngrams": q_gopher_dup_ngrams,
         "ccnet_buckets": q_ccnet_buckets,
         "simhash_sigs": q_simhash_sigs,
         "multimodal_features": q_multimodal_features,

@@ -660,6 +660,94 @@ def top_gram_udf(spark, n: int = 2):
     return _top.asNondeterministic()
 
 
+TOP_NS = (3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def gopher_battery_kernel(text, top_ns=TOP_NS, dup_ns=DUP_NS):
+    """Pure-Python per-doc kernel for the remaining Gopher repetition
+    battery (Rae et al. 2021 Table A1) — shared by the Arrow UDF and
+    tests. Returns a flat dict:
+
+    - ``top{n}_gram`` / ``top{n}_cnt`` for n in ``top_ns``: the doc's
+      most frequent word n-gram (ties: smallest gram — same rule as
+      top_gram_udf).
+    - ``dup{n}_chars`` for n in ``dup_ns``: characters covered by ALL
+      occurrences of duplicated n-grams, counting each TOKEN once
+      however many duplicated grams overlap it (the character-coverage
+      union used by the open implementations of this filter —
+      overlapping occurrences must not double-count or the fraction
+      exceeds 1).
+    - ``word_chars``: total token characters (the fractions'
+      denominator; spaces excluded, same as the dedup family's
+      normalized text with spaces removed).
+
+    Tokens come from ``ascii_words_py`` — the explicit whitespace class
+    shared with the JVM normalizer and the DuckDB oracles, so all three
+    engines see identical grams."""
+    from collections import Counter
+
+    from .dedup import ascii_words_py
+
+    ws = ascii_words_py(text) if isinstance(text, str) else []
+    lens = [len(w) for w in ws]
+    out: dict[str, object] = {"word_chars": int(sum(lens))}
+    for n in top_ns:
+        if len(ws) < n:
+            out[f"top{n}_gram"], out[f"top{n}_cnt"] = None, None
+            continue
+        c = Counter(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[f"top{n}_gram"], out[f"top{n}_cnt"] = best[0], int(best[1])
+    for n in dup_ns:
+        if len(ws) < n:
+            out[f"dup{n}_chars"] = 0
+            continue
+        grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        cnt = Counter(grams)
+        covered = np.zeros(len(ws), dtype=bool)
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered[i:i + n] = True
+        out[f"dup{n}_chars"] = int(sum(
+            l for l, c in zip(lens, covered) if c))
+    return out
+
+
+def gopher_battery_udf(spark, top_ns=TOP_NS, dup_ns=DUP_NS):
+    """pandas UDF text -> struct: the rest of the Gopher repetition
+    battery in ONE Arrow pass (top-3/4-gram + duplicate-5..10-gram
+    coverage + word_chars) — six separate top_gram_udf-style kernels
+    would re-tokenize the doc six times. Row-local, no shuffle; the
+    char-fraction divisions stay JVM-side in the caller. Reference
+    analog: the per-template fragment statistics pass
+    (src/log_matcher.rs aggregate loop) — one scan, many signals."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    fields = []
+    for n in top_ns:
+        fields.append(f"top{n}_gram string")
+        fields.append(f"top{n}_cnt long")
+    for n in dup_ns:
+        fields.append(f"dup{n}_chars long")
+    fields.append("word_chars long")
+    schema = ", ".join(fields)
+
+    @F.pandas_udf(schema)
+    def _battery(texts: pd.Series) -> pd.DataFrame:
+        rows = [gopher_battery_kernel(t, top_ns, dup_ns) for t in texts]
+        df = pd.DataFrame(rows)
+        for c in df.columns:
+            if c.endswith("_cnt") or c.endswith("_chars"):
+                df[c] = df[c].astype("Int64")
+        return df
+
+    # single evaluation even when callers project many struct fields
+    return _battery.asNondeterministic()
+
+
 def fingerprint_col(col: Column) -> Column:
     """Whole-document fingerprint: md5-derived 60-bit int of the
     normalized text (cheap JVM-side; reference analog: template cache

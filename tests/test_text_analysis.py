@@ -569,6 +569,62 @@ def test_top_gram_udf_ties_and_degenerate(spark):
     assert got[3]["gram"] == "z z" and got[3]["cnt"] == 3
 
 
+def test_gopher_battery_kernel_hand_computed():
+    from log_analysis_spark.operators.text_analysis import (
+        gopher_battery_kernel,
+    )
+
+    # "a b c d e" x3 back-to-back: the 5-gram repeats at token 0/5/10 ->
+    # every token covered -> dup5 coverage = all 15 word chars
+    t = " ".join(["a b c d e"] * 3)
+    out = gopher_battery_kernel(t)
+    assert out["word_chars"] == 15
+    assert out["dup5_chars"] == 15
+    # 6..10-grams: "b c d e a b" etc. also repeat (period-5 text), until
+    # n=10 where only tokens 0..14 hold two occurrences (0 and 5)
+    assert out["dup10_chars"] == 15
+    # top3: "a b c" (and rotations) occur 3x; lexicographic tie-break
+    assert out["top3_gram"] == "a b c" and out["top3_cnt"] == 3
+
+    # overlap union: "x x x x x x" has two occurrences of the 5-gram
+    # "x x x x x" overlapping on tokens 1-4 -> coverage is 6 tokens,
+    # NOT 10 (double-counting would exceed the doc)
+    out = gopher_battery_kernel("x x x x x x")
+    assert out["dup5_chars"] == 6
+    assert out["word_chars"] == 6
+
+    # no duplicated 5-grams -> 0; short docs -> 0 / None tops
+    out = gopher_battery_kernel("one two three four five six")
+    assert out["dup5_chars"] == 0
+    out = gopher_battery_kernel("ab")
+    assert out["top3_gram"] is None and out["dup5_chars"] == 0
+    assert out["word_chars"] == 2
+    out = gopher_battery_kernel(None)
+    assert out["word_chars"] == 0 and out["dup10_chars"] == 0
+
+
+def test_gopher_battery_udf_matches_kernel(spark):
+    from log_analysis_spark.operators.text_analysis import (
+        gopher_battery_kernel,
+        gopher_battery_udf,
+    )
+
+    rows = [
+        (0, " ".join(["a b c d e"] * 3)),
+        (1, "x x x x x x"),
+        (2, ""),
+        (3, "Z z\tz Z z z z"),   # normalization inside the kernel
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bat = gopher_battery_udf(spark)
+    got = {r["id"]: r["_b"].asDict() for r in df.select(
+        "id", bat(F.col("text")).alias("_b")).collect()}
+    for i, t in rows:
+        expect = gopher_battery_kernel(t)
+        assert got[i] == expect, (i, got[i], expect)
+
+
 def test_classifier_scores_semantics_and_bias(spark):
     from log_analysis_spark.operators.classifier import (
         classifier_scores,
