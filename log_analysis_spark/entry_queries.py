@@ -706,6 +706,50 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(trx).orderBy("tool", "next_tool")
 
 
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool inter-turn latency: for every timestamped tool turn, the
+    gap to the conversation's next timestamped turn — the ops metric a
+    transcript pipeline needs to spot slow tools (reference analog: the
+    per-dataset elapsed/throughput columns of the benchmark sink,
+    src/benchmark.rs). NULL-ts turns are excluded BEFORE the window so
+    the (ts, event_id) ordering is total and engine-exact; the mean is
+    reported in SECONDS at 1e-3 — at raw-microsecond magnitudes even an
+    exact-integer sum/count division differs in the last ulp between
+    engines, so the usual 1e-6 quantization has no margin there.
+
+    Plan: one hash(conv_id) Exchange for the lead() window — the same
+    partitioning every transcript operator shares — then a |tools|-key
+    map-side-collapsing groupBy; nothing corpus-sized moves after the
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    conv = F.concat(
+        F.lit("c"),
+        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
+    )
+    base = (
+        ev.filter(F.col("ts").isNotNull())
+        .withColumn("conv_id", conv)
+        .withColumn("tool", F.expr(_TOOL_SQL))
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("eid", F.coalesce(F.col("event_id"), F.lit(-1)))
+    )
+    w = Window.partitionBy("conv_id").orderBy("us", "eid")
+    g = base.withColumn("next_us", F.lead("us").over(w))
+    gap = F.col("next_us") - F.col("us")
+    return (
+        g.filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
+        .select("tool", gap.alias("gap_us"))
+        .groupBy("tool")
+        .agg(F.count("*").alias("n_gaps"),
+             F.round((F.sum("gap_us") / F.count("*")) / F.lit(1000000.0)
+                     + F.lit(0.0), 3)
+              .alias("mean_s_r"),
+             F.min("gap_us").alias("min_us"),
+             F.max("gap_us").alias("max_us"))
+        .orderBy("tool")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-unigram importance weights over documents
     (operators/dsir.dsir_weights, arXiv:2302.03169): target domain =
@@ -2682,6 +2726,31 @@ SELECT conv_id,
 FROM r GROUP BY conv_id ORDER BY conv_id
 """.strip()
 
+    # per-tool inter-turn latency: NULL-ts rows excluded before the
+    # window so ORDER BY (us, eid) is total in both engines; the mean
+    # divides the same exact-integer sum/count on both sides
+    sql["tool_latency"] = f"""
+WITH e AS (
+  SELECT concat('c', CAST(coalesce(user_id, 0) % 499 AS VARCHAR)) AS conv_id,
+         {_TOOL_SQL} AS tool,
+         epoch_us(ts) AS us,
+         coalesce(event_id, -1) AS eid
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT conv_id, tool, us,
+         lead(us) OVER (PARTITION BY conv_id ORDER BY us, eid) AS next_us
+  FROM e
+)
+SELECT tool,
+       count(*) AS n_gaps,
+       round(sum(next_us - us) * 1.0 / count(*) / 1000000 + 0.0, 3) AS mean_s_r,
+       min(next_us - us) AS min_us,
+       max(next_us - us) AS max_us
+FROM g WHERE tool IS NOT NULL AND next_us IS NOT NULL
+GROUP BY tool ORDER BY tool
+""".strip()
+
     sql["tool_transitions"] = f"""
 WITH trx AS ({_trx_sql_duck(line_duck)}),
 t AS (
@@ -3774,6 +3843,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_merge": q_turn_merge,
         "conversation_integrity": q_conversation_integrity,
         "tool_transitions": q_tool_transitions,
+        "tool_latency": q_tool_latency,
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "user_sessions": q_user_sessions,
