@@ -1496,6 +1496,27 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_conversations(trx).orderBy("conv_id")
 
 
+def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-dup pairs
+    (transcript.conv_neardup_pairs): Jaccard >= 0.8 over masked-turn
+    digest sets — the re-executed scripted run with a few changed turns
+    that conv_dedup's whole-sequence digest cannot collapse. At the
+    sf0.01 fixture every conversation pair shares SOME templated turns
+    (min jaccard 0.32), so 0.8 is the discriminative band: 406 of
+    11,175 possible pairs clear it. Hash-gated: DuckDB replays the mask
+    chain, digest sets, inverted-index intersection, and the exact
+    integer-ratio threshold."""
+    from .operators.transcript import conv_neardup_pairs
+
+    trx = _transcripts(spark, sf_dir)
+    return (
+        conv_neardup_pairs(trx, threshold=0.8)
+        .select("conv_a", "conv_b",
+                F.round(F.col("jaccard") + F.lit(0.0), 6).alias("jaccard_r"))
+        .orderBy("conv_a", "conv_b")
+    )
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language (text_analysis.token_fertility):
     BPE-ish subwords per whitespace word, the per-language token-cost
@@ -2785,6 +2806,31 @@ SELECT conv_id, digest, n_turns,
 FROM c ORDER BY conv_id
 """.strip()
 
+    # conversation near-dup: digest sets + inverted-index intersection;
+    # the threshold compares the same exact-integer ratio in both
+    # engines, so >= 0.8 cannot tie-break differently
+    sql["conv_neardup_pairs"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+m AS (
+  SELECT DISTINCT conv_id,
+         md5(concat(coalesce(role, ''), '\x1f',
+                    {mask_sql_duck("coalesce(text, '')")})) AS dig
+  FROM trx
+),
+sizes AS (SELECT conv_id, count(*) AS sz FROM m GROUP BY conv_id),
+f AS (SELECT dig FROM m GROUP BY dig HAVING count(*) <= 1000),
+j AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS n_common
+  FROM m a JOIN f USING (dig) JOIN m b ON b.dig = a.dig AND a.conv_id < b.conv_id
+  GROUP BY a.conv_id, b.conv_id
+)
+SELECT conv_a, conv_b,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common) + 0.0, 6) AS jaccard_r
+FROM j JOIN sizes sa ON sa.conv_id = conv_a JOIN sizes sb ON sb.conv_id = conv_b
+WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
+ORDER BY conv_a, conv_b
+""".strip()
+
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
     # family's hash); only the final mean is float, rounded at 1e-6
     sql["dsir_weights"] = """
@@ -3811,6 +3857,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "mixing_allocation": q_mixing_allocation,
         "conv_dedup": q_conv_dedup,
+        "conv_neardup_pairs": q_conv_neardup_pairs,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

@@ -225,3 +225,46 @@ def dedup_conversations(
         conv_col, "digest", "n_turns",
         F.count(F.lit(1)).over(grp).alias("group_size"),
         (F.col(conv_col) == F.min(conv_col).over(grp)).alias("is_kept"))
+
+
+def conv_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_digest_freq: int | None = 1000,
+) -> DataFrame:
+    """Conversation-level NEAR-dup pairs: two conversations are
+    near-duplicates when the Jaccard similarity of their masked-turn
+    digest SETS clears ``threshold`` — the scripted agent run re-executed
+    with a few extra, dropped, or reordered turns, which the exact
+    whole-sequence digest of ``dedup_conversations`` cannot collapse.
+
+    Each turn becomes the same (role \\x1f masked-text) record the exact
+    dedup uses, md5'd to a fixed-width digest; a conversation is its
+    DISTINCT digest set; pairs come from the dedup family's
+    inverted-index self-join (``_jaccard_from_shingles``): candidates
+    share at least one digest, |A ∩ B| counts shared digests, and
+    ``max_digest_freq`` caps the quadratic fan-out of boilerplate turns
+    shared by >F conversations (never creates false positives — sizes
+    still count every digest, so dropped digests only lower the reported
+    jaccard; possible false negatives for pairs whose EVERY shared turn
+    is boilerplate, same trade as ngram_jaccard_pairs).
+
+    Scale: one (conv, digest) distinct Exchange + the digest-keyed
+    candidate join; nothing is quadratic in conversations, only in
+    per-digest fan-out, which the cap bounds. Reference analog: the
+    template-cache duplicate check, src/log_matcher.rs template_map."""
+    from ..functions.masks import mask_col
+    from .dedup import _jaccard_from_shingles
+
+    rec = F.concat_ws(
+        "\x1f", F.coalesce(F.col(role_col), F.lit("")),
+        mask_col(F.coalesce(F.col(text_col), F.lit(""))))
+    sh = (df.select(F.col(conv_col), F.md5(rec).alias("shingle"))
+          .distinct())
+    pairs = _jaccard_from_shingles(
+        sh, threshold, id_col=conv_col, max_doc_freq=max_digest_freq)
+    return pairs.withColumnRenamed("id_a", "conv_a") \
+                .withColumnRenamed("id_b", "conv_b")

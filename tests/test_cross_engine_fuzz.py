@@ -115,7 +115,7 @@ EVENT_GATES = [
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
     "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
-    "conv_dedup", "streaming_count_drift", "vocab_growth",
+    "conv_dedup", "conv_neardup_pairs", "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     # streaming windowed counts: pins that the watermark's NULL-event-time
     # drop equals the oracle's ts IS NOT NULL filter on adversarial input

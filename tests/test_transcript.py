@@ -149,6 +149,41 @@ def test_dedup_conversations_masked_and_exact(spark):
     assert all(r["is_kept"] for r in exact.values())
 
 
+def test_conv_neardup_pairs_threshold_and_masking(spark):
+    """c1/c2 share 2 masked digests (their numeric values differ and
+    their shared turns appear in a DIFFERENT order — masking and set
+    semantics both at work): |A|=3, |B|=4, intersection 2, jaccard
+    2/5 = 0.4. c3 shares nothing. The threshold gates the pair in and
+    out, and the boilerplate cap removes it from candidates entirely."""
+    from log_analysis_spark.operators.transcript import conv_neardup_pairs
+
+    rows = [
+        ("c1", 0, "user", "start job 17"),
+        ("c1", 1, "assistant", "done in 250ms"),
+        ("c1", 2, "user", "unique to one"),
+        # c2 = c1's first two masked turns (different numbers, reversed
+        # order) plus two of its own
+        ("c2", 0, "assistant", "done in 3ms"),
+        ("c2", 1, "user", "start job 99"),
+        ("c2", 2, "user", "only in two"),
+        ("c2", 3, "assistant", "also only two"),
+        ("c3", 0, "tool", "entirely unrelated content"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r["conv_a"], r["conv_b"]): r["jaccard"]
+           for r in conv_neardup_pairs(df, threshold=0.3).collect()}
+    assert set(got) == {("c1", "c2")}
+    assert abs(got[("c1", "c2")] - 0.4) < 1e-9
+    # threshold excludes the pair when raised past its jaccard
+    assert conv_neardup_pairs(df, threshold=0.5).count() == 0
+    # cap drops boilerplate digests from candidates: with every shared
+    # digest capped out, the pair disappears (false-negative trade,
+    # never false positives)
+    assert conv_neardup_pairs(df, threshold=0.1,
+                              max_digest_freq=1).count() == 0
+
+
 def test_dedup_conversations_turn_order_matters(spark):
     """Same multiset of turns in a different order is a DIFFERENT
     conversation (the rollup is order-exact, not bag-of-turns)."""
