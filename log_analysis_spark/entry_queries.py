@@ -711,7 +711,7 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap to the conversation's next timestamped turn — the ops metric a
     transcript pipeline needs to spot slow tools (reference analog: the
     per-dataset elapsed/throughput columns of the benchmark sink,
-    src/benchmark.rs). NULL-ts turns are excluded BEFORE the window so
+    src/benchmark_runner.rs:110-145). NULL-ts turns are excluded BEFORE the window so
     the (ts, event_id) ordering is total and engine-exact; the mean is
     reported in SECONDS at 1e-3 — at raw-microsecond magnitudes even an
     exact-integer sum/count division differs in the last ulp between

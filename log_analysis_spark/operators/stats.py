@@ -23,7 +23,7 @@ summary shape is implementation-defined, which is exactly why the gated
 operator is the replayable histogram.
 
 Reference analog: the benchmark summary percentiles the reference
-prints per run (src/benchmark.rs latency p50/p99 lines) — here as a
+prints per run (src/benchmark_runner.rs:110-145 elapsed/latency columns) — here as a
 first-class distributed operator instead of a driver-side sort.
 """
 

@@ -255,7 +255,7 @@ def conv_neardup_pairs(
     Scale: one (conv, digest) distinct Exchange + the digest-keyed
     candidate join; nothing is quadratic in conversations, only in
     per-digest fan-out, which the cap bounds. Reference analog: the
-    template-cache duplicate check, src/log_matcher.rs template_map."""
+    template-cache duplicate check, src/log_matcher.rs:31 template_matches."""
     from ..functions.masks import mask_col
     from .dedup import _jaccard_from_shingles
 
