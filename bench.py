@@ -186,6 +186,8 @@ def main() -> None:
         "mixing_allocation", "conv_dedup", "conv_neardup_pairs", "token_fertility",
         "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
         "ccnet_buckets", "quality_classifier",
+        "template_cooccurrence", "template_transitions",
+        "posting_lists", "conjunctive_search",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -399,6 +399,84 @@ def q_match_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_template_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alarm-correlation mining (operators/correlation.py): for every
+    template pair, in how many user groups both fired — counts +
+    supports + an integer-ppm lift rendering. The lift arithmetic stays
+    in the query (exact bigint ops in both engines: Spark `div` and
+    DuckDB `//` agree on positive integers); the operator emits counts
+    only. Group key coalesces NULL user_id to -1 so both engines group
+    the matchless rows identically."""
+    from .operators.correlation import template_cooccurrence
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("g"),
+        F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    assign = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+    co = template_cooccurrence(assign, group_col="g")
+    return (
+        co.withColumn(
+            "lift_ppm",
+            F.expr("(n_pair_groups * n_total_groups * 1000000) div "
+                   "(support_a * support_b)"))
+        .orderBy("t_a", "t_b")
+    )
+
+
+def q_template_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workflow/error-sequence mining (operators/correlation.py):
+    (template, next template) counts over the matched subsequence of
+    each user's event stream, ordered by event_id (unique, so the
+    window order is total and engine-exact)."""
+    from .operators.correlation import template_transitions
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("g"),
+        "event_id",
+        F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    assign = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+    return (
+        template_transitions(assign, group_col="g", order_cols=("event_id",))
+        .orderBy("template_id", "next_template_id")
+    )
+
+
+# Conjunctive-search query terms: moderately common tokens of the
+# documents fixture (each ~2 occurrences/doc average), normalized form.
+_SEARCH_TERMS = ("hash", "join", "scan")
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary stats (operators/search.posting_stats):
+    per-term document frequency + total term frequency over the
+    documents corpus, top-20 by df (term-ascending tie-break — terms
+    are unique in the output, so the cut is deterministic)."""
+    from .operators.search import posting_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        posting_stats(docs)
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search (operators/search.conjunctive_search):
+    documents containing ALL query terms, with the summed query-term
+    frequency as the ranking signal. The k-term literal filter runs
+    map-side before the one groupBy Exchange — the plan a 100 TB
+    corpus needs (never a per-query regex scan)."""
+    from .operators.search import conjunctive_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return conjunctive_search(docs, _SEARCH_TERMS).orderBy("doc_id")
+
+
 def q_windowed_template_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST/A1 streaming: event-time tumbling-window per-template counts,
     value-gated by BATCH REPLAY (VERDICT r4 next #8) — this actually
@@ -2298,6 +2376,70 @@ WITH _assign AS ({assignments})
 SELECT event_id, template_id FROM _assign ORDER BY event_id
 """.strip()
 
+    # alarm-correlation replay: distinct (group, template) relation,
+    # self-join pairs, marginal supports, integer-ppm lift (`//` floor
+    # division == Spark `div` truncation on these all-positive bigints).
+    # The operator's max_group_templates guard (default 1000) cannot
+    # fire here — the entry pool has < 20 templates, so no group can
+    # exceed the cap; the oracle omits it.
+    co_src = matcher_oracle_sql(
+        m, f"SELECT coalesce(user_id, -1) AS g, {line_duck} AS line FROM events")
+    sql["template_cooccurrence"] = f"""
+WITH _assign AS ({co_src}),
+d AS (SELECT DISTINCT g, template_id AS t FROM _assign WHERE template_id IS NOT NULL),
+sup AS (SELECT t, count(*) AS support FROM d GROUP BY t),
+tot AS (SELECT count(DISTINCT g) AS n_total_groups FROM d),
+p AS (SELECT a.t AS t_a, b.t AS t_b, count(*) AS n_pair_groups
+      FROM d a JOIN d b ON a.g = b.g AND a.t < b.t GROUP BY 1, 2)
+SELECT t_a, t_b, n_pair_groups, sa.support AS support_a, sb.support AS support_b,
+       tot.n_total_groups,
+       (n_pair_groups * tot.n_total_groups * 1000000) // (sa.support * sb.support) AS lift_ppm
+FROM p JOIN sup sa ON sa.t = p.t_a JOIN sup sb ON sb.t = p.t_b CROSS JOIN tot
+ORDER BY t_a, t_b
+""".strip()
+
+    # workflow-mining replay: lead() over the matched subsequence per
+    # group, ordered by the unique event_id
+    tr_src = matcher_oracle_sql(
+        m, f"SELECT coalesce(user_id, -1) AS g, event_id, {line_duck} AS line FROM events")
+    sql["template_transitions"] = f"""
+WITH _assign AS ({tr_src}),
+mt AS (SELECT g, event_id, template_id FROM _assign WHERE template_id IS NOT NULL),
+t AS (SELECT template_id,
+             lead(template_id) OVER (PARTITION BY g ORDER BY event_id) AS next_template_id
+      FROM mt)
+SELECT template_id, next_template_id, count(*) AS n_transitions
+FROM t WHERE next_template_id IS NOT NULL
+GROUP BY 1, 2 ORDER BY template_id, next_template_id
+""".strip()
+
+    # inverted-index dictionary: same WS_CLASS tokenization as the dedup
+    # family (_DUCK_NORM), unnested, tf per (term, doc), then the
+    # per-term rollup with the deterministic (df DESC, term ASC) cut
+    sql["posting_lists"] = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split({_DUCK_NORM}, ' '), w -> w <> '') AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+g AS (SELECT term, doc_id, count(*) AS tf FROM u GROUP BY 1, 2)
+SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM g GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20
+""".strip()
+
+    # conjunctive search: per-term tf via list_filter counts; a doc
+    # qualifies when every query term's tf > 0
+    _cs_tfs = ", ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_SEARCH_TERMS))
+    _cs_sum = " + ".join(f"tf{i}" for i in range(len(_SEARCH_TERMS)))
+    _cs_all = " AND ".join(f"tf{i} > 0" for i in range(len(_SEARCH_TERMS)))
+    sql["conjunctive_search"] = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split({_DUCK_NORM}, ' '), w -> w <> '') AS toks
+           FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+c AS (SELECT doc_id, {_cs_tfs} FROM t)
+SELECT doc_id, CAST({_cs_sum} AS BIGINT) AS total_tf
+FROM c WHERE {_cs_all} ORDER BY doc_id
+""".strip()
+
     # batch replay of the streaming windowed counts: same matcher
     # restatement over (ts, line), tumbling hour windows as epoch_us
     windowed_src = matcher_oracle_sql(
@@ -3833,6 +3975,10 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "match_log_lines": q_match_log_lines,
         "match_assignments": q_match_assignments,
+        "template_cooccurrence": q_template_cooccurrence,
+        "template_transitions": q_template_transitions,
+        "posting_lists": q_posting_lists,
+        "conjunctive_search": q_conjunctive_search,
         "windowed_template_counts": q_windowed_template_counts,
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,

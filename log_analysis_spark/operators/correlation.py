@@ -1,0 +1,153 @@
+"""Template correlation mining over matched assignments.
+
+After the matcher assigns a ``template_id`` per line, the classic
+log-analytics questions are correlational: which templates fire
+TOGETHER (alarm correlation — a disk-error template co-occurring with a
+timeout template across many hosts points at one root cause), and which
+template FOLLOWS which (workflow / error-sequence mining). The
+reference's aggregation layer stops at per-template tallies
+(src/log_matcher.rs:214-252 grouping counts; src/clickhouse_client.rs:
+199-218 per-template count + samples); these two operators are the
+next analytics step a user of that service runs on the routed sinks.
+
+Scale shapes:
+- ``template_cooccurrence``: the corpus-sized input collapses FIRST to
+  the distinct (group, template) relation — one Exchange; everything
+  after is sized by |groups| x avg-templates-per-group, never by turns.
+  The self-join is keyed on the group column, so both sides share one
+  hash partitioning (a single shuffle of the distinct relation, then a
+  co-partitioned sort-merge join); per-group fan-out is C(k, 2) where
+  k = distinct templates in that group — bounded by the template-pool
+  size, and in practice by how many distinct shapes one conversation
+  emits. ``max_group_templates`` guards the pathological group (a
+  conversation that touched half the pool would contribute ~|pool|^2/2
+  pairs): groups past the cap are EXCLUDED (with their marginal
+  contribution intact), never silently truncated — exclusion keeps the
+  pair counts exact over the groups actually mined, the same
+  honest-cap contract as dedup.ngram_jaccard_pairs' max_doc_freq.
+- ``template_transitions``: one (group) window for lead() — the same
+  hash(group) partitioning every transcript operator shares — then a
+  groupBy over (template, next) whose key space is bounded by observed
+  template bigrams, so the second Exchange moves map-side partials only.
+
+Both emit COUNTS (plus the group total as a column for
+template_cooccurrence); derived scores (lift, confidence, PMI) are
+trivial arithmetic the caller does at whatever precision it needs —
+keeping floats out of the distributed plan keeps the results
+engine-exact for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def template_cooccurrence(
+    assign_df: DataFrame,
+    group_col: str = "conv_id",
+    template_col: str = "template_id",
+    min_pair_groups: int = 1,
+    max_group_templates: int | None = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Template co-occurrence counts: for every unordered template pair
+    (a < b), in how many groups (conversations / hosts / users) both
+    fired at least once.
+
+    Output: (t_a, t_b, n_pair_groups, support_a, support_b,
+    n_total_groups) — one row per pair with ``n_pair_groups >=
+    min_pair_groups``. ``support_*`` are the per-template group counts
+    and ``n_total_groups`` the number of groups with any match, so lift
+    = n_pair_groups * n_total_groups / (support_a * support_b) is a
+    column expression away (see q_template_cooccurrence for the
+    integer-ppm rendering the correctness gate uses).
+
+    NULL template ids (unmatched lines) are ignored. Groups with more
+    than ``max_group_templates`` distinct templates are excluded from
+    PAIR mining (not truncated — see module docstring); supports and
+    the group total still count every group.
+
+    ``materialize=True`` (default, the minhash_lsh_pairs discipline):
+    the distinct (group, template) relation feeds SIX consumers (both
+    self-join sides, the cap's group-size relation, two marginal
+    rollups, the group total) — without persist each consumer
+    re-executes the upstream plan, i.e. six full match-UDF passes over
+    the corpus (verified in the executed plan). The small
+    template-pair-bounded result is localCheckpointed and the internal
+    cache released before returning; ``False`` returns the lazy plan
+    and the caller owns the persisted internal.
+    """
+    d = (
+        assign_df.filter(F.col(template_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(template_col).alias("t"))
+        .distinct()
+        .persist()
+    )
+    # marginals + the scalar total, all derived from the distinct
+    # relation (d is multi-consumer but tiny relative to the input —
+    # |groups| x templates-per-group rows)
+    sup = d.groupBy("t").agg(F.count(F.lit(1)).alias("support"))
+    total = d.select(F.countDistinct("g").alias("n_total_groups"))
+
+    mined = d
+    if max_group_templates is not None:
+        k = d.groupBy("g").agg(F.count(F.lit(1)).alias("_k"))
+        mined = d.join(
+            F.broadcast(k.filter(F.col("_k") > max_group_templates)),
+            "g", "left_anti")
+    a = mined.alias("a")
+    b = mined.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.g") == F.col("b.g"),
+                      F.col("a.t") < F.col("b.t")])
+        .groupBy(F.col("a.t").alias("t_a"), F.col("b.t").alias("t_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair_groups"))
+        .filter(F.col("n_pair_groups") >= min_pair_groups)
+    )
+    # support dim is bounded by the template pool -> broadcast; the
+    # 1-row total crossJoins broadcast-side (no shuffle)
+    out = (
+        pairs.join(F.broadcast(sup.withColumnRenamed("t", "t_a")
+                               .withColumnRenamed("support", "support_a")), "t_a")
+        .join(F.broadcast(sup.withColumnRenamed("t", "t_b")
+                          .withColumnRenamed("support", "support_b")), "t_b")
+        .crossJoin(F.broadcast(total))
+        .select("t_a", "t_b", "n_pair_groups", "support_a", "support_b",
+                "n_total_groups")
+    )
+    if materialize:
+        out = out.localCheckpoint()  # template-pair-bounded, tiny
+        d.unpersist()
+    return out
+
+
+def template_transitions(
+    assign_df: DataFrame,
+    group_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    template_col: str = "template_id",
+) -> DataFrame:
+    """Template-sequence Markov statistics: count (template, next
+    template) over the MATCHED subsequence of each group, ordered by
+    ``order_cols`` (which must totally order rows within a group —
+    pass a unique tie-break column when the primary key can repeat).
+
+    Unmatched (NULL-template) lines are dropped BEFORE the window, so a
+    transition means "the next matched line", skipping noise lines in
+    between — the sequence a workflow miner wants. The last matched
+    line of each group has no successor (lead() NULL) and is excluded.
+
+    The template-pool analog of transcript.tool_transitions; one
+    hash(group) Exchange for the window, then a map-side-collapsing
+    groupBy over observed template bigrams.
+    """
+    w = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    nxt = F.lead(F.col(template_col)).over(w)
+    return (
+        assign_df.filter(F.col(template_col).isNotNull())
+        .withColumn("next_template_id", nxt)
+        .filter(F.col("next_template_id").isNotNull())
+        .groupBy(F.col(template_col), F.col("next_template_id"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1,0 +1,118 @@
+"""Inverted-index search over a document/log corpus.
+
+The reference serves "which lines contain these literals" via its
+Aho-Corasick matcher at ingest time; the complementary OFFLINE shape —
+a user investigating an incident wants every document containing ALL of
+k query terms — is a posting-list problem. At 100 TB you cannot regex
+the corpus per query: you build the inverted index once (one shuffle,
+stored partitioned by term) and answer conjunctive queries by
+intersecting postings.
+
+Tokenization is the dedup family's canonical form (WS_CLASS lowercase
+normalization, operators/dedup.normalized_text) so the index, the
+dedup shingles, and the DuckDB oracles all agree token-for-token on
+every engine.
+
+Scale shapes:
+- ``build_postings``: explode + groupBy(term, doc) — ONE Exchange of
+  (term, doc_id) pairs with map-side partial counts. Write the result
+  ``partitionBy(bucket(term))`` and queries prune to their terms'
+  buckets. Stop-word-grade terms produce corpus-sized postings; the
+  optional ``max_doc_freq`` drops terms past the cap AFTER counting
+  (the df column is exact), mirroring max_doc_freq in
+  dedup.ngram_jaccard_pairs.
+- ``conjunctive_search``: the k query terms are a literal broadcast —
+  the exploded token stream filters map-side (isin over k strings)
+  BEFORE any shuffle, so the single groupBy(doc) Exchange moves only
+  rows that mention a query term, never the corpus. A doc qualifies
+  when it matched all k distinct terms. No posting-list collect, no
+  driver-side intersection — the intersection IS the group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+
+def _terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token occurrence: (id, term), empties dropped."""
+    toks = F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The inverted index: (term, doc_id, tf) — term frequency per
+    document. Deterministic and engine-portable (counts only).
+
+    ``max_doc_freq``: drop terms appearing in more than this many
+    documents (stop-word postings are corpus-sized and answer no
+    selective query). The filter runs on the exact df computed from the
+    grouped relation — a window over the (term)-partitioned result, no
+    extra scan of the input.
+    """
+    tf = (
+        _terms(df, id_col, text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+        tf = tf.withColumn("_df", df_w).filter(
+            F.col("_df") <= max_doc_freq).drop("_df")
+    return tf
+
+
+def posting_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term index statistics: (term, doc_freq, total_tf) — the
+    dictionary relation of the inverted index (what a query planner
+    consults to order an intersection by selectivity)."""
+    return (
+        build_postings(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"),
+             F.sum("tf").alias("total_tf"))
+    )
+
+
+def conjunctive_search(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing ALL of ``terms`` (after canonical
+    normalization): (id, total_tf) where total_tf sums the query terms'
+    frequencies in that document — a simple conjunctive relevance
+    ranking signal.
+
+    ``terms`` must already be normalized tokens (lowercase, no
+    whitespace); they are matched exactly against the index tokens.
+    """
+    if not terms:
+        raise ValueError("conjunctive_search needs at least one term")
+    norm = sorted(set(terms))
+    hits = _terms(df, id_col, text_col).filter(F.col("term").isin(list(norm)))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.countDistinct("term").alias("_k"),
+             F.count(F.lit(1)).alias("total_tf"))
+        .filter(F.col("_k") == len(norm))
+        .drop("_k")
+    )

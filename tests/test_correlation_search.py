@@ -1,0 +1,157 @@
+"""Template correlation mining + inverted-index search operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.correlation import (
+    template_cooccurrence,
+    template_transitions,
+)
+from log_analysis_spark.operators.search import (
+    build_postings,
+    conjunctive_search,
+    posting_stats,
+)
+
+
+def _assign(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, template_id long")
+
+
+# ---------------------------------------------------------------------------
+# template_cooccurrence
+
+
+def test_cooccurrence_counts_and_supports(spark):
+    df = _assign(spark, [
+        ("c1", 0, 1), ("c1", 1, 2), ("c1", 2, 2),   # dup (c1,2) collapses
+        ("c2", 0, 1), ("c2", 1, 2), ("c2", 2, 3),
+        ("c3", 0, 1), ("c3", 1, None),              # unmatched ignored
+    ])
+    out = {(r["t_a"], r["t_b"]): r
+           for r in template_cooccurrence(df).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    r12 = out[(1, 2)]
+    assert r12["n_pair_groups"] == 2            # c1 and c2
+    assert r12["support_a"] == 3                # t1 in c1,c2,c3
+    assert r12["support_b"] == 2                # t2 in c1,c2
+    assert r12["n_total_groups"] == 3           # c3 counts (it matched t1)
+    assert out[(1, 3)]["n_pair_groups"] == 1
+    assert out[(2, 3)]["n_pair_groups"] == 1
+
+
+def test_cooccurrence_min_pair_filter(spark):
+    df = _assign(spark, [
+        ("c1", 0, 1), ("c1", 1, 2),
+        ("c2", 0, 1), ("c2", 1, 2),
+        ("c3", 0, 1), ("c3", 1, 3),
+    ])
+    out = template_cooccurrence(df, min_pair_groups=2).collect()
+    assert [(r["t_a"], r["t_b"]) for r in out] == [(1, 2)]
+
+
+def test_cooccurrence_group_cap_excludes_not_truncates(spark):
+    # c1 has 3 distinct templates (> cap 2) -> contributes NO pairs, but
+    # its supports and the group total still count it
+    df = _assign(spark, [
+        ("c1", 0, 1), ("c1", 1, 2), ("c1", 2, 3),
+        ("c2", 0, 1), ("c2", 1, 2),
+    ])
+    out = {(r["t_a"], r["t_b"]): r
+           for r in template_cooccurrence(df, max_group_templates=2).collect()}
+    assert set(out) == {(1, 2)}                 # c1's pairs all excluded
+    r = out[(1, 2)]
+    assert r["n_pair_groups"] == 1              # only c2 mined
+    assert r["support_a"] == 2 and r["support_b"] == 2  # c1 still counted
+    assert r["n_total_groups"] == 2
+
+
+def test_cooccurrence_empty_and_all_null(spark):
+    df = _assign(spark, [("c1", 0, None), ("c2", 0, None)])
+    assert template_cooccurrence(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# template_transitions
+
+
+def test_transitions_skip_unmatched_lines(spark):
+    # matched subsequence of c1 is 1 -> 2 -> 1 (the NULL line between
+    # does not break the chain)
+    df = _assign(spark, [
+        ("c1", 0, 1), ("c1", 1, None), ("c1", 2, 2), ("c1", 3, 1),
+        ("c2", 0, 5),                                # singleton: no pair
+    ])
+    out = {(r["template_id"], r["next_template_id"]): r["n_transitions"]
+           for r in template_transitions(df).collect()}
+    assert out == {(1, 2): 1, (2, 1): 1}
+
+
+def test_transitions_order_cols_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("c1", 5, 0, 1), ("c1", 5, 1, 2), ("c1", 6, 0, 3)],
+        "conv_id string, ts int, uid int, template_id long")
+    out = {(r["template_id"], r["next_template_id"]): r["n_transitions"]
+           for r in template_transitions(
+               df, order_cols=("ts", "uid")).collect()}
+    assert out == {(1, 2): 1, (2, 3): 1}
+
+
+# ---------------------------------------------------------------------------
+# search
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_build_postings_tf_and_normalization(spark):
+    df = _docs(spark, [
+        (1, "Hash  JOIN hash"),        # case + whitespace collapse
+        (2, "scan\thash"),
+        (3, None),                     # NULL text -> no tokens
+    ])
+    out = {(r["term"], r["doc_id"]): r["tf"]
+           for r in build_postings(df).collect()}
+    assert out == {("hash", 1): 2, ("join", 1): 1,
+                   ("scan", 2): 1, ("hash", 2): 1}
+
+
+def test_build_postings_max_doc_freq_drops_stopwords(spark):
+    df = _docs(spark, [(i, "the term%d" % i) for i in range(4)])
+    out = build_postings(df, max_doc_freq=2).collect()
+    assert all(r["term"] != "the" for r in out)    # df=4 > 2 dropped
+    assert len(out) == 4                           # the rare terms stay
+
+
+def test_posting_stats(spark):
+    df = _docs(spark, [(1, "a b a"), (2, "a c")])
+    out = {r["term"]: (r["doc_freq"], r["total_tf"])
+           for r in posting_stats(df).collect()}
+    assert out == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
+
+
+def test_conjunctive_search_requires_all_terms(spark):
+    df = _docs(spark, [
+        (1, "hash join scan"),
+        (2, "hash join"),              # missing scan
+        (3, "hash scan join hash"),
+    ])
+    out = {r["doc_id"]: r["total_tf"]
+           for r in conjunctive_search(df, ("hash", "join", "scan")).collect()}
+    assert out == {1: 3, 3: 4}
+
+
+def test_conjunctive_search_dedups_query_terms(spark):
+    df = _docs(spark, [(1, "x y")])
+    out = conjunctive_search(df, ("x", "x", "y")).collect()
+    assert [(r["doc_id"], r["total_tf"]) for r in out] == [(1, 2)]
+
+
+def test_conjunctive_search_empty_terms_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        conjunctive_search(_docs(spark, [(1, "a")]), ())
