@@ -188,6 +188,7 @@ def main() -> None:
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",
         "posting_lists", "conjunctive_search",
+        "variable_value_topk", "template_lifecycle",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

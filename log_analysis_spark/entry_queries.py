@@ -445,6 +445,56 @@ def q_template_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template top variable values (operators/aggregates.
+    top_values_per_group): for each template, the 3 most frequent
+    first-capture values — the troubleshooting drill-down ("which ids
+    hit this error template?"). Deterministic (count DESC, value ASC)
+    tie-break; the window runs over the (template, value)-distinct
+    relation, never the line stream."""
+    from .matcher import variables_udf, with_template_id
+    from .operators.aggregates import top_values_per_group
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("event_id", F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    matched = with_template_id(lines, spark, m, text_col="line") \
+        .filter(F.col("template_id").isNotNull())
+    vars_col = variables_udf(spark, m)(F.col("line"), F.col("template_id"))
+    v = matched.select("template_id",
+                       F.try_element_at(vars_col, F.lit(1)).alias("value"))
+    return (
+        top_values_per_group(v, "template_id", "value", k=3)
+        .orderBy("template_id", "rank")
+    )
+
+
+def q_template_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template lifecycle / novelty stats: first seen, last seen, match
+    count, and distinct active hours per template — the rollup behind
+    "is this error shape new?" and retention decisions. One
+    groupBy(template) Exchange over the matched stream; countDistinct
+    on the hour bucket keeps the distinct state |templates| x |hours|,
+    bounded by the time range, not the stream."""
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    assign = (lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+              .filter(F.col("template_id").isNotNull()
+                      & F.col("ts").isNotNull()))
+    return (
+        assign.groupBy("template_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_seen_us"),
+             F.max(F.unix_micros("ts")).alias("last_seen_us"),
+             F.count(F.lit(1)).alias("n_matches"),
+             F.countDistinct(F.date_trunc("hour", F.col("ts")))
+              .alias("n_active_hours"))
+        .orderBy("template_id")
+    )
+
+
 # Conjunctive-search query terms: moderately common tokens of the
 # documents fixture (each ~2 occurrences/doc average), normalized form.
 _SEARCH_TERMS = ("hash", "join", "scan")
@@ -2455,6 +2505,19 @@ GROUP BY 1, 2, 3
 ORDER BY window_start_us, template_id ASC NULLS FIRST
 """.strip()
 
+    # template lifecycle: first/last seen + distinct active hours over
+    # the same (ts, line) matcher restatement
+    sql["template_lifecycle"] = f"""
+WITH _assign AS ({windowed_src})
+SELECT template_id,
+       min(epoch_us(ts)) AS first_seen_us,
+       max(epoch_us(ts)) AS last_seen_us,
+       count(*) AS n_matches,
+       count(DISTINCT date_trunc('hour', ts)) AS n_active_hours
+FROM _assign WHERE template_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY template_id ORDER BY template_id
+""".strip()
+
     from .functions.format_detect import format_detect_sql
     from .functions.masks import mask_sql_duck
 
@@ -3158,6 +3221,22 @@ SELECT event_id, template_id,
        CASE template_id {' '.join(v1_cases)} ELSE NULL END AS v1,
        CASE template_id {' '.join(v2_cases)} ELSE NULL END AS v2
 FROM _assign ORDER BY event_id
+""".strip()
+
+    # per-template top variable values: the same v1 CASE chain, rolled
+    # up with the deterministic (count DESC, value ASC) window cut
+    sql["variable_value_topk"] = f"""
+WITH _assign AS ({assignments}),
+v AS (SELECT template_id,
+             CASE template_id {' '.join(v1_cases)} ELSE NULL END AS value
+      FROM _assign WHERE template_id IS NOT NULL),
+c AS (SELECT template_id, value, count(*) AS n_rows
+      FROM v WHERE value IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY template_id
+                                   ORDER BY n_rows DESC, value ASC) AS rank
+      FROM c)
+SELECT template_id, value, n_rows, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3 ORDER BY template_id, rank
 """.strip()
 
     from .operators.redaction import PII_RULES, pii_span_counts_sql_duck, redact_sql_duck
@@ -3979,6 +4058,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_transitions": q_template_transitions,
         "posting_lists": q_posting_lists,
         "conjunctive_search": q_conjunctive_search,
+        "variable_value_topk": q_variable_value_topk,
+        "template_lifecycle": q_template_lifecycle,
         "windowed_template_counts": q_windowed_template_counts,
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,

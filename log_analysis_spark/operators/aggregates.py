@@ -271,3 +271,41 @@ def count_drift_robust(df: DataFrame, key_col: str, ts_col: str = "ts",
                 z.alias("z_r"),
                 (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"))
     )
+
+
+def top_values_per_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k values by count WITHIN each group: (group, value, n_rows,
+    rank), rank 1..k per group, tie-break (count DESC, value ASC) —
+    fully deterministic, so the cut is engine-exact.
+
+    The drill-down behind every per-template investigation ("which ids
+    hit this error template?"): a global top-k (TakeOrderedAndProject)
+    cannot answer it, and collecting per-group value lists to the
+    driver is unbounded. Plan: one partial-agg shuffle on
+    (group, value) — the only corpus-scale move — then a
+    row_number window over the (group, value)-distinct relation,
+    partitioned by group: the window input is |distinct values|, never
+    |rows|, and the rank<=k filter drops everything else before any
+    further stage. NULL values are excluded (they mean "no capture",
+    not a value). A group with a pathological distinct-value count
+    sorts within one partition at window time — the same bound the
+    salted two-phase template_counts handles upstream when the GROUP
+    key itself is hot; here the window key is (group), already
+    collapsed by the first agg.
+    """
+    c = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_rows"), F.asc(value_col))
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

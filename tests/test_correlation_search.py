@@ -155,3 +155,28 @@ def test_conjunctive_search_empty_terms_raises(spark):
 
     with pytest.raises(ValueError):
         conjunctive_search(_docs(spark, [(1, "a")]), ())
+
+
+# ---------------------------------------------------------------------------
+# top_values_per_group (operators/aggregates)
+
+
+def test_top_values_per_group_rank_and_ties(spark):
+    from log_analysis_spark.operators.aggregates import top_values_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "c"), (1, "c"), (2, "z")],
+        "g long, v string")
+    out = {(r["g"], r["rank"]): (r["v"], r["n_rows"])
+           for r in top_values_per_group(df, "g", "v", k=2).collect()}
+    # counts: a=2, c=2, b=1 -> tie at 2 broken by value ASC (a before c)
+    assert out == {(1, 1): ("a", 2), (1, 2): ("c", 2), (2, 1): ("z", 1)}
+
+
+def test_top_values_per_group_excludes_nulls(spark):
+    from log_analysis_spark.operators.aggregates import top_values_per_group
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, "x")], "g long, v string")
+    out = top_values_per_group(df, "g", "v", k=5).collect()
+    assert [(r["v"], r["n_rows"]) for r in out] == [("x", 1)]
