@@ -188,7 +188,7 @@ def main() -> None:
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",
         "posting_lists", "conjunctive_search",
-        "variable_value_topk", "template_lifecycle",
+        "variable_value_topk", "template_lifecycle", "stitch_multiline",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -495,6 +495,38 @@ def q_template_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-line stitching fixture: every third event emits a continuation
+# line (indented stack frame), the rest ISO-timestamped anchors; valid
+# in both engines ({S} = STRING / VARCHAR).
+_ML_LINE_SQL = """
+CASE WHEN event_id % 3 = 2
+  THEN concat('    at frame ', CAST(event_id AS {S}))
+  ELSE concat('2024-01-01 12:00:00 INFO event ', CAST(event_id AS {S}))
+END
+""".strip()
+
+
+def q_stitch_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line log stitching (functions/multiline.stitch_multiline —
+    the logstash/filebeat multiline codec): continuation lines fold
+    into their ISO-timestamp anchor within each source file; orphan
+    prefixes survive flagged. Gaps-and-islands over (source, line_no),
+    one hash(source) Exchange shared by window and rollup."""
+    from .functions.multiline import stitch_multiline
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("f"),
+                 (F.coalesce(F.col("user_id"), F.lit(0)) % 7).cast("string")
+                 ).alias("source"),
+        F.col("event_id").alias("line_no"),
+        F.expr(_ML_LINE_SQL.format(S="STRING")).alias("text"))
+    return (
+        stitch_multiline(lines, anchor_pattern=r"^[0-9]{4}-")
+        .orderBy("source", "rec_idx")
+    )
+
+
 # Conjunctive-search query terms: moderately common tokens of the
 # documents fixture (each ~2 occurrences/doc average), normalized form.
 _SEARCH_TERMS = ("hash", "join", "scan")
@@ -2505,6 +2537,22 @@ GROUP BY 1, 2, 3
 ORDER BY window_start_us, template_id ASC NULLS FIRST
 """.strip()
 
+    # multi-line stitching replay: same anchor regex (common Java/RE2
+    # subset), sum-over-window record ids, string_agg in line order
+    ml_line_duck = _ML_LINE_SQL.format(S="VARCHAR")
+    sql["stitch_multiline"] = f"""
+WITH l AS (SELECT concat('f', CAST(coalesce(user_id, 0) % 7 AS VARCHAR)) AS source,
+                  event_id AS line_no, {ml_line_duck} AS text
+           FROM events),
+s AS (SELECT *, CASE WHEN regexp_matches(text, '^[0-9]{{4}}-') THEN 1 ELSE 0 END AS a FROM l),
+c AS (SELECT *, sum(a) OVER (PARTITION BY source ORDER BY line_no) AS rec_idx FROM s)
+SELECT source, rec_idx,
+       string_agg(text, chr(10) ORDER BY line_no) AS text,
+       count(*) AS n_lines, min(line_no) AS first_line_no,
+       rec_idx = 0 AS is_orphan, rec_idx > 0 AS starts_with_anchor
+FROM c GROUP BY source, rec_idx ORDER BY source, rec_idx
+""".strip()
+
     # template lifecycle: first/last seen + distinct active hours over
     # the same (ts, line) matcher restatement
     sql["template_lifecycle"] = f"""
@@ -4060,6 +4108,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_search": q_conjunctive_search,
         "variable_value_topk": q_variable_value_topk,
         "template_lifecycle": q_template_lifecycle,
+        "stitch_multiline": q_stitch_multiline,
         "windowed_template_counts": q_windowed_template_counts,
         "format_detect": q_format_detect,
         "mask_signature": q_mask_signature,

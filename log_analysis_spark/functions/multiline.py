@@ -1,0 +1,98 @@
+"""Multi-line log stitching (the logstash/filebeat "multiline codec").
+
+Raw log files interleave ANCHOR lines (a new record: starts with a
+timestamp, a level, a syslog header...) with CONTINUATION lines (stack
+frames, wrapped messages, indented key=value dumps). Every line-oriented
+matcher — the reference's included (src/log_matcher.rs matches one line
+at a time) — assumes stitching already happened upstream; this operator
+is that upstream step, distributed.
+
+Semantics: within each ``group_col`` (file, conversation, host), lines
+ordered by ``order_col``; a line matching ``anchor_pattern`` starts a
+new record; following non-anchor lines append to it in order. Lines
+BEFORE the first anchor of a group have no parent — they come out as
+record 0 with ``is_orphan = true`` (dropping data silently is not this
+engine's style; the caller decides).
+
+Scale shape: the classic gaps-and-islands plan — one hash(group)
+Exchange shared by the anchor-cumsum window and the record rollup
+(groupBy on (group, rec_idx), a superset of the window partitioning, so
+Catalyst reuses the partitioning; same audited shape as
+transcript.merge_consecutive_turns). Record text is
+sort_array(collect_list(struct)) — engine-exact line order. Record size
+is bounded by the anchor density of the DATA, which an adversarial
+input can break (a 10 GB file with one anchor = one 10 GB record):
+``max_lines_per_record`` deterministically splits oversized records at
+that many lines (continuation chunks keep the record's anchor flag
+off in ``starts_with_anchor`` so downstream can tell), bounding
+per-record memory by construction.
+
+Regex discipline: ``anchor_pattern`` is evaluated by Spark's rlike
+(Java regex) and, in oracles, DuckDB's regexp_matches (RE2). Stick to
+the common subset (literals, classes, quantifiers, ^) — same rule as
+the masks/format_detect patterns (functions/masks.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# a pragmatic default: ISO date, syslog month, or level-first lines
+# start records; indented/blank/other lines continue them
+DEFAULT_ANCHOR = r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[A-Z][a-z]{2} +[0-9]{1,2} |(ERROR|WARN|INFO|DEBUG|TRACE)[: ])"
+
+
+def stitch_multiline(
+    df: DataFrame,
+    anchor_pattern: str = DEFAULT_ANCHOR,
+    group_col: str = "source",
+    order_col: str = "line_no",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_lines_per_record: int | None = None,
+) -> DataFrame:
+    """Fold continuation lines into their anchor line. Output one row
+    per stitched record: (group, rec_idx, text, n_lines,
+    first_<order_col>, is_orphan, starts_with_anchor).
+
+    ``rec_idx`` counts anchors seen so far within the group (0 = orphan
+    prefix); with ``max_lines_per_record`` set, oversized records split
+    into chunks sub-indexed via the record-relative line rank, and only
+    the first chunk reports ``starts_with_anchor = true``.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    is_anchor = txt.rlike(anchor_pattern)
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    staged = df.withColumn("_anchor", is_anchor.cast("int")) \
+               .withColumn("rec_idx", F.sum("_anchor").over(w))
+    keys = [group_col, "rec_idx"]
+    if max_lines_per_record is not None:
+        wr = Window.partitionBy(group_col, "rec_idx").orderBy(order_col)
+        staged = staged.withColumn(
+            "chunk_idx",
+            ((F.row_number().over(wr) - 1) / F.lit(max_lines_per_record))
+            .cast("long"))
+        keys = keys + ["chunk_idx"]
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col(order_col).alias("o"), txt.alias("x")))),
+                    lambda s: s.getField("x")),
+                sep).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(order_col).alias(f"first_{order_col}"),
+        )
+        .withColumn("is_orphan", F.col("rec_idx") == 0)
+        .withColumn(
+            "starts_with_anchor",
+            # anchors sort first in each record (the anchor IS the
+            # lowest order_col by construction), so a chunk starts with
+            # one iff it is the record's first chunk of a non-orphan
+            (F.col("rec_idx") > 0)
+            & ((F.col("chunk_idx") == 0) if max_lines_per_record is not None
+               else F.lit(True)))
+    )

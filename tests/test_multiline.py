@@ -1,0 +1,76 @@
+"""Multi-line log stitching (functions/multiline)."""
+
+from __future__ import annotations
+
+from log_analysis_spark.functions.multiline import (
+    DEFAULT_ANCHOR,
+    stitch_multiline,
+)
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, line_no long, text string")
+
+
+def test_stitch_folds_continuations(spark):
+    df = _lines(spark, [
+        ("f1", 0, "2024-01-01 00:00:00 ERROR boom"),
+        ("f1", 1, "    at a.b.c(Main.java:1)"),
+        ("f1", 2, "    at d.e.f(Main.java:2)"),
+        ("f1", 3, "2024-01-01 00:00:01 INFO ok"),
+        ("f2", 0, "2024-01-01 00:00:02 INFO other"),
+    ])
+    out = {(r["source"], r["rec_idx"]): r
+           for r in stitch_multiline(df, anchor_pattern=r"^[0-9]{4}-").collect()}
+    assert len(out) == 3
+    rec = out[("f1", 1)]
+    assert rec["text"].count("\n") == 2 and rec["n_lines"] == 3
+    assert rec["text"].startswith("2024-01-01 00:00:00 ERROR boom\n")
+    assert rec["first_line_no"] == 0
+    assert not rec["is_orphan"] and rec["starts_with_anchor"]
+    assert out[("f1", 2)]["n_lines"] == 1
+    assert out[("f2", 1)]["n_lines"] == 1
+
+
+def test_stitch_orphan_prefix_survives_flagged(spark):
+    df = _lines(spark, [
+        ("f1", 0, "    leading junk"),
+        ("f1", 1, "    more junk"),
+        ("f1", 2, "2024-01-01 00:00:00 INFO first anchor"),
+    ])
+    out = {r["rec_idx"]: r
+           for r in stitch_multiline(df, anchor_pattern=r"^[0-9]{4}-").collect()}
+    orphan = out[0]
+    assert orphan["is_orphan"] and not orphan["starts_with_anchor"]
+    assert orphan["text"] == "    leading junk\n    more junk"
+    assert not out[1]["is_orphan"] and out[1]["starts_with_anchor"]
+
+
+def test_stitch_max_lines_splits_deterministically(spark):
+    rows = [("f1", 0, "2024-01-01 00:00:00 ERROR boom")] + [
+        ("f1", i, f"    frame {i}") for i in range(1, 6)]
+    df = _lines(spark, rows)
+    out = sorted(
+        stitch_multiline(df, anchor_pattern=r"^[0-9]{4}-",
+                         max_lines_per_record=2).collect(),
+        key=lambda r: r["chunk_idx"])
+    assert [r["n_lines"] for r in out] == [2, 2, 2]
+    assert [r["starts_with_anchor"] for r in out] == [True, False, False]
+    assert out[0]["text"].startswith("2024-01-01")
+    assert out[1]["text"] == "    frame 2\n    frame 3"
+
+
+def test_default_anchor_shapes(spark):
+    df = _lines(spark, [
+        ("f1", 0, "Jun 14 15:16:01 host sshd[1]: session opened"),
+        ("f1", 1, "ERROR: oops"),
+        ("f1", 2, "  detail line"),
+        ("f1", 3, None),                    # NULL -> "" -> continuation
+        ("f1", 4, "2024-01-01 00:00:00 next"),
+    ])
+    out = {r["rec_idx"]: r for r in stitch_multiline(df).collect()}
+    assert DEFAULT_ANCHOR.startswith("^")
+    assert out[1]["n_lines"] == 1           # syslog anchor
+    assert out[2]["n_lines"] == 3           # ERROR + detail + NULL
+    assert out[3]["text"] == "2024-01-01 00:00:00 next"
