@@ -600,3 +600,65 @@ def compact_sink(
         shutil.rmtree(tmp, ignore_errors=True)
         results[leaf] = (len(files), len(new))
     return results
+
+
+def retention_delete(
+    spark: SparkSession,
+    path: str,
+    older_than_ds: str,
+    partition_col: str = "ds",
+) -> list[str]:
+    """Retention pruning for date-partitioned sinks: delete every
+    ``ds=<date>`` partition directory strictly OLDER than
+    ``older_than_ds`` ('YYYY-MM-DD'). Returns the partition URIs
+    removed, sorted.
+
+    The companion job to ``route_and_write(time_partition=...)`` and
+    ``compact_sink``: at 10^12 turns retention must be a DIRECTORY
+    operation — a DELETE-rewrite of the table would move almost all of
+    it. Leading date partitions make the prune O(|days dropped|)
+    directory removals, zero data reads (the Iceberg analog is
+    expire-snapshots + drop-partition metadata ops; this path layout
+    deliberately mirrors it).
+
+    Safety: only first-level children literally named
+    ``<partition_col>=YYYY-MM-DD`` are candidates (malformed or
+    non-date names are never touched), a missing sink raises instead
+    of silently no-oping (a mis-pointed path must not report "nothing
+    to delete"), and comparison is lexicographic on the ISO form,
+    which equals date order. An existing sink with nothing old enough
+    legitimately returns []. Scheme-aware like every sink probe: local
+    paths use the filesystem, remote URIs go through Hadoop's
+    FileSystem.
+    """
+    import re as _re
+    import shutil
+
+    if not _re.fullmatch(r"\d{4}-\d{2}-\d{2}", older_than_ds):
+        raise ValueError(f"older_than_ds must be YYYY-MM-DD, got {older_than_ds!r}")
+    prefix = partition_col + "="
+    date_re = _re.compile(_re.escape(prefix) + r"(\d{4}-\d{2}-\d{2})$")
+
+    removed: list[str] = []
+    local = _local_fs_path(path)
+    if local is not None:
+        if not os.path.isdir(local):
+            raise FileNotFoundError(f"retention_delete: no such sink {path!r}")
+        for name in sorted(os.listdir(local)):
+            m2 = date_re.fullmatch(name)
+            if m2 and m2.group(1) < older_than_ds:
+                shutil.rmtree(os.path.join(local, name))
+                removed.append(os.path.join(path, name))
+        return removed
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"retention_delete: no such sink {path!r}")
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        m2 = date_re.fullmatch(name)
+        if st.isDirectory() and m2 and m2.group(1) < older_than_ds:
+            fs.delete(st.getPath(), True)
+            removed.append(st.getPath().toString())
+    return sorted(removed)

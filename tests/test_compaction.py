@@ -59,3 +59,41 @@ def test_compact_sink_respects_target(spark, tmp_path):
 def test_compact_sink_rejects_remote_uri(spark):
     with pytest.raises(ValueError, match="local paths only"):
         compact_sink(spark, "s3a://bucket/sink")
+
+
+# ---------------------------------------------------------------------------
+# retention_delete
+
+
+def test_retention_delete_prunes_old_partitions(spark, tmp_path):
+    from log_analysis_spark.sources.writers import retention_delete
+
+    sink = str(tmp_path / "rsink")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "id long, ds string")
+    df.write.partitionBy("ds").parquet(sink)
+    # a non-partition child and a malformed ds value must survive
+    os.makedirs(os.path.join(sink, "ds=not-a-date"))
+    open(os.path.join(sink, "_SUCCESS_EXTRA"), "w").close()
+
+    removed = retention_delete(spark, sink, older_than_ds="2024-01-03")
+    assert [os.path.basename(p) for p in removed] == [
+        "ds=2024-01-01", "ds=2024-01-02"]
+    left = sorted(os.listdir(sink))
+    assert "ds=2024-01-03" in left and "ds=not-a-date" in left
+    rows = spark.read.parquet(sink).collect()
+    # partition-column inference reads ds back as a DATE
+    assert [(r["id"], str(r["ds"])) for r in rows] == [(3, "2024-01-03")]
+
+    # nothing old enough -> legitimate []
+    assert retention_delete(spark, sink, older_than_ds="2024-01-01") == []
+
+
+def test_retention_delete_loud_failures(spark, tmp_path):
+    from log_analysis_spark.sources.writers import retention_delete
+
+    with pytest.raises(FileNotFoundError):
+        retention_delete(spark, str(tmp_path / "nope"), "2024-01-01")
+    with pytest.raises(ValueError):
+        retention_delete(spark, str(tmp_path), "Jan 1 2024")
