@@ -692,3 +692,130 @@ def rate_transcript_stream(
         F.element_at(tools, (v % 6 + 1).cast("int")).alias("tool"),
         F.col("timestamp").alias("ts"),
     )
+
+
+def streaming_stitch_multiline(
+    stream_df: DataFrame,
+    anchor_pattern: str | None = None,
+    group_col: str = "source",
+    order_col: str = "line_no",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_pending_lines: int = 10_000,
+    flush_timeout_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming multi-line stitching — the filebeat multiline codec as
+    a stateful operator (``applyInPandasWithState``), the streaming twin
+    of ``functions/multiline.stitch_multiline``. Real ingest TAILS logs,
+    so a stack trace routinely spans micro-batches: the lines since the
+    last anchor are exactly the state this operator keeps per source.
+
+    Per source and micro-batch: pending state lines + arriving lines
+    merge in ``order_col`` order, split into records at
+    ``anchor_pattern`` lines; every record with a SUCCESSOR anchor is
+    complete and emits (source, text, n_lines, first_<order>,
+    starts_with_anchor, forced); the trailing record stays in state —
+    it may still be growing. Output parity with the batch operator on
+    the emitted prefix is pinned in tests.
+
+    Contract and bounds:
+    - ``order_col`` must be append-ordered per source across batches
+      (the tailer contract). A late line merges into the PENDING record
+      at its sorted position; lines older than the pending record
+      cannot be re-stitched into already-emitted records (they stitch
+      at the pending record's front — at-least-once ordering noise,
+      same honesty rule as the near-dup operator's per-band emits).
+    - anchor-free input cannot grow state forever:
+      ``max_pending_lines`` force-emits full chunks (``forced=true``,
+      continuation chunks report ``starts_with_anchor=false``) — the
+      streaming analog of the batch ``max_lines_per_record`` split.
+    - a source that stops mid-record holds its tail in state;
+      ``flush_timeout_seconds`` (ProcessingTimeTimeout, OPT-IN for the
+      same processAllAvailable-never-quiesces reason documented on
+      streaming_neardup_pairs) emits the pending tail and clears the
+      group after that idle period.
+    - the anchor regex runs under Python ``re`` here and Java regex in
+      the batch operator — stick to the common subset
+      (functions/multiline module discipline).
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.multiline import DEFAULT_ANCHOR
+
+    pat = _re.compile(anchor_pattern if anchor_pattern is not None
+                      else DEFAULT_ANCHOR)
+    ttl_ms = (None if flush_timeout_seconds is None
+              else int(flush_timeout_seconds * 1000))
+    first_col = f"first_{order_col}"
+
+    def _emit(recs: list[list[tuple[int, str]]], forced: bool) -> dict:
+        return {
+            "text": [sep.join(x for _, x in r) for r in recs],
+            "n_lines": [len(r) for r in recs],
+            first_col: [r[0][0] for r in recs],
+            "starts_with_anchor": [bool(pat.search(r[0][1])) for r in recs],
+            "forced": [forced] * len(recs),
+        }
+
+    def _stitch(key, pdfs, state: GroupState):
+        src = key[0]
+        if state.hasTimedOut:
+            nos_t, txts_t = state.get
+            out = (_emit([list(zip(nos_t, txts_t))], True)
+                   if nos_t else _emit([], True))
+            state.remove()
+            yield pd.DataFrame({"source": [src] * len(out["text"]), **out})
+            return
+        pending: list[tuple[int, str]] = []
+        if state.exists:
+            nos_t, txts_t = state.get
+            pending = list(zip(nos_t, txts_t))
+        new: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            for no, txt in zip(pdf[order_col], pdf[text_col]):
+                new.append((int(no), txt if isinstance(txt, str) else ""))
+        lines = sorted(pending + new, key=lambda t: t[0])
+        complete: list[list[tuple[int, str]]] = []
+        cur: list[tuple[int, str]] = []
+        for no, txt in lines:
+            if pat.search(txt) and cur:
+                complete.append(cur)
+                cur = []
+            cur.append((no, txt))
+        frames = []
+        if complete:
+            frames.append(_emit(complete, False))
+        while len(cur) > max_pending_lines:
+            frames.append(_emit([cur[:max_pending_lines]], True))
+            cur = cur[max_pending_lines:]
+        state.update(([no for no, _ in cur], [t for _, t in cur]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        rows = {
+            "source": [], "text": [], "n_lines": [], first_col: [],
+            "starts_with_anchor": [], "forced": []}
+        for fr in frames:
+            rows["source"].extend([src] * len(fr["text"]))
+            for k2 in ("text", "n_lines", first_col,
+                       "starts_with_anchor", "forced"):
+                rows[k2].extend(fr[k2])
+        yield pd.DataFrame(rows)
+
+    return (
+        stream_df.select(F.col(group_col).alias("source"),
+                         F.col(order_col), F.col(text_col))
+        .groupBy("source")
+        .applyInPandasWithState(
+            _stitch,
+            outputStructType=(f"source string, text string, n_lines long, "
+                              f"{first_col} long, starts_with_anchor boolean, "
+                              f"forced boolean"),
+            stateStructType="nos array<long>, txts array<string>",
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.NoTimeout if ttl_ms is None
+                         else GroupStateTimeout.ProcessingTimeTimeout),
+        )
+    )

@@ -746,3 +746,99 @@ def test_windowed_key_counts_drift_matches_batch(spark, tmp_path):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
     spike = [r for r in got if r["is_anomaly"]]
     assert len(spike) == 1 and spike[0]["n"] == 40
+
+
+def test_streaming_stitch_multiline_cross_batch(spark, tmp_path):
+    """Streaming multiline codec: a stack trace spanning TWO micro-
+    batches stitches into one record (the stateful point), the emitted
+    prefix matches the batch operator, and the still-growing tail stays
+    in state (not emitted) until its successor anchor arrives."""
+    import pandas as pd
+
+    from log_analysis_spark.functions.multiline import stitch_multiline
+    from log_analysis_spark.streaming.stream import streaming_stitch_multiline
+
+    in_dir = str(tmp_path / "ml_in")
+    os.makedirs(in_dir)
+    b1 = pd.DataFrame({
+        "source": ["f1"] * 3,
+        "line_no": [0, 1, 2],
+        "text": ["2024-01-01 00:00:00 ERROR boom",
+                 "    at a.b(Main.java:1)",
+                 "    at c.d(Main.java:2)"],
+    })
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "source string, line_no long, text string").parquet(in_dir)
+    out = streaming_stitch_multiline(stream, anchor_pattern=r"^[0-9]{4}-")
+    q = (out.writeStream.format("memory").queryName("ml_mem")
+         .option("checkpointLocation", str(tmp_path / "ml_ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # the record has no successor anchor yet -> NOTHING emitted
+        assert spark.sql("SELECT * FROM ml_mem").count() == 0
+
+        # batch 2: two more frames + the NEXT anchor -> record completes
+        b2 = pd.DataFrame({
+            "source": ["f1"] * 3,
+            "line_no": [3, 4, 5],
+            "text": ["    at e.f(Main.java:3)",
+                     "    caused by: xyz",
+                     "2024-01-01 00:00:01 INFO next record"],
+        })
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ml_mem").collect()
+        assert len(rows) == 1
+        rec = rows[0]
+        assert rec["n_lines"] == 5 and rec["first_line_no"] == 0
+        assert rec["starts_with_anchor"] and not rec["forced"]
+        assert rec["text"].count("\n") == 4
+
+        # parity with the batch operator on the emitted prefix
+        all_lines = spark.createDataFrame(
+            pd.concat([b1, b2], ignore_index=True))
+        batch_recs = {r["rec_idx"]: r for r in stitch_multiline(
+            all_lines, anchor_pattern=r"^[0-9]{4}-").collect()}
+        assert batch_recs[1]["text"] == rec["text"]
+        assert batch_recs[1]["n_lines"] == rec["n_lines"]
+    finally:
+        q.stop()
+
+
+def test_streaming_stitch_multiline_forced_chunking(spark, tmp_path):
+    """Anchor-free input cannot grow state forever: past
+    max_pending_lines the pending record force-emits in full chunks
+    (forced=true, continuation chunks starts_with_anchor=false) — the
+    bounded-state guarantee."""
+    import pandas as pd
+
+    from log_analysis_spark.streaming.stream import streaming_stitch_multiline
+
+    in_dir = str(tmp_path / "mlf_in")
+    os.makedirs(in_dir)
+    b1 = pd.DataFrame({
+        "source": ["f1"] * 7,
+        "line_no": list(range(7)),
+        "text": ["no anchors here %d" % i for i in range(7)],
+    })
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "source string, line_no long, text string").parquet(in_dir)
+    out = streaming_stitch_multiline(
+        stream, anchor_pattern=r"^[0-9]{4}-", max_pending_lines=3)
+    q = (out.writeStream.format("memory").queryName("mlf_mem")
+         .option("checkpointLocation", str(tmp_path / "mlf_ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = sorted(spark.sql("SELECT * FROM mlf_mem").collect(),
+                      key=lambda r: r["first_line_no"])
+        # 7 pending > cap 3: two forced chunks of 3 emitted, 1 line held
+        assert [r["n_lines"] for r in rows] == [3, 3]
+        assert all(r["forced"] for r in rows)
+        assert all(not r["starts_with_anchor"] for r in rows)
+        assert rows[0]["text"] == "no anchors here 0\nno anchors here 1\nno anchors here 2"
+    finally:
+        q.stop()
