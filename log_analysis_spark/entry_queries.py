@@ -445,6 +445,63 @@ def q_template_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rare_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-sequence mining (operators/correlation.rare_transitions):
+    conditional P(next | template) over the matched per-user event
+    stream, flagging improbable continuations of well-supported states
+    (DeepLog-style). Hash-gated: the oracle replays the matcher CTE,
+    the lead() bigram counts, the window outgoing total, and the same
+    integer-division p rounded at 1e-9."""
+    from .operators.correlation import rare_transitions
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.coalesce(F.col("user_id"), F.lit(-1)).alias("g"),
+        "event_id",
+        F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    assign = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+    return (
+        rare_transitions(assign, group_col="g", order_cols=("event_id",),
+                         min_support=50, p_threshold=0.02)
+        .orderBy("template_id", "next_template_id")
+    )
+
+
+def q_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-diversity drift (operators/aggregates.entropy_drift): Shannon
+    entropy of the event-type distribution per day + trailing 7-bucket
+    z-score — the monitoring signal that catches one template
+    dominating the stream while total volume looks normal. Hash-gated:
+    the oracle replays the (bucket, key) counts, the ln-identity
+    entropy rounded at 1e-6, and the same ROWS-frame window stats."""
+    from .operators.aggregates import entropy_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return entropy_drift(ev, "event_type").orderBy("bucket_us")
+
+
+def q_coverage_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic coverage (operators/aggregates.coverage_topp): templates
+    ranked by matched-line count with the minimal prefix covering 95%
+    of traffic flagged — "how many templates carry the stream", the
+    capacity-planning cut behind per-template sinks and alerting scope.
+    Hash-gated: the oracle replays the matcher CTE, the counts, the
+    cumulative window under the identical (n DESC, key ASC NULLS LAST)
+    tie-break, and the raw-integer-vs-p·total threshold compare."""
+    from .operators.aggregates import coverage_topp
+
+    m = entry_matcher()
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
+    assign = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
+    return (
+        coverage_topp(assign.filter(F.col("template_id").isNotNull()),
+                      "template_id", p=0.95)
+        .orderBy("rank")
+    )
+
+
 def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-template top variable values (operators/aggregates.
     top_values_per_group): for each template, the 3 most frequent
@@ -2495,6 +2552,77 @@ FROM t WHERE next_template_id IS NOT NULL
 GROUP BY 1, 2 ORDER BY template_id, next_template_id
 """.strip()
 
+    # rare-transition replay: the same matcher CTE + lead() bigram
+    # counts, then the per-source outgoing total as a window sum; p is
+    # one integer division rounded at 1e-9 and the flag's literals are
+    # CAST AS DOUBLE so DuckDB's DECIMAL parsing can't sit an epsilon
+    # away from Spark's double threshold at the boundary
+    sql["rare_transitions"] = f"""
+WITH _assign AS ({tr_src}),
+mt AS (SELECT g, event_id, template_id FROM _assign WHERE template_id IS NOT NULL),
+t AS (SELECT template_id,
+             lead(template_id) OVER (PARTITION BY g ORDER BY event_id) AS next_template_id
+      FROM mt),
+c AS (SELECT template_id, next_template_id, count(*) AS n_transitions
+      FROM t WHERE next_template_id IS NOT NULL GROUP BY 1, 2),
+w AS (SELECT template_id, next_template_id, n_transitions,
+             CAST(sum(n_transitions) OVER (PARTITION BY template_id) AS BIGINT) AS out_total
+      FROM c)
+SELECT template_id, next_template_id, n_transitions, out_total,
+       round(n_transitions / out_total, 9) AS p_r,
+       (out_total >= 50 AND
+        round(n_transitions / out_total, 9) <= CAST(0.02 AS DOUBLE)) AS is_rare
+FROM w ORDER BY template_id, next_template_id
+""".strip()
+
+    # entropy-drift replay: (bucket, key) counts, the ln-identity
+    # entropy H = ln N - (sum n*ln n)/N rounded at 1e-6 (sums of <=
+    # |keys| IEEE terms — unigram_logprob discipline), then the same
+    # global ROWS-frame window stats as count_drift
+    ent_z = "CASE WHEN hist >= 3 AND sd > 0 THEN (entropy_r - mean) / sd END"
+    sql["entropy_drift"] = """
+WITH c AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS bucket_us, event_type AS key,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+e AS (
+  SELECT bucket_us, CAST(sum(n) AS BIGINT) AS n_events,
+         round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_r
+  FROM c GROUP BY 1),
+w AS (
+  SELECT bucket_us, n_events, entropy_r,
+         count(entropy_r) OVER tw AS hist,
+         avg(entropy_r) OVER tw AS mean,
+         stddev_samp(entropy_r) OVER tw AS sd
+  FROM e
+  WINDOW tw AS (ORDER BY bucket_us ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT bucket_us, n_events, entropy_r, round(mean, 6) AS trail_mean_r,
+       round({Z}, 6) AS z_r, abs(round({Z}, 6)) >= 3.0 AS is_anomaly
+FROM w ORDER BY bucket_us
+""".replace("{Z}", ent_z).strip()
+
+    # coverage replay: matcher CTE -> matched template counts -> the
+    # cumulative window under the identical (n DESC, key ASC NULLS
+    # LAST) tie-break; the in_top_p compare is raw integer cumsum vs
+    # CAST(0.95 AS DOUBLE) * total so both engines compute the
+    # bit-identical threshold
+    cov_src = matcher_oracle_sql(
+        m, f"SELECT {line_duck} AS line FROM events")
+    sql["coverage_topp"] = f"""
+WITH _assign AS ({cov_src}),
+c AS (SELECT template_id AS key, count(*) AS n FROM _assign
+      WHERE template_id IS NOT NULL GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS _t FROM c),
+w AS (SELECT key, n,
+             row_number() OVER (ORDER BY n DESC, key ASC NULLS LAST) AS rank,
+             CAST(sum(n) OVER (ORDER BY n DESC, key ASC NULLS LAST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM c)
+SELECT key, n, rank, round(cum / _t, 9) AS cum_share_r,
+       (cum - n) < CAST(0.95 AS DOUBLE) * _t AS in_top_p
+FROM w CROSS JOIN t ORDER BY rank
+""".strip()
+
     # inverted-index dictionary: same WS_CLASS tokenization as the dedup
     # family (_DUCK_NORM), unnested, tf per (term, doc), then the
     # per-term rollup with the deterministic (df DESC, term ASC) cut
@@ -4104,6 +4232,9 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_assignments": q_match_assignments,
         "template_cooccurrence": q_template_cooccurrence,
         "template_transitions": q_template_transitions,
+        "rare_transitions": q_rare_transitions,
+        "entropy_drift": q_entropy_drift,
+        "coverage_topp": q_coverage_topp,
         "posting_lists": q_posting_lists,
         "conjunctive_search": q_conjunctive_search,
         "variable_value_topk": q_variable_value_topk,

@@ -309,3 +309,110 @@ def top_values_per_group(
         c.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def entropy_drift(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket: str = "day",
+    trailing: int = 7,
+    min_history: int = 3,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Log-diversity drift: Shannon entropy of the key distribution per
+    time bucket + trailing z-score. Entropy is the monitoring signal
+    count_drift can't give: a single template suddenly dominating the
+    stream (retry storm, crash loop) COLLAPSES entropy even when total
+    volume looks normal, and a source going silent raises nothing in
+    its own count until the bucket closes. Classic ops companion to
+    per-key drift (reference analog: the per-template tallies its
+    aggregation layer stops at, src/clickhouse_client.rs:199-218).
+
+    H(bucket) = ln N − (Σ n_i·ln n_i)/N over per-key counts n_i — the
+    identity avoids a second pass for the bucket total. Scale: one
+    (bucket, key) groupBy is the only corpus-scale shuffle (map-side
+    partials); the entropy rollup and the trailing window run over the
+    |buckets| x |keys| and |buckets| relations — tiny, so the global
+    (unpartitioned) drift window is deliberate, same shape as
+    count_drift's per-key frame. NULL-ts rows are excluded (an
+    un-timestamped event has no bucket — count_drift semantics); a
+    NULL key is its own category in both engines.
+
+    Determinism: entropy rounds at 1e-6 BEFORE the window (sums of ≤
+    |keys| IEEE terms — the unigram_logprob discipline), the window
+    stats then see identical inputs in both engines, z rounds at 1e-6,
+    and the anomaly flag compares the rounded z. z is NULL until
+    ``min_history`` prior buckets exist or while the trailing stddev
+    is 0. Returns (bucket_us, n_events, entropy_r, trail_mean_r, z_r,
+    is_anomaly).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp"))
+            ).alias("bucket_us"),
+            F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ent = (
+        counts.groupBy("bucket_us")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum(F.col("n") * F.log("n")).alias("_s"))
+        .select(
+            "bucket_us", "n_events",
+            F.round(F.log("n_events") - F.col("_s") / F.col("n_events"),
+                    6).alias("entropy_r"))
+    )
+    w = Window.orderBy("bucket_us").rowsBetween(-trailing, -1)
+    hist = F.count("entropy_r").over(w)
+    mean = F.avg("entropy_r").over(w)
+    sd = F.stddev_samp("entropy_r").over(w)
+    z = F.round(
+        F.when((hist >= min_history) & (sd > 0),
+               (F.col("entropy_r") - mean) / sd),
+        6)
+    return ent.select(
+        "bucket_us", "n_events", "entropy_r",
+        F.round(mean, 6).alias("trail_mean_r"),
+        z.alias("z_r"),
+        (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )
+
+
+def coverage_topp(df: DataFrame, key_col: str, p: float = 0.95) -> DataFrame:
+    """Traffic-coverage ranking: order keys by count and mark the
+    minimal prefix whose cumulative share reaches ``p`` — "how many
+    templates carry 95% of the stream". The capacity-planning /
+    alerting-scope query behind every template pool: the in_top_p set
+    is where dashboards, per-template sinks, and SLOs go; the tail is
+    what sampling policies down-weight.
+
+    One corpus-scale groupBy (map-side partials), then a cumulative
+    window over the |keys|-bounded counts relation — deliberately
+    unpartitioned, same tiny-relation rationale as entropy_drift. A
+    key is in_top_p iff the cumulative count BEFORE it is < p·total
+    (so the key that crosses the threshold is included and the set is
+    minimal). The comparison uses the raw integer cumsum against one
+    double product — both engines compute the identical value, no
+    rounding boundary. Tie-break (count DESC, key ASC NULLS LAST)
+    makes rank and cut engine-exact; cum_share rounds at 1e-9 (single
+    division of exact integers).
+
+    Returns (key, n, rank, cum_share_r, in_top_p) ordered by rank.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"))
+    order = [F.desc("n"), F.asc_nulls_last("key")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    total = counts.agg(F.sum("n").alias("_t"))
+    cum = F.sum("n").over(w)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n",
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            F.round(cum / F.col("_t"), 9).alias("cum_share_r"),
+            ((cum - F.col("n")) < F.lit(p) * F.col("_t")).alias("in_top_p"))
+    )

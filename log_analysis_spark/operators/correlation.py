@@ -151,3 +151,46 @@ def template_transitions(
         .groupBy(F.col(template_col), F.col("next_template_id"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def rare_transitions(
+    assign_df: DataFrame,
+    group_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    template_col: str = "template_id",
+    min_support: int = 20,
+    p_threshold: float = 0.01,
+) -> DataFrame:
+    """Anomalous-sequence mining (the DeepLog-style read on the
+    transition model): score every observed (template -> next template)
+    bigram by its empirical conditional probability P(next | template)
+    and flag the improbable continuations of WELL-MODELED states —
+    out_total >= ``min_support`` (enough outgoing mass to trust the
+    estimate) and p <= ``p_threshold``. A login template whose next
+    line is almost always "session started" transitioning into a
+    kernel-panic template once in ten thousand is exactly the row this
+    surfaces; states below min_support stay unflagged rather than
+    alarming on noise.
+
+    Built ON the :func:`template_transitions` relation — no new
+    corpus-scale work: one window over the observed-bigram-bounded
+    counts adds the per-source outgoing total. Determinism: p is a
+    single division of exact integers rounded at 1e-9; the flag
+    compares the rounded p against the same literal in both engines.
+
+    Returns (template_id, next_template_id, n_transitions, out_total,
+    p_r, is_rare).
+    """
+    trans = template_transitions(
+        assign_df, group_col=group_col, order_cols=order_cols,
+        template_col=template_col)
+    w = Window.partitionBy(template_col)
+    out_total = F.sum("n_transitions").over(w)
+    p = F.round(F.col("n_transitions") / out_total, 9)
+    return trans.select(
+        template_col, "next_template_id", "n_transitions",
+        out_total.alias("out_total"),
+        p.alias("p_r"),
+        ((out_total >= F.lit(min_support)) &
+         (p <= F.lit(p_threshold))).alias("is_rare"),
+    )

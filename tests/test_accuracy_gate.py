@@ -147,3 +147,107 @@ def test_count_drift_robust_resists_masking(spark):
     # steady days stay quiet; early days have NULL z (short history)
     assert robust[us(2)]["z_r"] is None
     assert all(robust[us(d)]["is_anomaly"] is False for d in range(4, 11))
+
+
+def test_entropy_drift_flags_diversity_collapse(spark):
+    """A bucket where one key suddenly dominates (retry storm) must
+    flag on ENTROPY even though its own count_drift-style total volume
+    is unchanged — the signal this operator exists for."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import entropy_drift
+
+    rows = []
+    # 10 steady days: 5 keys x 20 events = balanced, H = ln 5
+    for day in range(1, 11):
+        for k in "abcde":
+            rows += [(k, dt.datetime(2024, 3, day, 12, 0, 0))] * 20
+    # day 11: SAME total volume (100), but one key carries 96 of it
+    rows += [("a", dt.datetime(2024, 3, 11, 12, 0, 0))] * 96
+    for k in "bcde":
+        rows += [(k, dt.datetime(2024, 3, 11, 12, 0, 0))]
+    # NULL ts rows must vanish, not form a bucket
+    rows += [("a", None)] * 7
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    us = lambda d: int(dt.datetime(2024, 3, d).timestamp() * 1e6)
+
+    out = {r["bucket_us"]: r for r in entropy_drift(df, "event_type").collect()}
+    assert None not in out and len(out) == 11
+    import math
+    assert abs(out[us(5)]["entropy_r"] - math.log(5)) < 1e-6
+    assert all(out[us(d)]["n_events"] == 100 for d in range(1, 12))
+    # steady days: constant entropy -> sd 0 -> NULL z, never anomalous
+    assert out[us(10)]["z_r"] is None and out[us(10)]["is_anomaly"] is None
+    # collapse day: entropy craters vs ln 5... but constant history has
+    # sd=0, so perturb: verify the collapse value itself is tiny
+    assert out[us(11)]["entropy_r"] < 0.3
+
+
+def test_entropy_drift_z_flags_with_noisy_history(spark):
+    """With naturally-varying history (sd > 0) the trailing z-score
+    flags the collapse bucket and stays quiet on steady ones."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import entropy_drift
+
+    rows = []
+    for day in range(1, 11):
+        # mild alternating imbalance keeps trailing sd > 0
+        bump = 2 + (day % 3)
+        rows += [("a", dt.datetime(2024, 3, day, 12, 0, 0))] * (20 + bump)
+        for k in "bcde":
+            rows += [(k, dt.datetime(2024, 3, day, 12, 0, 0))] * 20
+    rows += [("a", dt.datetime(2024, 3, 11, 12, 0, 0))] * 96
+    for k in "bcde":
+        rows += [(k, dt.datetime(2024, 3, 11, 12, 0, 0))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    us = lambda d: int(dt.datetime(2024, 3, d).timestamp() * 1e6)
+
+    out = {r["bucket_us"]: r for r in entropy_drift(df, "event_type").collect()}
+    assert out[us(11)]["is_anomaly"] is True and out[us(11)]["z_r"] < -3
+    assert all(out[us(d)]["is_anomaly"] is False for d in range(5, 11))
+
+
+def test_coverage_topp_minimal_prefix(spark):
+    """in_top_p marks exactly the minimal count-ordered prefix reaching
+    p, including the key that crosses the threshold; ties break by key
+    ascending so the cut is deterministic."""
+    from log_analysis_spark.operators.aggregates import coverage_topp
+
+    # counts: x=70, y=20, z=6, w=4 (total 100). p=0.9 -> x+y=90 covers
+    # exactly 0.9: y's preceding cum (70) < 90 -> in; z's (90) is NOT
+    # < 90 -> out. The boundary case where "minimal" is decided.
+    rows = ([("x",)] * 70 + [("y",)] * 20 + [("z",)] * 6 + [("w",)] * 4)
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in coverage_topp(df, "k", p=0.9).collect()}
+    assert [out[k]["rank"] for k in "xyzw"] == [1, 2, 3, 4]
+    assert out["x"]["in_top_p"] and out["y"]["in_top_p"]
+    assert not out["z"]["in_top_p"] and not out["w"]["in_top_p"]
+    assert out["y"]["cum_share_r"] == 0.9 and out["w"]["cum_share_r"] == 1.0
+
+    # tie on count: key ASC decides rank; equal-count keys a<b
+    df2 = spark.createDataFrame([("b",)] * 5 + [("a",)] * 5, "k string")
+    out2 = {r["key"]: r for r in coverage_topp(df2, "k", p=0.5).collect()}
+    assert out2["a"]["rank"] == 1 and out2["b"]["rank"] == 2
+    assert out2["a"]["in_top_p"] and not out2["b"]["in_top_p"]
+
+
+def test_rare_transitions_flags_improbable_continuation(spark):
+    """A well-supported state's one-off continuation flags; the same
+    probability under a LOW-support state does not (min_support gate)."""
+    from log_analysis_spark.operators.correlation import rare_transitions
+
+    rows = []
+    # state 1 -> 2 happens 99 times across conversations, 1 -> 3 once:
+    # p(3|1) = 0.01 <= threshold with out_total 100 >= 20 -> rare
+    for i in range(99):
+        rows += [(f"c{i}", 0, 1), (f"c{i}", 1, 2)]
+    rows += [("cx", 0, 1), ("cx", 1, 3)]
+    # state 7 -> 8 once with out_total 1: below min_support, not rare
+    rows += [("cy", 0, 7), ("cy", 1, 8)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, template_id long")
+    out = {(r["template_id"], r["next_template_id"]): r
+           for r in rare_transitions(df, min_support=20, p_threshold=0.01).collect()}
+    assert out[(1, 3)]["is_rare"] is True and out[(1, 3)]["p_r"] == 0.01
+    assert out[(1, 2)]["is_rare"] is False
+    assert out[(7, 8)]["is_rare"] is False and out[(7, 8)]["out_total"] == 1
