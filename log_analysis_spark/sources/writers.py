@@ -646,7 +646,11 @@ def retention_delete(
             raise FileNotFoundError(f"retention_delete: no such sink {path!r}")
         for name in sorted(os.listdir(local)):
             m2 = date_re.fullmatch(name)
-            if m2 and m2.group(1) < older_than_ds:
+            # isdir mirrors the Hadoop branch's isDirectory guard: a
+            # plain FILE named like a partition is never a partition
+            # (and rmtree on it would raise, not prune)
+            if (m2 and m2.group(1) < older_than_ds
+                    and os.path.isdir(os.path.join(local, name))):
                 shutil.rmtree(os.path.join(local, name))
                 removed.append(os.path.join(path, name))
         return removed

@@ -76,12 +76,17 @@ def test_retention_delete_prunes_old_partitions(spark, tmp_path):
     # a non-partition child and a malformed ds value must survive
     os.makedirs(os.path.join(sink, "ds=not-a-date"))
     open(os.path.join(sink, "_SUCCESS_EXTRA"), "w").close()
+    # a plain FILE named like an old partition is not a partition:
+    # must survive, not crash the prune (Hadoop-branch isDirectory parity)
+    open(os.path.join(sink, "ds=2023-12-31"), "w").close()
 
     removed = retention_delete(spark, sink, older_than_ds="2024-01-03")
     assert [os.path.basename(p) for p in removed] == [
         "ds=2024-01-01", "ds=2024-01-02"]
     left = sorted(os.listdir(sink))
     assert "ds=2024-01-03" in left and "ds=not-a-date" in left
+    assert "ds=2023-12-31" in left
+    os.remove(os.path.join(sink, "ds=2023-12-31"))  # so read-back sees parquet only
     rows = spark.read.parquet(sink).collect()
     # partition-column inference reads ds back as a DATE
     assert [(r["id"], str(r["ds"])) for r in rows] == [(3, "2024-01-03")]

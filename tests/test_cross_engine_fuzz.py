@@ -117,6 +117,8 @@ EVENT_GATES = [
     "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
     "conv_dedup", "conv_neardup_pairs", "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
+    "template_transitions", "rare_transitions", "entropy_drift",
+    "coverage_topp",
     # streaming windowed counts: pins that the watermark's NULL-event-time
     # drop equals the oracle's ts IS NOT NULL filter on adversarial input
     "windowed_template_counts",
