@@ -502,6 +502,31 @@ def q_coverage_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal state enrichment (operators/asof.asof_join): attach to
+    every event its user's most recent prior 'signup' event — the
+    as-of join a plain equi-join can't express and a range join can't
+    afford at scale (union + one window, zero row blowup). Hash-gated
+    against DuckDB's NATIVE ASOF JOIN — a genuinely independent
+    implementation of the same semantics — with the engine's NULL-ts
+    and duplicate-right rules pinned explicitly in the oracle (NULL-ts
+    probes split out; right side deduped to max event_id per (u, ts),
+    which is exactly what the Spark tie-break picks)."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("u"),
+                     "event_id", "ts")
+    right = (ev.filter(F.col("event_type") == "signup")
+             .select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("u"),
+                     "ts", F.col("event_id").alias("sid"), "value"))
+    return (
+        asof_join(left, right, on="ts", by=("u",),
+                  right_cols=("sid", "value"), right_tiebreak="sid")
+        .orderBy("event_id")
+    )
+
+
 def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-template top variable values (operators/aggregates.
     top_values_per_group): for each template, the 3 most frequent
@@ -2623,6 +2648,32 @@ SELECT key, n, rank, round(cum / _t, 9) AS cum_share_r,
 FROM w CROSS JOIN t ORDER BY rank
 """.strip()
 
+    # as-of replay on DuckDB's NATIVE ASOF JOIN (independent
+    # implementation of the same semantics). Two pinned divergences:
+    # DuckDB 1.0's ASOF matches a NULL-ts probe to the greatest right
+    # row (observed), while the engine defines NULL ts -> no match, so
+    # NULL-ts probes are split into an explicit NULL-payload branch;
+    # and ASOF is ambiguous under duplicate right (u, ts), so the
+    # right side dedups to max sid per (u, ts) — exactly the row the
+    # Spark window tie-break selects.
+    sql["asof_enrich"] = """
+WITH l AS (SELECT coalesce(user_id, -1) AS u, event_id, ts FROM events),
+r0 AS (SELECT coalesce(user_id, -1) AS u, ts, event_id AS sid, value
+       FROM events WHERE event_type = 'signup' AND ts IS NOT NULL),
+r AS (SELECT u, ts, sid, value FROM (
+        SELECT u, ts, sid, value,
+               row_number() OVER (PARTITION BY u, ts ORDER BY sid DESC) AS rn
+        FROM r0) WHERE rn = 1)
+SELECT l.u, l.event_id, l.ts, r.ts AS ts_r, r.sid AS sid_r, r.value AS value_r
+FROM l ASOF LEFT JOIN r ON l.u = r.u AND l.ts >= r.ts
+WHERE l.ts IS NOT NULL
+UNION ALL
+SELECT u, event_id, ts, CAST(NULL AS TIMESTAMP) AS ts_r,
+       CAST(NULL AS BIGINT) AS sid_r, CAST(NULL AS DOUBLE) AS value_r
+FROM l WHERE ts IS NULL
+ORDER BY event_id
+""".strip()
+
     # inverted-index dictionary: same WS_CLASS tokenization as the dedup
     # family (_DUCK_NORM), unnested, tf per (term, doc), then the
     # per-term rollup with the deterministic (df DESC, term ASC) cut
@@ -4235,6 +4286,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_transitions": q_rare_transitions,
         "entropy_drift": q_entropy_drift,
         "coverage_topp": q_coverage_topp,
+        "asof_enrich": q_asof_enrich,
         "posting_lists": q_posting_lists,
         "conjunctive_search": q_conjunctive_search,
         "variable_value_topk": q_variable_value_topk,

@@ -1,0 +1,106 @@
+"""As-of (most-recent-prior) join — the temporal-enrichment operator
+Spark's DataFrame API lacks as a primitive.
+
+The log-pipeline use case: attach to every log line the state that was
+ACTIVE when it happened — the most recent prior deploy version, config
+change, feature-flag flip, or (per user) the last signup/login event.
+A plain equi-join can't express "most recent at or before ts" and the
+naive range-join formulation (l JOIN r ON l.key = r.key AND r.ts <=
+l.ts, then keep max r.ts) explodes O(|left| x |right-per-key|) before
+the argmax prunes it — at 10^12 turns that intermediate is fatal.
+
+Formulation here (the scalable one): UNION both sides tagged with an
+is-left flag, then ONE window per key ordered by (ts, is_left,
+tie-break) carries the right payload forward with last(ignorenulls) —
+each left row reads the latest right row at-or-before its timestamp
+in O(n log n) per partition with a single hash(by) Exchange and zero
+row blowup. Broadcast-range-join is better ONLY when the right side
+fits in memory; this shape needs no such assumption and co-partitions
+with the hash(conv_id)/hash(user) layout every transcript operator
+already shuffles on.
+
+Semantics (pinned by tests and the DuckDB `ASOF JOIN` oracle gate):
+- a right row with ts EQUAL to the left ts matches (at-or-before);
+- among right duplicates at the same (by, ts), the greatest
+  ``right_tiebreak`` wins (deterministic; DuckDB ASOF is ambiguous
+  under such duplicates, so the oracle dedups identically first);
+- left rows with NULL ts get NULL payload (nothing is "before"
+  an unknown time); right rows with NULL ts are dropped;
+- NULL by-keys group together on the Spark side but never match in
+  SQL ASOF — callers that want NULL-key matching coalesce the key on
+  both sides (the entry query's coalesce(user_id, -1) pattern);
+- ``tolerance`` (seconds) nulls out matches older than
+  left.ts − tolerance, the classic asof(tolerance=...) contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] | None = None,
+    right_tiebreak: str | None = None,
+    suffix: str = "_r",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``on`` <= left ``on`` (within ``by`` groups). Returns all left
+    columns plus ``{on}{suffix}`` (the matched right timestamp) and
+    ``{c}{suffix}`` for each payload column — NULL when no prior right
+    row exists (left-outer semantics).
+    """
+    by = list(by)
+    payload = list(right_cols if right_cols is not None else
+                   [c for c in right.columns
+                    if c != on and c not in by and c != right_tiebreak])
+    struct_fields = [F.col(on).alias(f"{on}{suffix}")] + [
+        F.col(c).alias(f"{c}{suffix}") for c in payload]
+    r_side = (
+        right.filter(F.col(on).isNotNull())
+        .select(
+            *by,
+            F.col(on).alias("_asof_ts"),
+            F.lit(0).alias("_asof_is_left"),
+            (F.col(right_tiebreak) if right_tiebreak is not None
+             else F.lit(0)).alias("_asof_tb"),
+            F.struct(*struct_fields).alias("_asof_payload"),
+        )
+    )
+    payload_type = r_side.schema["_asof_payload"].dataType
+    l_side = left.select(
+        *left.columns,
+        F.col(on).alias("_asof_ts"),
+        F.lit(1).alias("_asof_is_left"),
+        F.lit(None).cast(r_side.schema["_asof_tb"].dataType).alias("_asof_tb"),
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
+    )
+    u = l_side.unionByName(r_side, allowMissingColumns=True)
+    # right rows (flag 0) sort BEFORE left rows at the same ts, so an
+    # equal-ts right row is visible to the left row (at-or-before);
+    # _asof_tb asc makes last() pick the GREATEST tie-break among
+    # right duplicates at one (by, ts). NULL _asof_ts (left rows with
+    # no timestamp) sort first -> nothing precedes them -> NULL match.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("_asof_ts"), F.asc("_asof_is_left"),
+                 F.asc_nulls_last("_asof_tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("_asof_payload", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        age = (F.col("_asof_ts").cast("double")
+               - matched[f"{on}{suffix}"].cast("double"))
+        matched = F.when(age <= F.lit(float(tolerance_seconds)), matched)
+    out_cols = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    return (
+        u.withColumn("_asof_m", matched)
+        .filter(F.col("_asof_is_left") == 1)
+        .select(*left.columns,
+                *[F.col("_asof_m")[c].alias(c) for c in out_cols])
+    )

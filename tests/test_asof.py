@@ -1,0 +1,87 @@
+"""asof_join: union+window most-recent-prior join (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m, 0)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10)), (1, 2, _ts(12)), (1, 3, None),
+         (2, 4, _ts(9)), (3, 5, _ts(23))],
+        "u long, id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 5.0, 100), (1, _ts(11), 6.0, 101),
+         (2, _ts(23, 59), 7.0, 102)],
+        "u long, ts timestamp, v double, seq long")
+    return left, right
+
+
+def test_asof_basic_semantics(spark, frames):
+    left, right = frames
+    out = {r["id"]: r for r in asof_join(
+        left, right, by=("u",), right_cols=("v",),
+        right_tiebreak="seq").collect()}
+    # equal ts matches (at-or-before)
+    assert out[1]["v_r"] == 5.0 and out[1]["ts_r"] == _ts(10)
+    # most recent prior, not first
+    assert out[2]["v_r"] == 6.0
+    # NULL left ts -> NULL match (nothing is before an unknown time)
+    assert out[3]["v_r"] is None and out[3]["ts_r"] is None
+    # right row strictly AFTER the left row never matches
+    assert out[4]["v_r"] is None
+    # by-key isolation: u=3 has no right rows at all
+    assert out[5]["v_r"] is None
+    # left row count and columns preserved
+    assert len(out) == 5
+
+
+def test_asof_duplicate_right_tiebreak(spark):
+    left = spark.createDataFrame([(1, 1, _ts(12))], "u long, id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0, 7), (1, _ts(10), 2.0, 9), (1, _ts(10), 3.0, 8)],
+        "u long, ts timestamp, v double, seq long")
+    row = asof_join(left, right, by=("u",), right_cols=("v",),
+                    right_tiebreak="seq").collect()[0]
+    # greatest tie-break among same-(u, ts) duplicates wins
+    assert row["v_r"] == 2.0
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = {r["id"]: r for r in asof_join(
+        left, right, by=("u",), right_cols=("v",), right_tiebreak="seq",
+        tolerance_seconds=1800).collect()}
+    # id=2 at 12:00 matched 11:00 -> 3600s old -> nulled by 1800s tolerance
+    assert out[2]["v_r"] is None
+    # id=1 matched its own instant (age 0) -> kept
+    assert out[1]["v_r"] == 5.0
+
+
+def test_asof_null_right_ts_dropped(spark):
+    left = spark.createDataFrame([(1, 1, _ts(12))], "u long, id long, ts timestamp")
+    right = spark.createDataFrame([(1, None, 9.0, 1)],
+                                  "u long, ts timestamp, v double, seq long")
+    row = asof_join(left, right, by=("u",), right_cols=("v",),
+                    right_tiebreak="seq").collect()[0]
+    assert row["v_r"] is None
+
+
+def test_asof_no_by_key_global_series(spark):
+    """Global as-of (deploy-version enrichment shape): no by key."""
+    left = spark.createDataFrame([(1, _ts(10)), (2, _ts(15))],
+                                 "id long, ts timestamp")
+    right = spark.createDataFrame([(_ts(9), "v1"), (_ts(14), "v2")],
+                                  "ts timestamp, ver string")
+    out = {r["id"]: r for r in asof_join(left, right, right_cols=("ver",)).collect()}
+    assert out[1]["ver_r"] == "v1" and out[2]["ver_r"] == "v2"
