@@ -187,7 +187,7 @@ def main() -> None:
         "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",
-        "rare_transitions", "entropy_drift", "coverage_topp",
+        "rare_transitions", "entropy_drift", "coverage_topp", "asof_enrich",
         "posting_lists", "conjunctive_search",
         "variable_value_topk", "template_lifecycle", "stitch_multiline",
     ):

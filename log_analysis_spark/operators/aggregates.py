@@ -406,13 +406,16 @@ def coverage_topp(df: DataFrame, key_col: str, p: float = 0.95) -> DataFrame:
         F.count(F.lit(1)).alias("n"))
     order = [F.desc("n"), F.asc_nulls_last("key")]
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    total = counts.agg(F.sum("n").alias("_t"))
+    # total as a WINDOW over the counts relation, not a separate agg +
+    # crossJoin: the agg formulation made counts a two-consumer
+    # subtree, re-executing the corpus-scale groupBy (and any upstream
+    # match UDF) twice — caught in the executed-plan audit. All three
+    # windows share the one SinglePartition exchange of the tiny
+    # |keys| relation.
+    total = F.sum("n").over(Window.partitionBy())
     cum = F.sum("n").over(w)
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "key", "n",
-            F.row_number().over(Window.orderBy(*order)).alias("rank"),
-            F.round(cum / F.col("_t"), 9).alias("cum_share_r"),
-            ((cum - F.col("n")) < F.lit(p) * F.col("_t")).alias("in_top_p"))
-    )
+    return counts.select(
+        "key", "n",
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        F.round(cum / total, 9).alias("cum_share_r"),
+        ((cum - F.col("n")) < F.lit(p) * total).alias("in_top_p"))
