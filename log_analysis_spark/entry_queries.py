@@ -527,6 +527,31 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/interval.interval_join): which
+    48h signup window(s) was each event inside, per user — the bucketed
+    range join that replaces the cartesian-shaped inequality join at
+    scale. Hash-gated against DuckDB's native inequality join (planned
+    as IEJoin — an independent range-join implementation); half-open
+    [start, end) and NULL-drop semantics pinned by tests."""
+    from .operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("u"),
+                       "event_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.coalesce(F.col("user_id"), F.lit(-1)).alias("u"),
+                F.col("event_id").alias("win_id"),
+                F.col("ts").alias("start_ts"),
+                (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("end_ts")))
+    return (
+        interval_join(points, intervals, by=("u",), bucket_seconds=86400)
+        .select("u", "event_id", "win_id")
+        .orderBy("event_id", "win_id")
+    )
+
+
 def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-template top variable values (operators/aggregates.
     top_values_per_group): for each template, the 3 most frequent
@@ -2674,6 +2699,21 @@ FROM l WHERE ts IS NULL
 ORDER BY event_id
 """.strip()
 
+    # interval-join replay on DuckDB's native inequality join (IEJoin —
+    # an independent range-join implementation, no bucketing): same
+    # half-open [start, start + 48h) windows, NULL ts dropped both
+    # sides (inner semantics)
+    sql["interval_windows"] = """
+WITH p AS (SELECT coalesce(user_id, -1) AS u, event_id, ts
+           FROM events WHERE ts IS NOT NULL),
+w AS (SELECT coalesce(user_id, -1) AS u, event_id AS win_id,
+             ts AS start_ts, ts + INTERVAL 48 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL)
+SELECT p.u, p.event_id, w.win_id
+FROM p JOIN w ON p.u = w.u AND p.ts >= w.start_ts AND p.ts < w.end_ts
+ORDER BY p.event_id, w.win_id
+""".strip()
+
     # inverted-index dictionary: same WS_CLASS tokenization as the dedup
     # family (_DUCK_NORM), unnested, tf per (term, doc), then the
     # per-term rollup with the deterministic (df DESC, term ASC) cut
@@ -4287,6 +4327,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_drift": q_entropy_drift,
         "coverage_topp": q_coverage_topp,
         "asof_enrich": q_asof_enrich,
+        "interval_windows": q_interval_windows,
         "posting_lists": q_posting_lists,
         "conjunctive_search": q_conjunctive_search,
         "variable_value_topk": q_variable_value_topk,

@@ -1,0 +1,95 @@
+"""Interval (range) join — point-in-interval matching without the
+cartesian blowup, the second temporal-join primitive Spark's DataFrame
+API lacks (asof.py is the first).
+
+The log-pipeline use case: which deploy/incident/session WINDOW was a
+log line inside? A plain inequality join (l.ts >= r.start AND l.ts <
+r.end) is executed by Spark as BroadcastNestedLoopJoin or a cartesian
+product — O(|points| x |intervals-per-key|), fatal at 10^12 turns
+unless one side is tiny.
+
+Formulation here (the standard distributed range-join shape): quantize
+time into fixed buckets, EXPLODE each interval into the buckets it
+overlaps, bucket the points, and equi-join on (by..., bucket) before
+the exact range filter. The explode factor is span/bucket_seconds —
+caller-chosen and GUARDED (``max_buckets_per_interval`` raises at run
+time rather than silently exploding; an open-ended interval must be
+clipped by the caller, not absorbed). The equi-join shuffles both
+sides once on (by, bucket) hash partitioning; a hot bucket (traffic
+spike hour) is a skew-join problem AQE handles, and shrinking
+``bucket_seconds`` trades explode factor against per-bucket fan-in.
+
+Semantics (pinned by tests and the DuckDB inequality-join oracle —
+DuckDB plans it as its native IEJoin, an independent implementation):
+- half-open [start, end): a point AT the start matches, a point AT the
+  end does not — intervals that chain (deploy v1 ends where v2 starts)
+  match each point exactly once;
+- empty or inverted intervals (end <= start) match nothing;
+- NULL point ts, NULL interval bounds never match (inner-join drop);
+- a point inside k overlapping intervals yields k rows (it is a JOIN,
+  not a lookup; use asof_join for most-recent-single-match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: tuple[str, ...] = (),
+    bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 1024,
+) -> DataFrame:
+    """Inner-join every point row to every interval row whose half-open
+    [start_col, end_col) contains ``point_ts`` (and whose ``by`` keys
+    match). Returns all point columns plus all interval columns except
+    the ``by`` duplicates.
+    """
+    by = list(by)
+    bucket_us = int(bucket_seconds) * 1_000_000
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    ivl = (
+        intervals.filter(F.col(start_col).isNotNull()
+                         & F.col(end_col).isNotNull())
+        .withColumn("_ivl_s_us", s_us)
+        .withColumn("_ivl_e_us", e_us)
+        .filter(F.col("_ivl_e_us") > F.col("_ivl_s_us"))
+    )
+    lo = F.floor(F.col("_ivl_s_us") / bucket_us)
+    # end is EXCLUSIVE: the last overlapped bucket holds end_us - 1
+    hi = F.floor((F.col("_ivl_e_us") - 1) / bucket_us)
+    n_buckets = hi - lo + 1
+    guard = F.assert_true(
+        n_buckets <= F.lit(int(max_buckets_per_interval)),
+        F.concat(F.lit("interval_join: interval spans more than "
+                       f"{max_buckets_per_interval} buckets of "
+                       f"{bucket_seconds}s — clip the interval or raise "
+                       "bucket_seconds/max_buckets_per_interval "
+                       "(explode-factor guard); offending span_us="),
+                 (F.col("_ivl_e_us") - F.col("_ivl_s_us")).cast("string")))
+    # the guard is folded INTO the sequence bound (assert_true returns
+    # NULL on pass, so isNull gates hi) — a standalone guard column
+    # would be pruned unevaluated by the optimizer
+    hi_guarded = F.when(guard.isNull(), hi)
+    ivl = ivl.withColumn("_ivl_bucket",
+                         F.explode(F.sequence(lo, hi_guarded)))
+    pts = (
+        points.filter(F.col(point_ts).isNotNull())
+        .withColumn("_pt_us", p_us)
+        .withColumn("_ivl_bucket", F.floor(F.col("_pt_us") / bucket_us))
+    )
+    ivl_payload = [c for c in intervals.columns if c not in by]
+    joined = pts.join(ivl, on=by + ["_ivl_bucket"], how="inner").filter(
+        (F.col("_pt_us") >= F.col("_ivl_s_us"))
+        & (F.col("_pt_us") < F.col("_ivl_e_us")))
+    return joined.select(*points.columns,
+                         *[F.col(c) for c in ivl_payload])

@@ -1,0 +1,73 @@
+"""interval_join: bucketed point-in-interval join (operators/interval.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql.utils import AnalysisException
+
+from log_analysis_spark.operators.interval import interval_join
+
+
+def _ts(d, h=0, m=0):
+    return dt.datetime(2024, 1, d, h, m, 0)
+
+
+@pytest.fixture()
+def frames(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _ts(1, 10)), (1, 2, _ts(1, 12)), (1, 3, _ts(2, 0)),
+         (2, 4, _ts(1, 10)), (1, 5, None)],
+        "u long, id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, "w1", _ts(1, 10), _ts(1, 12)),   # [10:00, 12:00)
+         (1, "w2", _ts(1, 12), _ts(1, 14)),   # chains at 12:00
+         (2, "w3", _ts(1, 0), _ts(3, 0)),
+         (1, "bad", _ts(1, 9), _ts(1, 8)),    # inverted -> matches nothing
+         (1, "nul", None, _ts(1, 9))],
+        "u long, win string, start_ts timestamp, end_ts timestamp")
+    return points, intervals
+
+
+def test_interval_join_half_open_and_keys(spark, frames):
+    points, intervals = frames
+    out = sorted((r["id"], r["win"]) for r in interval_join(
+        points, intervals, by=("u",)).collect())
+    # id=1 at 10:00 in w1 (start inclusive); id=2 at 12:00 is NOT in w1
+    # (end exclusive) but IS in the chaining w2 — exactly one match at
+    # the boundary; id=3 outside both u=1 windows; id=4 in u=2's w3
+    # only (key isolation); NULL ts drops
+    assert out == [(1, "w1"), (2, "w2"), (4, "w3")]
+
+
+def test_interval_join_overlapping_intervals_fan_out(spark):
+    points = spark.createDataFrame([(1, _ts(1, 1))], "id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [("a", _ts(1, 0), _ts(1, 2)), ("b", _ts(1, 0), _ts(2, 0))],
+        "win string, start_ts timestamp, end_ts timestamp")
+    out = sorted(r["win"] for r in interval_join(points, intervals).collect())
+    assert out == ["a", "b"]  # k overlapping windows -> k rows
+
+
+def test_interval_join_bucket_boundary_exact(spark):
+    """An interval ending exactly ON a bucket boundary must not claim
+    the next bucket (end_us - 1 in the hi computation)."""
+    points = spark.createDataFrame([(1, _ts(1, 1, 0))], "id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [("w", _ts(1, 0, 0), _ts(1, 1, 0))],  # ends exactly at 01:00
+        "win string, start_ts timestamp, end_ts timestamp")
+    out = interval_join(points, intervals, bucket_seconds=3600).collect()
+    assert out == []  # 01:00 is outside [00:00, 01:00)
+
+
+def test_interval_join_explode_guard_raises(spark):
+    points = spark.createDataFrame([(1, _ts(1))], "id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [("w", _ts(1), _ts(30))], "win string, start_ts timestamp, end_ts timestamp")
+    with pytest.raises(Exception, match="explode-factor guard"):
+        interval_join(points, intervals, bucket_seconds=60,
+                      max_buckets_per_interval=100).collect()
+    # same span under a generous cap works
+    assert interval_join(points, intervals, bucket_seconds=86400,
+                         max_buckets_per_interval=100).count() == 1
