@@ -188,7 +188,7 @@ def main() -> None:
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",
         "rare_transitions", "entropy_drift", "coverage_topp", "asof_enrich",
-        "interval_windows",
+        "interval_windows", "sink_rollup",
         "posting_lists", "conjunctive_search",
         "variable_value_topk", "template_lifecycle", "stitch_multiline",
     ):

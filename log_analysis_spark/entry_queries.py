@@ -552,6 +552,23 @@ def q_interval_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard-hierarchy rollup (operators/aggregates.hierarchy_rollup):
+    per-(day, event_type) counts PLUS per-day subtotals PLUS the grand
+    total in one shuffle (native rollup / GROUPING SETS — what a flat
+    per-sink aggregate can't give a drill-down UI). grouping_id
+    disambiguates real NULL keys from subtotal rows; both engines use
+    the same bit-vector convention (verified: detail 0, key-out 1,
+    all-out 3)."""
+    from .operators.aggregates import hierarchy_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        hierarchy_rollup(ev, levels=("event_type",), ts_col="ts")
+        .orderBy("grouping_id", "bucket_us", "event_type")
+    )
+
+
 def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-template top variable values (operators/aggregates.
     top_values_per_group): for each template, the 3 most frequent
@@ -2714,6 +2731,24 @@ FROM p JOIN w ON p.u = w.u AND p.ts >= w.start_ts AND p.ts < w.end_ts
 ORDER BY p.event_id, w.win_id
 """.strip()
 
+    # rollup replay: DuckDB GROUP BY ROLLUP + GROUPING uses the same
+    # bit-vector convention as Spark's grouping_id (first column =
+    # high bit); bucket derived through the NULL-safe split the
+    # count_drift oracle established (DuckDB 1.0's epoch_us(date_trunc)
+    # mangles the validity mask on NULL ts)
+    sql["sink_rollup"] = """
+WITH src AS (
+  SELECT CASE WHEN ts IS NULL THEN NULL
+              ELSE epoch_us(date_trunc('day', ts)) END AS bucket_us,
+         event_type
+  FROM events)
+SELECT bucket_us, event_type,
+       CAST(GROUPING(bucket_us, event_type) AS BIGINT) AS grouping_id,
+       count(*) AS n
+FROM src GROUP BY ROLLUP(bucket_us, event_type)
+ORDER BY grouping_id, bucket_us, event_type
+""".strip()
+
     # inverted-index dictionary: same WS_CLASS tokenization as the dedup
     # family (_DUCK_NORM), unnested, tf per (term, doc), then the
     # per-term rollup with the deterministic (df DESC, term ASC) cut
@@ -4328,6 +4363,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_topp": q_coverage_topp,
         "asof_enrich": q_asof_enrich,
         "interval_windows": q_interval_windows,
+        "sink_rollup": q_sink_rollup,
         "posting_lists": q_posting_lists,
         "conjunctive_search": q_conjunctive_search,
         "variable_value_topk": q_variable_value_topk,

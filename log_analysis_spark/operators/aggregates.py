@@ -419,3 +419,49 @@ def coverage_topp(df: DataFrame, key_col: str, p: float = 0.95) -> DataFrame:
         F.row_number().over(Window.orderBy(*order)).alias("rank"),
         F.round(cum / total, 9).alias("cum_share_r"),
         ((cum - F.col("n")) < F.lit(p) * total).alias("in_top_p"))
+
+
+def hierarchy_rollup(
+    df: DataFrame,
+    levels: tuple[str, ...],
+    ts_col: str | None = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Dashboard-hierarchy totals in one pass: counts at every prefix
+    level of ``levels`` (e.g. (template, role) -> per-(template, role),
+    per-template, grand total) via Spark's native ``rollup`` — ONE
+    corpus-scale shuffle where a dashboard issuing k level queries
+    costs k (the reference's per-sink aggregates are flat;
+    src/clickhouse_client.rs:182-227 — this is the drill-down layer
+    above them).
+
+    ``grouping_id`` disambiguates a REAL NULL key value from a
+    subtotal row (the classic rollup trap: a NULL event_type group and
+    the all-types subtotal both render as NULL without it) — both
+    engines define it as the same bit vector over aggregated-out
+    columns, so the gate compares it directly. Optional ``ts_col``
+    prepends a time bucket as the coarsest level. Partial aggregation
+    applies per grouping set map-side; the rollup multiplies rows by
+    |levels|+1 only AFTER the first agg at 100 TB scale (Spark expands
+    grouping sets pre-shuffle, but the per-set partial agg keeps the
+    shuffle keyed and combined — the Exchange moves set-tagged
+    partials, not raw rows).
+
+    Returns (levels..., [bucket_us,] grouping_id, n).
+    """
+    cols = list(levels)
+    out_cols = cols[:]
+    d = df
+    if ts_col is not None:
+        d = d.withColumn(
+            "bucket_us",
+            F.unix_micros(
+                F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp"))))
+        cols = ["bucket_us"] + cols
+        out_cols = ["bucket_us"] + out_cols
+    return (
+        d.rollup(*cols)
+        .agg(F.grouping_id().alias("grouping_id"),
+             F.count(F.lit(1)).alias("n"))
+        .select(*out_cols, "grouping_id", "n")
+    )

@@ -251,3 +251,27 @@ def test_rare_transitions_flags_improbable_continuation(spark):
     assert out[(1, 3)]["is_rare"] is True and out[(1, 3)]["p_r"] == 0.01
     assert out[(1, 2)]["is_rare"] is False
     assert out[(7, 8)]["is_rare"] is False and out[(7, 8)]["out_total"] == 1
+
+
+def test_hierarchy_rollup_disambiguates_null_keys(spark):
+    """grouping_id separates a REAL NULL key's detail row from the
+    subtotal row that renders identically without it."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import hierarchy_rollup
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 3, 1)), ("a", dt.datetime(2024, 3, 1)),
+         (None, dt.datetime(2024, 3, 1)), ("b", dt.datetime(2024, 3, 2))],
+        "event_type string, ts timestamp")
+    rows = hierarchy_rollup(df, levels=("event_type",), ts_col="ts").collect()
+    by = {(r["bucket_us"], r["event_type"], r["grouping_id"]): r["n"] for r in rows}
+    us = lambda d: int(dt.datetime(2024, 3, d).timestamp() * 1e6)
+    # detail rows (gid 0), including the REAL NULL key
+    assert by[(us(1), "a", 0)] == 2 and by[(us(1), None, 0)] == 1
+    # per-day subtotal (gid 1) vs that NULL detail: same rendered key,
+    # different grouping_id, different count
+    assert by[(us(1), None, 1)] == 3 and by[(us(2), None, 1)] == 1
+    # grand total (gid 3)
+    assert by[(None, None, 3)] == 4
+    assert len(rows) == 3 + 2 + 1  # 3 detail groups + 2 day subtotals + grand

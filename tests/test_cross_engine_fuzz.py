@@ -118,7 +118,7 @@ EVENT_GATES = [
     "conv_dedup", "conv_neardup_pairs", "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "template_transitions", "rare_transitions", "entropy_drift",
-    "coverage_topp", "asof_enrich", "interval_windows",
+    "coverage_topp", "asof_enrich", "interval_windows", "sink_rollup",
     # streaming windowed counts: pins that the watermark's NULL-event-time
     # drop equals the oracle's ts IS NOT NULL filter on adversarial input
     "windowed_template_counts",
