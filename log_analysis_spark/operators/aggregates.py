@@ -450,7 +450,6 @@ def hierarchy_rollup(
     Returns (levels..., [bucket_us,] grouping_id, n).
     """
     cols = list(levels)
-    out_cols = cols[:]
     d = df
     if ts_col is not None:
         d = d.withColumn(
@@ -458,10 +457,9 @@ def hierarchy_rollup(
             F.unix_micros(
                 F.date_trunc(bucket.upper(), F.col(ts_col).cast("timestamp"))))
         cols = ["bucket_us"] + cols
-        out_cols = ["bucket_us"] + out_cols
     return (
         d.rollup(*cols)
         .agg(F.grouping_id().alias("grouping_id"),
              F.count(F.lit(1)).alias("n"))
-        .select(*out_cols, "grouping_id", "n")
+        .select(*cols, "grouping_id", "n")
     )

@@ -21,9 +21,13 @@ already shuffles on.
 
 Semantics (pinned by tests and the DuckDB `ASOF JOIN` oracle gate):
 - a right row with ts EQUAL to the left ts matches (at-or-before);
-- among right duplicates at the same (by, ts), the greatest
+- among right duplicates at the same (by, ts), the greatest non-NULL
   ``right_tiebreak`` wins (deterministic; DuckDB ASOF is ambiguous
-  under such duplicates, so the oracle dedups identically first);
+  under such duplicates, so the oracle dedups identically first).
+  With ``right_tiebreak=None`` (default) duplicate right rows at one
+  (by, ts) make the matched payload ARBITRARY — pass a tie-break
+  whenever the right side can hold duplicates and determinism
+  matters (every hash-gated caller here does);
 - left rows with NULL ts get NULL payload (nothing is "before"
   an unknown time); right rows with NULL ts are dropped;
 - NULL by-keys group together on the Spark side but never match in
@@ -89,7 +93,13 @@ def asof_join(
     w = (
         Window.partitionBy(*by)
         .orderBy(F.asc("_asof_ts"), F.asc("_asof_is_left"),
-                 F.asc_nulls_last("_asof_tb"))
+                 # NULLS FIRST: a NULL tie-break must LOSE to every
+                 # real one (last() picks the end of the order), same
+                 # rule as the oracle's row_number(ORDER BY sid DESC)
+                 # dedup under DuckDB's NULLS-LAST default — with
+                 # nulls_last here a NULL-tiebreak duplicate silently
+                 # won (review finding)
+                 F.asc_nulls_first("_asof_tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last("_asof_payload", ignorenulls=True).over(w)

@@ -52,6 +52,13 @@ def interval_join(
     the ``by`` duplicates.
     """
     by = list(by)
+    overlap = [c for c in intervals.columns
+               if c not in by and c in points.columns]
+    if overlap:
+        raise ValueError(
+            f"interval_join: interval columns {overlap} collide with point "
+            "columns — alias one side first (the result carries both sides' "
+            "columns unprefixed)")
     bucket_us = int(bucket_seconds) * 1_000_000
     p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))

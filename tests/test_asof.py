@@ -85,3 +85,17 @@ def test_asof_no_by_key_global_series(spark):
                                   "ts timestamp, ver string")
     out = {r["id"]: r for r in asof_join(left, right, right_cols=("ver",)).collect()}
     assert out[1]["ver_r"] == "v1" and out[2]["ver_r"] == "v2"
+
+
+def test_asof_null_tiebreak_loses(spark):
+    """A NULL tie-break among same-(u, ts) right duplicates must LOSE
+    to every real tie-break (matches the oracle's row_number dedup
+    under DuckDB's NULLS-LAST default) — regression for the
+    nulls_last ordering that silently let the NULL row win."""
+    left = spark.createDataFrame([(1, 1, _ts(12))], "u long, id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0, 7), (1, _ts(10), 2.0, 9), (1, _ts(10), 3.0, None)],
+        "u long, ts timestamp, v double, seq long")
+    row = asof_join(left, right, by=("u",), right_cols=("v",),
+                    right_tiebreak="seq").collect()[0]
+    assert row["v_r"] == 2.0

@@ -134,8 +134,13 @@ def events_fuzz_dir(spark, tmp_path_factory):
     now made null-total with coalesce at the leaves."""
     import datetime as dt
 
-    etypes = ["error", "click", "view", None, "", "ünïcode\x0btype",
-              "type with spaces", "UPPER", "123", "error", "error", "click"]
+    # "signup" matters: the asof_enrich / interval_windows gates build
+    # their right side from signup events, so without it those gates
+    # run against an EMPTY interval/asof side and pin nothing (review
+    # finding) — with it, the oracle's NULL-ts and duplicate-right
+    # pins are actually exercised on adversarial input
+    etypes = ["error", "click", "signup", None, "", "ünïcode\x0btype",
+              "type with spaces", "UPPER", "123", "signup", "error", "click"]
     props = ['{"k": 1}', None, "", "plain text \x0b prop",
              '{"nested": {"a": 1}}', "ünïcode prop",
              "secret=hunter2 email=a@b.co"]

@@ -5,7 +5,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql.utils import AnalysisException
 
 from log_analysis_spark.operators.interval import interval_join
 
