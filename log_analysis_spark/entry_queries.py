@@ -57,6 +57,26 @@ END
 """.strip()
 
 
+# C4-shaped prose lines for the c4_clean gate: the event/log line shapes
+# above carry no terminal punctuation, so the Raffel et al. page rules
+# would be degenerate over them. This CASE emits every rule's trigger
+# deterministically from events — terminal . ? " lines, a too-short
+# line, a javascript line, and uid-sparse lorem-ipsum / curly-brace
+# lines so the page flags are non-constant across documents.
+# ({{ }} render as literal braces through .format.)
+_C4_LINE_SQL = """
+CASE CAST(event_id % 7 AS INT)
+  WHEN 0 THEN concat('User ', CAST(coalesce(user_id, 0) AS {S}), ' completed the signup flow.')
+  WHEN 1 THEN 'ok'
+  WHEN 2 THEN concat('Please enable JavaScript to view item ', CAST(coalesce(event_id, 0) AS {S}), '.')
+  WHEN 3 THEN concat('Did the export for user ', CAST(coalesce(user_id, 0) AS {S}), ' finish?')
+  WHEN 4 THEN CASE WHEN coalesce(user_id, 0) % 11 = 3 THEN 'Added lorem ipsum filler to the draft.' ELSE concat('The nightly batch finished in ', CAST(coalesce(event_id, 0) % 90 AS {S}), ' seconds.') END
+  WHEN 5 THEN CASE WHEN coalesce(user_id, 0) % 13 = 5 THEN concat('retry_config = {{ attempts: ', CAST(coalesce(event_id, 0) % 5 AS {S}), ' }}') ELSE concat('She said "the cache for user ', CAST(coalesce(user_id, 0) AS {S}), ' stays warm."') END
+  ELSE concat('trailing banner ', CAST(coalesce(event_id, 0) AS {S}))
+END
+""".strip()
+
+
 def entry_matcher() -> CompiledMatcher:
     from .templates import LogTemplate
 
@@ -2069,6 +2089,39 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("top_2gram_char_frac_r"))
         .orderBy("doc_id")
     )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic page cleaning (operators/c4_clean.py; Raffel et al.
+    §2.2) over per-user documents assembled from the C4-shaped event
+    line SQL — every rule has a trigger shape in the corpus (terminal
+    . ? ", a too-short line, a javascript line, uid-sparse lorem-ipsum
+    and curly-brace lines), so the line keeps, the page flags, and the
+    sentence-count gate all do real work. Gated on the md5 of the
+    cleaned text plus the count and flag columns; the oracle replays the
+    line rules with DuckDB list functions over the same assembly."""
+    from .operators.c4_clean import c4_clean
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.expr(_C4_LINE_SQL.format(S="STRING"))
+    docs = (
+        ev.select(F.coalesce("user_id", F.lit(0)).alias("uid"),
+                  F.coalesce("event_id", F.lit(-1)).alias("eid"),
+                  line.alias("line"))
+        .groupBy("uid")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("eid", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"))
+    )
+    out = c4_clean(docs, text_col="text", id_col="uid")
+    return out.select(
+        F.col("uid").alias("doc_id"),
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines", "n_kept", "n_sentences",
+        "flag_lorem", "flag_brace", "c4_page_pass",
+    ).orderBy("doc_id")
 
 
 def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4147,6 +4200,57 @@ SELECT uid AS doc_id, md5(clean_text) AS clean_md5,
 FROM clean ORDER BY doc_id
 """.strip()
 
+    # C4 page cleaning replay: per-line keep = terminal-mark set test
+    # after a trailing-WS strip + >=3 non-empty WS_CLASS words + no
+    # 'javascript'; page flags from the raw text; sentences = terminal
+    # marks in the kept text (split-count minus one, both engines)
+    c4_line_duck = _C4_LINE_SQL.format(S="VARCHAR")
+    sql["c4_clean"] = f"""
+WITH l AS (
+  SELECT coalesce(event_id, -1) AS eid, coalesce(user_id, 0) AS uid,
+         {c4_line_duck} AS line
+  FROM events
+),
+docs AS (SELECT uid, string_agg(line, chr(10) ORDER BY eid, line) AS text
+         FROM l GROUP BY uid),
+ls AS (SELECT uid, string_split(text, chr(10)) AS parts FROM docs),
+px AS (SELECT uid, unnest(range(0, len(parts))) AS pos, parts FROM ls),
+lx AS (SELECT uid, pos, list_extract(parts, pos + 1) AS line FROM px),
+kx AS (
+  SELECT uid, pos, line,
+         (right(regexp_replace(line, '{_DUCK_WS}+$', ''), 1)
+            IN ('.', '!', '?', '"', '”', '’')
+          AND len(list_filter(regexp_split_to_array(line, '{_DUCK_WS}+'),
+                              x -> x <> '')) >= 3
+          AND NOT contains(lower(line), 'javascript')) AS keep
+  FROM lx
+),
+clean AS (
+  SELECT uid,
+         coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE keep), '') AS clean_text,
+         count(*) AS n_lines,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+  FROM kx GROUP BY uid
+),
+sent AS (
+  SELECT uid, clean_text, n_lines, n_kept,
+         len(regexp_split_to_array(clean_text, '[.!?]')) - 1 AS n_sentences
+  FROM clean
+)
+SELECT d.uid AS doc_id, md5(s.clean_text) AS clean_md5,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       CAST(s.n_kept AS BIGINT) AS n_kept,
+       CAST(s.n_sentences AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN contains(lower(d.text), 'lorem ipsum') THEN 1 ELSE 0 END AS INT) AS flag_lorem,
+       CAST(CASE WHEN contains(d.text, '{{') THEN 1 ELSE 0 END AS INT) AS flag_brace,
+       CAST(CASE WHEN NOT contains(lower(d.text), 'lorem ipsum')
+                  AND NOT contains(d.text, '{{')
+                  AND s.n_sentences >= 5 THEN 1 ELSE 0 END AS INT) AS c4_page_pass
+FROM sent s JOIN docs d USING (uid)
+ORDER BY doc_id
+""".strip()
+
     # Gopher repetition replay: line stats via list functions over the
     # same assembled docs; top word-2-gram via unnest + count + window
     # top-1 (ORDER BY cnt DESC, gram = the kernel's (-cnt, gram) min —
@@ -4410,6 +4514,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,
         "line_dedup": q_line_dedup,
+        "c4_clean": q_c4_clean,
         "gopher_repetition": q_gopher_repetition,
         "gopher_dup_ngrams": q_gopher_dup_ngrams,
         "ccnet_buckets": q_ccnet_buckets,

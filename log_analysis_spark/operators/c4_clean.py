@@ -1,0 +1,102 @@
+"""C4-style heuristic page cleaning (Raffel et al., JMLR 2020, §2.2).
+
+The rule half of the C4 pipeline — `line_dedup.py` carries the
+corpus-wide duplicated-line half; together they are the public C4
+cleanup. Per line, a page RETAINS only lines that
+
+  1. end in a terminal punctuation mark (period, exclamation mark,
+     question mark, or closing quotation mark — the paper's rule),
+  2. contain at least ``min_words_per_line`` whitespace words (paper: 3),
+  3. do not contain the word "javascript" (case-insensitive).
+
+Per page, the whole document is FLAGGED for removal when
+
+  4. the raw text contains the phrase "lorem ipsum" (case-insensitive),
+  5. the raw text contains a curly brace ``{`` (code, not prose),
+  6. fewer than ``min_sentences`` sentences survive line filtering
+     (sentences approximated as terminal-mark occurrences in the kept
+     text — the paper counts sentences on the retained page; an exact
+     sentence splitter is a tokenizer dependency this engine avoids).
+
+Reference analog: the short-fragment / generic-token drop rules the
+template pipeline applies before matching (src/log_matcher.rs fragment
+filters) — both are cheap precision filters that run before any
+expensive corpus-wide operator.
+
+Scale notes (100 TB):
+- ZERO shuffle: every rule is a row-local JVM expression (split +
+  higher-order filter + substring), whole-stage-codegen'd; the operator
+  adds no Exchange to whatever plan surrounds it.
+- No regex backtracking in the hot path: the terminal-punctuation rule
+  is a last-character set test after a bounded trailing-whitespace
+  strip, not an anchored scan of the line.
+- The kept-lines array is bounded by the document's own line count;
+  nothing corpus-sized is collected or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import WS_CLASS
+
+# terminal marks: ., !, ? plus straight/closing quotes (C4 counts a
+# quotation mark as terminal so quoted dialogue lines survive)
+C4_TERMINAL = (".", "!", "?", '"', "”", "’")
+
+
+def c4_line_keep(line: Column, min_words: int = 3) -> Column:
+    """Boolean: does this line survive C4's three line rules?
+
+    Word counting uses the engine-wide WS_CLASS split with empty tokens
+    dropped (cross-engine exact vs DuckDB's regexp_split_to_array);
+    the terminal test strips trailing WS_CLASS runs then set-tests the
+    final character — no anchored regex in the per-line hot path.
+    """
+    stripped = F.regexp_replace(line, WS_CLASS + "+$", "")
+    ends_terminal = F.substring(stripped, -1, 1).isin(*C4_TERMINAL)
+    n_words = F.size(
+        F.filter(F.split(line, WS_CLASS + "+"), lambda w: w != F.lit("")))
+    no_javascript = ~F.lower(line).contains("javascript")
+    return ends_terminal & (n_words >= min_words) & no_javascript
+
+
+def c4_clean(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             min_words_per_line: int = 3, min_sentences: int = 5
+             ) -> DataFrame:
+    """Apply the C4 line + page rules; one row per input document.
+
+    Returns (id_col, clean_text, n_lines, n_kept, n_sentences,
+    flag_lorem, flag_brace, c4_page_pass) — clean_text is the kept
+    lines rejoined with newlines, flags are ints (0/1), and
+    ``c4_page_pass`` is the conjunction: no lorem-ipsum, no brace, and
+    at least ``min_sentences`` sentences retained. NULL text propagates
+    as NULL clean_text with zero counts and an all-false flag row.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n", -1)
+    kept = F.filter(lines, lambda x: c4_line_keep(x, min_words_per_line))
+    kept_text = F.array_join(kept, "\n")
+    # sentence count = terminal-mark occurrences in the kept text
+    n_sent = F.size(F.split(kept_text, "[.!?]", -1)) - 1
+    flag_lorem = F.lower(text).contains("lorem ipsum")
+    flag_brace = text.contains("{")
+    page_pass = (~flag_lorem) & (~flag_brace) & (n_sent >= min_sentences)
+    isnull = text.isNull()
+    zero = F.lit(0).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.when(isnull, F.lit(None).cast("string"))
+         .otherwise(kept_text).alias("clean_text"),
+        F.when(isnull, zero).otherwise(F.size(lines).cast("long"))
+         .alias("n_lines"),
+        F.when(isnull, zero).otherwise(F.size(kept).cast("long"))
+         .alias("n_kept"),
+        F.when(isnull, zero).otherwise(n_sent.cast("long"))
+         .alias("n_sentences"),
+        F.coalesce(flag_lorem, F.lit(False)).cast("int").alias("flag_lorem"),
+        F.coalesce(flag_brace, F.lit(False)).cast("int").alias("flag_brace"),
+        F.coalesce(page_pass, F.lit(False)).cast("int")
+         .alias("c4_page_pass"),
+    )

@@ -1,0 +1,104 @@
+"""C4 heuristic page cleaning (operators/c4_clean.py).
+
+The oracle gate (c4_clean in entry_queries) replays the rules over the
+events-derived corpus; these tests pin the semantics the gate corpus
+can't isolate: each line rule in isolation, the terminal-quote forms,
+trailing-whitespace stripping, the page flags and sentence boundary,
+NULL documents, and the zero-Exchange plan the docstring promises.
+"""
+
+from __future__ import annotations
+
+from log_analysis_spark.operators.c4_clean import c4_clean
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in c4_clean(df, **kw).collect()}
+
+
+def test_line_rules_each_in_isolation(spark):
+    doc = "\n".join([
+        "This line survives every rule.",   # kept
+        "too short.",                       # 2 words
+        "no terminal punctuation here",     # no terminal mark
+        "Please enable JavaScript to continue.",  # javascript
+        "Enable JAVASCRIPT now please.",    # case-insensitive
+    ])
+    out = _run(spark, [(0, doc)])
+    assert out[0]["clean_text"] == "This line survives every rule."
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept"] == 1
+
+
+def test_terminal_marks_include_quotes(spark):
+    doc = "\n".join([
+        'She said "it works."',     # straight quote
+        "He replied it is done”",  # closing curly double quote
+        "Then it finished fine’",  # closing curly single quote
+        "Is that really true?",
+        "It certainly is!",
+    ])
+    out = _run(spark, [(0, doc)])
+    assert out[0]["n_kept"] == 5
+
+
+def test_trailing_whitespace_stripped_before_terminal_test(spark):
+    out = _run(spark, [(0, "Ends with a period.   \t"),
+                       (1, "Ends with spaces only   ")])
+    assert out[0]["n_kept"] == 1
+    assert out[1]["n_kept"] == 0
+
+
+def test_min_words_per_line_knob(spark):
+    out = _run(spark, [(0, "two words.")], min_words_per_line=2)
+    assert out[0]["n_kept"] == 1
+    out2 = _run(spark, [(0, "two words.")], min_words_per_line=3)
+    assert out2[0]["n_kept"] == 0
+
+
+def test_page_flags_and_sentence_gate(spark):
+    five = "\n".join(f"Sentence number {i} is here." for i in range(5))
+    four = "\n".join(f"Sentence number {i} is here." for i in range(4))
+    out = _run(spark, [
+        (0, five),                                   # passes
+        (1, four),                                   # < 5 sentences
+        (2, five + "\nSee the Lorem Ipsum sample."), # lorem flag
+        (3, five + "\nconfig = { retries: 3 }"),     # brace flag
+    ])
+    assert out[0]["c4_page_pass"] == 1 and out[0]["n_sentences"] == 5
+    assert out[1]["c4_page_pass"] == 0 and out[1]["n_sentences"] == 4
+    assert out[2]["flag_lorem"] == 1 and out[2]["c4_page_pass"] == 0
+    assert out[3]["flag_brace"] == 1 and out[3]["c4_page_pass"] == 0
+    # the brace line itself is dropped by the terminal rule, but the
+    # PAGE flag reads the raw text
+    assert out[3]["n_kept"] == 5
+
+
+def test_multiple_sentences_on_one_line_counted(spark):
+    out = _run(spark, [(0, "First one here. Second one too. And a third!")])
+    assert out[0]["n_kept"] == 1 and out[0]["n_sentences"] == 3
+
+
+def test_null_and_empty_documents(spark):
+    out = _run(spark, [(0, None), (1, ""), (2, "A real sentence is kept.")])
+    assert out[0]["clean_text"] is None
+    assert out[0]["n_lines"] == 0 and out[0]["n_kept"] == 0
+    assert out[0]["flag_lorem"] == 0 and out[0]["c4_page_pass"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_lines"] == 1
+    assert out[2]["n_kept"] == 1
+
+
+def test_min_sentences_knob(spark):
+    doc = "One good sentence stands alone."
+    out = _run(spark, [(0, doc)], min_sentences=1)
+    assert out[0]["c4_page_pass"] == 1
+    out2 = _run(spark, [(0, doc)], min_sentences=2)
+    assert out2[0]["c4_page_pass"] == 0
+
+
+def test_plan_is_row_local(spark):
+    """Every rule is a JVM expression on the row: no Exchange, no UDF."""
+    df = spark.createDataFrame([(0, "x.")], "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no Python UDF in the hot path

@@ -114,7 +114,8 @@ EVENT_GATES = [
     "variable_extraction", "context_window", "pii_redaction",
     "template_counts_topk", "user_histogram", "event_histogram",
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
-    "user_sessions", "line_dedup", "count_drift", "count_drift_robust",
+    "user_sessions", "line_dedup", "c4_clean", "count_drift",
+    "count_drift_robust",
     "conv_dedup", "conv_neardup_pairs", "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "template_transitions", "rare_transitions", "entropy_drift",
