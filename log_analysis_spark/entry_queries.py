@@ -57,6 +57,22 @@ END
 """.strip()
 
 
+# JSON payload variety for the json_* gates: the real events.props column
+# is a single-key object, so this CASE adds the shapes a schema-drift
+# profiler must separate — two-field objects, a nested object, the raw
+# props arm, and a malformed arm (at web scale some payloads are always
+# garbage; extraction must NULL them, not abort the scan).
+_JSON_SQL = """
+CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN concat('{{"user": ', CAST(coalesce(user_id, 0) AS {S}), ', "action": "', coalesce(event_type, ''), '"}}')
+  WHEN 1 THEN concat('{{"user": ', CAST(coalesce(user_id, 0) AS {S}), ', "latency_ms": ', CAST(coalesce(user_id, 0) % 950 + 50 AS {S}), '}}')
+  WHEN 2 THEN concat('{{"action": "', coalesce(event_type, ''), '", "meta": {{"retry": ', CAST(event_id % 3 AS {S}), '}}}}')
+  WHEN 3 THEN props
+  ELSE concat('payload=', CAST(event_id AS {S}), ' not json')
+END
+""".strip()
+
+
 # C4-shaped prose lines for the c4_clean gate: the event/log line shapes
 # above carry no terminal punctuation, so the Raffel et al. page rules
 # would be degenerate over them. This CASE emits every rule's trigger
@@ -1954,6 +1970,54 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return profile_columns(
         docs, ["doc_id", "lang", "source", "n_chars"]).orderBy("column_name")
+
+
+def q_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from the real JSON payload column
+    (events.props — the reference round-trips its sink rows through the
+    same shape, src/clickhouse_client.rs:357): flatten ``$.k`` to a
+    bigint and aggregate per event_type. get_json_object + the aggregate
+    are one codegen'd scan — no UDF, no second pass."""
+    from .functions.json_fields import flatten_json
+
+    ev = _t(spark, sf_dir, "events")
+    flat = flatten_json(ev, "props", {"k": ("$.k", "bigint")})
+    return (
+        flat.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count("k").alias("n_k"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+def q_json_keyset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift profile of a mixed JSON payload stream: group by the
+    sorted top-level keyset signature (malformed / non-object payloads
+    land in one '<invalid>' bucket instead of erroring). Result is
+    bounded by distinct payload shapes, not rows."""
+    from .functions.json_fields import json_keyset_col
+
+    ev = _t(spark, sf_dir, "events")
+    j = F.expr(_JSON_SQL.format(S="STRING"))
+    return (
+        ev.select(json_keyset_col(j).alias("keyset"))
+        .groupBy("keyset").agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("keyset")
+    )
+
+
+def q_json_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key presence counts across the mixed payload stream (explode →
+    one shuffle keyed by JSON key; cardinality-bounded output). Rows that
+    are malformed or non-object contribute no keys."""
+    from .functions.json_fields import json_key_counts
+
+    ev = _t(spark, sf_dir, "events")
+    j = F.expr(_JSON_SQL.format(S="STRING"))
+    return json_key_counts(ev.select(j.alias("j")), "j").orderBy("json_key")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4374,6 +4438,36 @@ l AS (SELECT CASE WHEN mx IS NULL OR mx < 0.01 THEN 'unknown'
 SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
 """.strip()
 
+    # JSON gates: DuckDB errors on malformed JSON where Spark returns
+    # NULL, so every json_* call sits behind a json_valid + OBJECT guard
+    # (try_cast mirrors Spark's null-on-bad-cast for the typed field).
+    sql["json_field_stats"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+    json_duck = _JSON_SQL.format(S="VARCHAR")
+    sql["json_keyset_profile"] = f"""
+WITH t AS (SELECT {json_duck} AS j FROM events)
+SELECT CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
+            THEN array_to_string(list_sort(json_keys(j)), ',')
+            ELSE '<invalid>' END AS keyset,
+       count(*) AS n_rows
+FROM t GROUP BY keyset ORDER BY keyset
+""".strip()
+
+    sql["json_key_counts"] = f"""
+WITH t AS (SELECT {json_duck} AS j FROM events),
+     k AS (SELECT unnest(json_keys(j)) AS json_key FROM t
+           WHERE json_valid(j) AND json_type(j) = 'OBJECT')
+SELECT json_key, count(*) AS n_rows FROM k GROUP BY json_key ORDER BY json_key
+""".strip()
+
     sql["format_detect"] = f"""
 WITH l AS (SELECT {fmt_line_duck} AS line FROM events)
 SELECT {format_detect_sql('line')} AS format, count(*) AS n_rows
@@ -4510,6 +4604,9 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "char_entropy": q_char_entropy,
         "profile_columns": q_profile_columns,
+        "json_field_stats": q_json_field_stats,
+        "json_keyset_profile": q_json_keyset_profile,
+        "json_key_counts": q_json_key_counts,
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "tfidf_topk": q_tfidf_topk,

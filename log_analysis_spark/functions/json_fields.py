@@ -1,0 +1,64 @@
+"""Semi-structured JSON field extraction over string columns.
+
+Log pipelines carry a JSON payload column next to the structured ones
+(the reference reads its sink rows back by deserializing JSON lines into
+typed structs, src/clickhouse_client.rs:357 ``TemplateExampleRow``;
+events.props here is the same shape). These helpers keep extraction
+JVM-side — ``get_json_object`` / ``json_object_keys`` are Catalyst
+expressions inside whole-stage codegen, so a 100 TB scan pays no Python
+or Arrow transfer and column pruning still reaches the parquet reader
+(only the JSON column is materialized).
+
+Malformed-input semantics (shared with the DuckDB oracles): a payload
+that is not valid JSON — or is valid JSON but not an object — extracts
+NULL fields and an ``invalid_label`` keyset instead of erroring; at web
+scale some fraction of payloads is always garbage and a job that aborts
+on the first bad row cannot finish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+INVALID_KEYSET = "<invalid>"
+
+
+def json_field(col: Column | str, path: str, cast: str | None = None) -> Column:
+    """Extract one scalar field (``path`` like ``$.k`` or ``$.a.b``).
+
+    Returns NULL for malformed JSON, a missing key, or (with ``cast``) a
+    value that does not parse as the requested type — never errors.
+    """
+    c = F.get_json_object(F.col(col) if isinstance(col, str) else col, path)
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # ABORTS the job on the first non-numeric value — fatal at web scale
+    return c.try_cast(cast) if cast else c
+
+
+def json_keyset_col(col: Column | str, invalid_label: str = INVALID_KEYSET) -> Column:
+    """Sorted top-level keyset signature (``'a,b'``) — the schema-drift
+    fingerprint: group by it to see every payload shape in the corpus and
+    catch producers that added/dropped/renamed fields."""
+    c = F.col(col) if isinstance(col, str) else col
+    keys = F.json_object_keys(c)  # NULL for non-object / malformed
+    return F.when(keys.isNotNull(), F.array_join(F.array_sort(keys), ",")) \
+            .otherwise(F.lit(invalid_label))
+
+
+def flatten_json(df: DataFrame, col: str,
+                 fields: dict[str, tuple[str, str | None]]) -> DataFrame:
+    """Project JSON fields to typed top-level columns:
+    ``fields = {"user": ("$.user", "bigint"), "action": ("$.action", None)}``.
+    One pass, all expressions codegen'd together."""
+    return df.withColumns(
+        {name: json_field(col, path, cast) for name, (path, cast) in fields.items()})
+
+
+def json_key_counts(df: DataFrame, col: str) -> DataFrame:
+    """Per-key presence counts across the corpus (distributed: explode →
+    one shuffle keyed by JSON key; result is bounded by key cardinality,
+    not row count). Columns: ``json_key``, ``n_rows``."""
+    keys = F.json_object_keys(F.col(col))
+    return (df.select(F.explode(keys).alias("json_key"))
+              .groupBy("json_key").agg(F.count(F.lit(1)).alias("n_rows")))

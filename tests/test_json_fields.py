@@ -1,0 +1,78 @@
+"""JSON field extraction (functions/json_fields.py).
+
+The three oracle gates (json_field_stats / json_keyset_profile /
+json_key_counts in entry_queries) replay the semantics over the events
+corpus; these tests pin the edge behavior the gate corpus can't
+isolate: malformed payloads, valid-but-non-object JSON, missing keys,
+bad casts, nested objects, NULL input, and the single-scan plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from log_analysis_spark.functions.json_fields import (
+    INVALID_KEYSET,
+    flatten_json,
+    json_field,
+    json_key_counts,
+    json_keyset_col,
+)
+
+ROWS = [
+    (0, '{"user": 7, "action": "click"}'),
+    (1, '{"user": 8, "latency_ms": 120}'),
+    (2, '{"action": "view", "meta": {"retry": 2}}'),
+    (3, "payload=3 not json"),
+    (4, None),
+    (5, "5"),            # valid JSON, not an object
+    (6, '{"user": "not-a-number"}'),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id long, j string")
+
+
+def test_json_field_null_on_malformed_missing_and_bad_cast(spark):
+    out = {r["id"]: r for r in _df(spark).select(
+        "id",
+        json_field("j", "$.user", "bigint").alias("user"),
+        json_field("j", "$.action").alias("action"),
+        json_field("j", "$.meta.retry", "int").alias("retry"),
+    ).collect()}
+    assert out[0]["user"] == 7 and out[0]["action"] == "click"
+    assert out[1]["user"] == 8 and out[1]["action"] is None  # missing key
+    assert out[2]["retry"] == 2                              # nested path
+    assert out[3]["user"] is None                            # malformed
+    assert out[4]["user"] is None                            # NULL input
+    assert out[6]["user"] is None                            # bad cast
+
+
+def test_keyset_signature_sorted_and_invalid_bucket(spark):
+    out = {r["id"]: r["ks"] for r in _df(spark).select(
+        "id", json_keyset_col("j").alias("ks")).collect()}
+    assert out[0] == "action,user"        # sorted, not insertion order
+    assert out[1] == "latency_ms,user"
+    assert out[2] == "action,meta"        # nested keys NOT flattened in
+    assert out[3] == INVALID_KEYSET       # malformed
+    assert out[4] == INVALID_KEYSET       # NULL
+    assert out[5] == INVALID_KEYSET       # scalar JSON is not an object
+
+
+def test_flatten_json_types_and_key_counts(spark):
+    flat = flatten_json(_df(spark), "j",
+                        {"user": ("$.user", "bigint"), "action": ("$.action", None)})
+    assert dict(flat.dtypes)["user"] == "bigint"
+    assert dict(flat.dtypes)["action"] == "string"
+    counts = {r["json_key"]: r["n_rows"]
+              for r in json_key_counts(_df(spark), "j").collect()}
+    assert counts == {"user": 3, "action": 2, "latency_ms": 1, "meta": 1}
+
+
+def test_single_scan_no_exchange(spark):
+    # extraction + flatten stay in one codegen'd scan: no Exchange before
+    # the aggregate's own shuffle
+    flat = flatten_json(_df(spark), "j", {"user": ("$.user", "bigint")})
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
