@@ -57,6 +57,46 @@ def read_ground_truth_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """S-family: JSON-lines ingest with a malformed-line side channel.
+
+    The reference's sink wire format IS JSON lines (one serialized row
+    per line, src/clickhouse_client.rs:125-128) and its read-back drops
+    rows that fail to parse (src/clickhouse_client.rs:357 ``.ok()?``).
+    Dropping silently loses data at web scale, so this reader splits
+    instead: ``(good, corrupt)`` where ``good`` carries the declared
+    schema and ``corrupt`` holds each unparseable raw line for a
+    side-channel sink (same pattern as the streaming unmatched channel).
+
+    Schema is explicit — no inference pass over 100 TB. Deliberately NOT
+    ``spark.read.json`` + its internal corrupt column: the analyzer
+    forbids corrupt-only projections from a raw JSON relation
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) and its
+    sanctioned workaround is caching the parsed relation — a non-starter
+    at corpus scale. Reading lines as text and parsing with the
+    ``from_json`` EXPRESSION sidesteps the restriction: same Jackson
+    parser, one scan, both branches prune to exactly the columns they
+    use, nothing cached.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)])
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            "value", full, {"columnNameOfCorruptRecord": corrupt_col}).alias("j"),
+    )
+    is_bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+    good = parsed.filter(~is_bad).select(
+        *(F.col(f"j.{f.name}").alias(f.name) for f in schema.fields))
+    corrupt = parsed.filter(is_bad).select("raw_line")
+    return good, corrupt
+
+
 def loghub_template_to_regex(template: str) -> str:
     """S4: `<*>` wildcard template -> anchored regex
     (semantics of src/loghub_loader.rs:19-50: escape literals, wildcards

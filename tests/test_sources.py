@@ -63,3 +63,47 @@ def test_syslog_extraction(spark):
     assert r["pid"] == "19939"
     assert r["message"].startswith("authentication failure")
     assert out[1]["host"] == ""  # no match -> empty extracts
+
+
+def test_read_jsonl_splits_good_and_corrupt(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text("\n".join([
+        '{"template_id": 1, "count": 10}',
+        '{"template_id": 2, "count": 20}',
+        'not json at all',
+        '{"template_id": 3, "count": "NaNish"}',   # bad type -> corrupt
+        '{"template_id": 4}',                      # missing key -> NULL, good
+    ]))
+    schema = T.StructType([
+        T.StructField("template_id", T.LongType(), True),
+        T.StructField("count", T.LongType(), True),
+    ])
+    good, corrupt = read_jsonl(spark, str(p), schema)
+    rows = {r["template_id"]: r["count"] for r in good.collect()}
+    assert rows == {1: 10, 2: 20, 4: None}
+    bad = sorted(r["raw_line"] for r in corrupt.collect())
+    assert bad == ['not json at all', '{"template_id": 3, "count": "NaNish"}']
+    assert good.columns == ["template_id", "count"]
+
+
+def test_read_jsonl_roundtrips_table_format_json_sink(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from log_analysis_spark.sources.readers import read_jsonl
+    from log_analysis_spark.sources.writers import TableFormat
+
+    df = spark.range(5).selectExpr("id AS template_id", "id * 2 AS count")
+    out = str(tmp_path / "sink")
+    TableFormat("json").write(df, out)
+    schema = T.StructType([
+        T.StructField("template_id", T.LongType(), True),
+        T.StructField("count", T.LongType(), True),
+    ])
+    good, corrupt = read_jsonl(spark, out, schema)
+    assert corrupt.count() == 0
+    assert sorted((r["template_id"], r["count"]) for r in good.collect()) == \
+        [(i, 2 * i) for i in range(5)]
