@@ -191,6 +191,7 @@ def main() -> None:
         "interval_windows", "sink_rollup",
         "posting_lists", "conjunctive_search",
         "variable_value_topk", "template_lifecycle", "stitch_multiline",
+        "json_field_stats", "json_keyset_profile",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -4445,7 +4445,7 @@ SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
 SELECT event_type,
        count(*) AS n_rows,
        count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-       sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
