@@ -199,6 +199,44 @@ def q_count_drift_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_drift_robust(ev, "event_type").orderBy("key", "bucket_us")
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-distribution drift (PSI) per event type between the first
+    and second halves of the time range: the JSON payload field ``k``
+    (functions/json_fields.json_field) histogrammed into 10 equal-width
+    bins over [0,100) plus a missing bucket, Laplace-smoothed over the
+    fixed 11-bucket universe — the monitor that catches a feature's
+    histogram shifting at constant volume, which count_drift cannot see.
+    Hash-gated: DuckDB replays the integer midpoint test (us*2 <= min+max
+    — no halving, so no trunc-vs-round divergence), the bin arithmetic,
+    and the smoothed 11-term sum at 1e-6."""
+    from .functions.json_fields import json_field
+    from .operators.aggregates import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        psi_drift(ev.withColumn("k", json_field("props", "$.k", "bigint")),
+                  "k", class_col="event_type")
+        .withColumnRenamed("class", "event_type")
+    )
+
+
+def q_class_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms via weighted log-odds with an
+    informative Dirichlet prior (Monroe et al. 2008 "Fightin' Words") —
+    the corpus-diagnostics complement to per-doc tfidf_topk (raw
+    log-odds over-ranks hapaxes, chi-square over-ranks stopwords; the
+    corpus-frequency prior + per-term variance fix both). Rank is
+    1e-9-quantized z desc then word asc, the repo tie-break convention.
+    Hash-gated: DuckDB replays counts, prior, delta, variance, and the
+    window cut with identical expression order."""
+    from .operators.text_analysis import class_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return (class_keywords(docs, class_col="source", k=5)
+            .withColumnRenamed("class", "source")
+            .orderBy("source", "rank"))
+
+
 def q_streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift detection, value-gated by BATCH REPLAY (the
     windowed_template_counts recipe): Structured Streaming maintains
@@ -2510,6 +2548,69 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
     # (a NULL-ts bucket row would otherwise sit in a different frame);
     # the anomaly flag compares the 1e-6-rounded z in both engines.
     drift_z = "CASE WHEN hist >= 3 AND sd > 0 THEN (n - mean) / sd END"
+    # PSI: the midpoint test stays integer (us*2 <= min+max) because
+    # Spark truncates double->long and DuckDB rounds; bin + smoothing
+    # arithmetic mirrors aggregates.psi_drift expression-for-expression
+    sql["psi_drift"] = """
+WITH e AS (
+  SELECT event_type AS class, epoch_us(ts) AS us,
+         try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE ts IS NOT NULL),
+b AS (SELECT min(us) + max(us) AS mm FROM e),
+f AS (SELECT class,
+             CASE WHEN us * 2 <= mm THEN 1 ELSE 0 END AS is_ref,
+             CASE WHEN k IS NULL THEN -1
+                  ELSE least(greatest(CAST(floor((k - 0.0) * 10 / 100.0) AS INT), 0), 9)
+             END AS bin
+      FROM e CROSS JOIN b),
+c AS (SELECT class, bin, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+      FROM f GROUP BY class, bin),
+u AS (SELECT DISTINCT class FROM c),
+g AS (SELECT class, unnest(range(-1, 10)) AS bin FROM u),
+j AS (SELECT g.class, g.bin,
+             coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+      FROM g LEFT JOIN c ON g.class = c.class AND g.bin = c.bin),
+t AS (SELECT class, n_ref, n_cur,
+             sum(n_ref) OVER (PARTITION BY class) AS nr,
+             sum(n_cur) OVER (PARTITION BY class) AS nc
+      FROM j),
+p AS (SELECT class, nr, nc,
+             (n_cur + 0.5) / (nc + 0.5 * 11) AS pc,
+             (n_ref + 0.5) / (nr + 0.5 * 11) AS pr
+      FROM t)
+SELECT class AS event_type, CAST(min(nr) AS BIGINT) AS n_ref,
+       CAST(min(nc) AS BIGINT) AS n_cur,
+       round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+FROM p GROUP BY class ORDER BY event_type
+""".strip()
+
+    sql["class_keywords"] = """
+WITH toks AS (
+  SELECT source AS class,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS word
+  FROM documents),
+t2 AS (SELECT class, word FROM toks WHERE word <> ''),
+ycw AS (SELECT class, word, count(*) AS y_cw FROM t2 GROUP BY class, word),
+yw AS (SELECT word, CAST(sum(y_cw) AS BIGINT) AS y_w FROM ycw GROUP BY word),
+ncl AS (SELECT class, CAST(sum(y_cw) AS BIGINT) AS n_c FROM ycw GROUP BY class),
+tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM ncl),
+s AS (
+  SELECT class, word, y_cw,
+         (ln((y_cw + 100.0 * y_w / n) / (n_c + 100.0 - y_cw - 100.0 * y_w / n))
+        - ln(((y_w - y_cw) + 100.0 * y_w / n)
+             / (n - n_c + 100.0 - (y_w - y_cw) - 100.0 * y_w / n)))
+         / sqrt(1.0 / (y_cw + 100.0 * y_w / n)
+              + 1.0 / ((y_w - y_cw) + 100.0 * y_w / n)) AS z
+  FROM ycw JOIN yw USING (word) JOIN ncl USING (class) CROSS JOIN tot),
+r AS (SELECT class, word, y_cw, z,
+             row_number() OVER (PARTITION BY class
+                                ORDER BY round(z, 9) DESC, word) AS rnk
+      FROM s)
+SELECT class AS source, word, CAST(rnk AS INT) AS "rank",
+       CAST(y_cw AS BIGINT) AS n_cw, round(z, 6) AS zscore
+FROM r WHERE rnk <= 5 ORDER BY source, "rank"
+""".strip()
+
     sql["count_drift"] = f"""
 WITH c AS (
   SELECT event_type AS key, epoch_us(date_trunc('day', ts)) AS bucket_us,
@@ -4538,6 +4639,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_counts_topk": q_template_counts_topk,
         "time_range_recent": q_time_range_recent,
         "count_drift": q_count_drift,
+        "psi_drift": q_psi_drift,
+        "class_keywords": q_class_keywords,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,

@@ -463,3 +463,95 @@ def hierarchy_rollup(
              F.count(F.lit(1)).alias("n"))
         .select(*cols, "grouping_id", "n")
     )
+
+
+def psi_drift(df: DataFrame, feature_col, class_col: str = "event_type",
+              ts_col: str = "ts", n_bins: int = 10,
+              lo: float = 0.0, hi: float = 100.0) -> DataFrame:
+    """Population Stability Index of a numeric feature between the first
+    and second halves of the observed time range, per class — the
+    distribution-drift monitor that complements :func:`count_drift`
+    (which sees volume change but not a feature's histogram shifting at
+    constant volume; the standard reading is <0.1 stable, 0.1-0.25
+    moderate, >0.25 major drift).
+
+    The feature is histogrammed into ``n_bins`` equal-width bins over
+    [lo, hi) (out-of-range values clamp to the edge bins so a range
+    mis-estimate degrades, never errors) plus a ``-1`` missing bucket —
+    NULL features are themselves a drift signal (a producer dropping a
+    field shows up here, not as silence). Bin probabilities are
+    Laplace-smoothed with +0.5 over the FIXED universe of n_bins+1
+    buckets so empty bins stay finite and psi is exactly 0.0 when the
+    two halves agree; PSI = sum over bins of
+    (p_cur - p_ref) * ln(p_cur / p_ref).
+
+    Scale: ONE corpus-wide shuffle — groupBy (class, half, bin) with
+    map-side partials collapsing to |classes| x 2 x (n_bins+1) rows;
+    the time midpoint is a 1-row broadcast, and everything after the
+    agg (bin-universe completion, per-class totals, the psi sum) runs
+    on the tiny bucketed relation. Rows with NULL ts are excluded (no
+    half to assign them to — watermark semantics, as in count_drift).
+
+    Returns (class, n_ref, n_cur, psi) sorted by class; psi rounded at
+    1e-6 (the repo's cross-engine double discipline — an 11-term sum's
+    add-order ulp can't survive the round)."""
+    feat = F.col(feature_col) if isinstance(feature_col, str) else feature_col
+    n_buckets = n_bins + 1  # + the missing bucket
+    e = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(class_col).alias("class"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            feat.alias("f"))
+    )
+    # the midpoint test is us <= (min+max)/2, kept in pure integer
+    # arithmetic as us*2 <= min+max — Spark truncates double->long while
+    # DuckDB ROUNDS, so a halved midpoint could differ by one between
+    # the engines and flip the row sitting exactly on it
+    bounds = e.agg((F.min("us") + F.max("us")).alias("mm"))
+    binned = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "class",
+            F.when(F.col("us") * 2 <= F.col("mm"), F.lit(1)).otherwise(F.lit(0))
+             .alias("is_ref"),
+            F.when(F.col("f").isNull(), F.lit(-1)).otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("f") - F.lit(float(lo))) * n_bins
+                                / F.lit(float(hi - lo))).cast("int"),
+                        F.lit(0)),
+                    F.lit(n_bins - 1))).alias("bin"))
+    )
+    counts = binned.groupBy("class", "bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"))
+    # complete the bin universe (tiny: |classes| x n_buckets) — an empty
+    # bin still moves psi when the half totals differ
+    universe = (
+        counts.select("class").distinct()
+        .select("class",
+                F.explode(F.sequence(F.lit(-1), F.lit(n_bins - 1))).alias("bin"))
+    )
+    full = (
+        universe.join(counts, ["class", "bin"], "left")
+        .select("class", "bin",
+                F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+    )
+    w = Window.partitionBy("class")
+    probs = full.select(
+        "class", "n_ref", "n_cur",
+        F.sum("n_ref").over(w).alias("nr"),
+        F.sum("n_cur").over(w).alias("nc"))
+    half = F.lit(0.5)
+    pr = (F.col("n_ref") + half) / (F.col("nr") + half * n_buckets)
+    pc = (F.col("n_cur") + half) / (F.col("nc") + half * n_buckets)
+    return (
+        probs.select("class", "nr", "nc",
+                     ((pc - pr) * F.log(pc / pr)).alias("term"))
+        .groupBy("class")
+        .agg(F.min("nr").alias("n_ref"), F.min("nc").alias("n_cur"),
+             F.round(F.sum("term"), 6).alias("psi"))
+        .orderBy("class")
+    )

@@ -888,3 +888,82 @@ def winnowing_neardup_pairs(
     if threshold_r is not None:
         result = result.filter(F.round("jaccard", 6) >= threshold_r)
     return result
+
+
+def class_keywords(df: DataFrame, class_col: str = "source",
+                   text_col: str = "text", k: int = 5,
+                   alpha0: float = 100.0,
+                   materialize: bool = True) -> DataFrame:
+    """Per-class distinctive terms via weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — the corpus-diagnostics complement to per-doc
+    :func:`tfidf_topk`: which words characterize THIS source/domain
+    against the rest of the corpus. Raw log-odds over-ranks hapaxes and
+    chi-square over-ranks stopwords; the corpus-frequency prior
+    (alpha_w = alpha0 * y_w / n) and the per-term variance fix both:
+
+        delta = ln((y_cw + a_w) / (n_c + a0 - y_cw - a_w))
+              - ln((y_w - y_cw + a_w) / (n - n_c + a0 - (y_w - y_cw) - a_w))
+        sigma2 ~= 1/(y_cw + a_w) + 1/(y_w - y_cw + a_w)
+        z = delta / sqrt(sigma2)
+
+    Scale: the (class, word) count agg is the ONE corpus-wide shuffle
+    (map-side partials), and it feeds three consumers (word totals,
+    class totals, the grand total) — a multi-consumer corpus subtree
+    that Catalyst exchange reuse does NOT reliably dedupe (the executed
+    plan showed a second full scan+explode), so with ``materialize``
+    (default, the minhash_lsh_pairs recipe) the vocab-scale (class,
+    word) relation is persisted, the tiny k x |classes| result is
+    eagerly localCheckpoint-ed, and the cache is released before
+    returning. Word totals are a window on that relation (one
+    vocab-scale exchange on word, no join back); class totals and the
+    grand total collapse to |classes| and 1 rows and come back
+    broadcast. Rank is 1e-9-quantized z desc then word asc (repo
+    tie-break convention); z is reported rounded at 1e-6.
+
+    Returns (class, word, rank, n_cw, zscore)."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(class_col).alias("class"),
+                F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    y_cw = toks.groupBy("class", "word").agg(F.count(F.lit(1)).alias("y_cw"))
+    if materialize:
+        y_cw = y_cw.persist()
+    n_c = y_cw.groupBy("class").agg(F.sum("y_cw").alias("n_c"))
+    total = n_c.agg(F.sum("n_c").alias("n"))
+    a0 = F.lit(float(alpha0))
+    joined = (
+        y_cw.withColumn("y_w", F.sum("y_cw").over(Window.partitionBy("word")))
+        .join(F.broadcast(n_c), "class")
+        .crossJoin(F.broadcast(total))
+    )
+    a_w = a0 * F.col("y_w") / F.col("n")
+    y_rest = F.col("y_w") - F.col("y_cw")
+    delta = (
+        F.log((F.col("y_cw") + a_w)
+              / (F.col("n_c") + a0 - F.col("y_cw") - a_w))
+        - F.log((y_rest + a_w)
+                / (F.col("n") - F.col("n_c") + a0 - y_rest - a_w))
+    )
+    sigma2 = 1.0 / (F.col("y_cw") + a_w) + 1.0 / (y_rest + a_w)
+    scored = joined.select(
+        "class", "word", "y_cw", (delta / F.sqrt(sigma2)).alias("z"))
+    w = Window.partitionBy("class").orderBy(
+        F.round(F.col("z"), 9).desc(), F.col("word").asc())
+    result = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("class", "word", "rank",
+                F.col("y_cw").alias("n_cw"),
+                F.round("z", 6).alias("zscore"))
+    )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            y_cw.unpersist()
+    return result

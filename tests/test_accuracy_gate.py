@@ -275,3 +275,44 @@ def test_hierarchy_rollup_disambiguates_null_keys(spark):
     # grand total (gid 3)
     assert by[(None, None, 3)] == 4
     assert len(rows) == 3 + 2 + 1  # 3 detail groups + 2 day subtotals + grand
+
+
+def test_psi_drift_shift_missing_and_stability(spark):
+    """PSI flags a histogram shift at CONSTANT volume (invisible to
+    count_drift), counts NULL features as their own drifting bucket, and
+    is exactly 0.0 when the two halves agree."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.aggregates import psi_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'stable': identical feature histogram in both halves, equal volume
+    for h in range(2):
+        for i in range(100):
+            rows.append(("stable", t0 + dt.timedelta(hours=h * 10 + i % 10),
+                         float(i % 100)))
+    # 'shift': low decile bins in half 1, high bins in half 2 — volume equal
+    for i in range(100):
+        rows.append(("shift", t0 + dt.timedelta(hours=i % 10), float(i % 30)))
+        rows.append(("shift", t0 + dt.timedelta(hours=10 + i % 10),
+                     float(70 + i % 30)))
+    # 'gone_missing': feature present in half 1, NULL in half 2
+    for i in range(100):
+        rows.append(("gone_missing", t0 + dt.timedelta(hours=i % 10),
+                     float(i % 100)))
+        rows.append(("gone_missing", t0 + dt.timedelta(hours=10 + i % 10),
+                     None))
+    df = spark.createDataFrame(rows, "class string, ts timestamp, f double")
+    out = {r["class"]: r.asDict()
+           for r in psi_drift(df, "f", class_col="class", ts_col="ts").collect()}
+    assert out["stable"]["psi"] == 0.0
+    assert out["shift"]["psi"] > 0.25          # 'major drift' by the standard reading
+    assert out["gone_missing"]["psi"] > 0.25   # the missing bucket does the work
+    assert out["stable"]["n_ref"] == out["stable"]["n_cur"] == 100
+    # clamping: out-of-range values land in edge bins, never error
+    clamp = spark.createDataFrame(
+        [("c", t0, -50.0), ("c", t0 + dt.timedelta(hours=10), 500.0)],
+        "class string, ts timestamp, f double")
+    got = psi_drift(clamp, "f", class_col="class").collect()
+    assert len(got) == 1 and got[0]["n_ref"] == got[0]["n_cur"] == 1

@@ -669,3 +669,35 @@ def test_classifier_weight_join_is_broadcast(spark):
     out = classifier_scores(docs, hashed_weight_table(spark, 64), 64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_class_keywords_hand_computed(spark):
+    """Weighted log-odds (Monroe et al.): the class-exclusive repeated
+    word ranks first for its class, shared vocabulary scores ~0, and the
+    z value matches the hand-evaluated formula."""
+    import math
+
+    from log_analysis_spark.operators.text_analysis import class_keywords
+
+    docs = spark.createDataFrame(
+        [("a", "common common alpha alpha alpha"),
+         ("a", "common alpha"),
+         ("b", "common common beta beta"),
+         ("b", "common beta beta")],
+        "source string, text string")
+    out = class_keywords(docs, class_col="source", text_col="text", k=3,
+                         alpha0=10.0).collect()
+    rows = {(r["class"], r["word"]): r for r in out}
+    # hand evaluation for ('a', 'alpha'): y_cw=4, y_w=4, n_c=7, n=14, a0=10
+    a_w = 10.0 * 4 / 14
+    delta = (math.log((4 + a_w) / (7 + 10.0 - 4 - a_w))
+             - math.log((0 + a_w) / (14 - 7 + 10.0 - 0 - a_w)))
+    z = delta / math.sqrt(1.0 / (4 + a_w) + 1.0 / (0 + a_w))
+    assert abs(rows[("a", "alpha")]["zscore"] - round(z, 6)) < 1e-9
+    # exclusive words lead their class; the shared word is never first
+    first = {r["class"]: r["word"] for r in out if r["rank"] == 1}
+    assert first == {"a": "alpha", "b": "beta"}
+    assert rows[("a", "alpha")]["n_cw"] == 4
+    # 'common' is distinctive for NEITHER class: |z| far below the leads
+    assert abs(rows[("a", "common")]["zscore"]) < abs(rows[("a", "alpha")]["zscore"])
+    assert abs(rows[("b", "common")]["zscore"]) < abs(rows[("b", "beta")]["zscore"])
