@@ -192,7 +192,7 @@ def main() -> None:
         "posting_lists", "conjunctive_search",
         "variable_value_topk", "template_lifecycle", "stitch_multiline",
         "json_field_stats", "json_keyset_profile",
-        "psi_drift", "class_keywords",
+        "psi_drift", "class_keywords", "doc_chunks", "edit_distance_pairs",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -199,6 +199,35 @@ def q_count_drift_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_drift_robust(ev, "event_type").orderBy("key", "bucket_us")
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (operators/packing.
+    chunk_documents): 50-token windows at stride 40, pure integer chunk
+    arithmetic, entirely row-local (one Generate, zero shuffles).
+    Hash-gated: DuckDB replays the token filter, the ceil-div chunk
+    count, 1-based clamped list slices, and the joined chunk text
+    byte-for-byte."""
+    from .operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=50, stride=40) \
+        .orderBy("doc_id", "chunk_idx")
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs: the SAME k=8/4-band LSH candidate replay
+    as minhash_lsh_pairs, verified by normalized Levenshtein instead of
+    shingle Jaccard (operators/dedup.edit_distance_pairs) — catches
+    small in-place edits where n-gram Jaccard under-reads. Threshold
+    compares the 1e-6-rounded ratio in both engines. DuckDB's
+    levenshtein counts bytes vs Spark's code points; exact here because
+    the documents corpus is pure ASCII (verified at every sf)."""
+    from .operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, k=8, bands=4, n=3, max_ratio=0.3) \
+        .orderBy("id_a", "id_b")
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-distribution drift (PSI) per event type between the first
     and second halves of the time range: the JSON payload field ``k``
@@ -3901,6 +3930,29 @@ FROM v WHERE round({jac}, 6) >= 0.35
 ORDER BY id_a, id_b
 """.strip()
 
+    # fuzzy dedup: same candidate replay, normalized-Levenshtein verify
+    # (byte-based in DuckDB vs code-point in Spark — exact on this
+    # ASCII corpus; see q_edit_distance_pairs)
+    sql["edit_distance_pairs"] = f"""
+WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+g AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+h AS (SELECT doc_id, sh, {mh8} FROM g),
+b AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+v AS (
+  SELECT cand.id_a, cand.id_b,
+         CASE WHEN greatest(length(da.text), length(db.text)) = 0 THEN 0.0
+              ELSE levenshtein(da.text, db.text) * 1.0
+                   / greatest(length(da.text), length(db.text)) END AS ratio
+  FROM cand JOIN documents da ON da.doc_id = cand.id_a
+            JOIN documents db ON db.doc_id = cand.id_b)
+SELECT id_a, id_b, round(ratio, 6) AS edit_ratio
+FROM v WHERE round(ratio, 6) <= 0.3
+ORDER BY id_a, id_b
+""".strip()
+
     # incremental dedup: same replay restricted to cross (batch, history)
     # pairs — batch = doc_id % 4 == 0, history = the rest
     sql["incremental_dedup"] = f"""
@@ -4331,6 +4383,26 @@ SELECT doc_id, word, CAST(rnk AS INT) AS "rank", round(tfidf, 6) AS tfidf
 FROM r WHERE rnk <= 5 ORDER BY doc_id, "rank"
 """.strip()
 
+    # sliding-window chunking: ceil-div chunk count in integer
+    # arithmetic, 1-based clamped list slices — engine-exact, no floats
+    sql["doc_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n,
+             unnest(range(0, 1 + (greatest(n - 50, 0) + 39) // 40)) AS chunk_idx
+      FROM b),
+s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             toks[chunk_idx * 40 + 1 : least(chunk_idx * 40 + 50, n)] AS sl
+      FROM c)
+SELECT doc_id, chunk_idx, CAST(len(sl) AS INT) AS n_chunk_tokens,
+       array_to_string(sl, ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+""".strip()
+
     # C4-style line dedup over per-user documents assembled from the
     # shared event-line SQL; window count/row_number == the Spark
     # groupBy(count, min(struct)) + join formulation
@@ -4641,6 +4713,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_drift": q_count_drift,
         "psi_drift": q_psi_drift,
         "class_keywords": q_class_keywords,
+        "doc_chunks": q_doc_chunks,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,

@@ -945,3 +945,67 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    max_ratio: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Fuzzy near-dup pairs: the minhash-LSH candidate machinery with
+    NORMALIZED EDIT DISTANCE as the verifier instead of shingle Jaccard
+    — the check that catches small in-place edits (typo sweeps,
+    boilerplate substitutions, version-bump rewrites) where a shared
+    word changing drops every n-gram that crosses it and Jaccard
+    under-reads the similarity. ratio = levenshtein / max(char len);
+    pairs keep when the 1e-6-rounded ratio <= ``max_ratio`` (quantized
+    threshold, the repo convention). Both texts empty is distance 0 of
+    nothing — defined as ratio 0.0.
+
+    Scale: candidate generation is the banded bucket self-join
+    (minhash_band_buckets — identical cost/bound to minhash_lsh_pairs);
+    verification joins exactly the candidate texts and runs Spark's
+    built-in ``levenshtein`` — JVM codegen, no Python, O(len_a·len_b)
+    per PAIR which is why it only ever runs on the LSH-bounded
+    candidate set, never all pairs. The signature relation is persisted
+    across the self-join's two sides and released after the (small)
+    result is eagerly checkpointed (the minhash materialize recipe).
+
+    Cross-engine note: Spark's levenshtein counts CODE POINTS (the
+    correct semantic); DuckDB's counts bytes, so the oracle replay is
+    exact on ASCII corpora (the test tables are — verified) and the
+    operator itself needs no such caveat.
+    """
+    sigs = minhash_signatures(df, k, n, text_col, id_col).persist()
+    buckets = minhash_band_buckets(sigs, k, bands, id_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    texts = df.select(F.col(id_col), F.col(text_col).alias("_edt"))
+    ta = texts.withColumnRenamed(id_col, "id_a").withColumnRenamed("_edt", "_ta")
+    tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("_edt", "_tb")
+    mx = F.greatest(F.char_length("_ta"), F.char_length("_tb"))
+    ratio = F.when(mx == 0, F.lit(0.0)) \
+             .otherwise(F.levenshtein("_ta", "_tb") / mx)
+    result = (
+        candidates.join(ta, "id_a").join(tb, "id_b")
+        .select("id_a", "id_b", F.round(ratio, 6).alias("edit_ratio"))
+        .filter(F.col("edit_ratio") <= max_ratio)
+    )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            sigs.unpersist()
+    return result

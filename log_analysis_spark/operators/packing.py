@@ -67,3 +67,52 @@ def pack_stats(
              F.sum(token_col).cast("long").alias("n_tokens"))
         .orderBy("pack_bucket", "pack_bin")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG /
+    long-document-pretraining INVERSE of :func:`pack_sequences` (that
+    one concatenates short docs up to a budget; this one splits long
+    docs into fixed-size windows whose ``chunk_tokens - stride`` token
+    overlap preserves context across cuts).
+
+    Chunk starts are 0, stride, 2·stride, …; the chunk count is
+    1 + ceil(max(0, n_tok - chunk_tokens) / stride) in pure integer
+    arithmetic ((x + stride - 1) div stride — engine-exact, no floats
+    anywhere), so a doc shorter than one chunk yields exactly one chunk
+    and the final window is allowed to run short rather than dropping
+    its tail tokens. Zero-token docs emit no rows.
+
+    Scale: entirely row-local — ONE Generate (explode of the per-doc
+    start sequence) inside the scan's codegen span, slice + array_join
+    on the already-split token array, no shuffle at any size; output
+    size is input tokens x ~chunk/stride. Returns
+    (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from .dedup import WS_CLASS
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), WS_CLASS + "+"),
+        lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("_toks")) \
+             .withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    n_extra = F.greatest(F.col("_n") - chunk_tokens, F.lit(0))
+    n_chunks = 1 + ((n_extra + (stride - 1)) / stride).cast("long")
+    chunks = base.select(
+        F.col(id_col), "_toks", "_n",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"))
+    sliced = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

@@ -493,3 +493,51 @@ def test_incremental_dedup_matches_cross_restriction(spark, docs, tmp_path):
             batch, history, k=8, bands=4, n=3, threshold=0.2).collect()
     }
     assert inc2 == inc
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunk arithmetic: stride-40/size-50 windows, overlap preserved,
+    short tail emitted, sub-chunk docs yield one chunk, empty docs none."""
+    from log_analysis_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(131)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)),        # 131 tokens -> 4 chunks (50,50,50,11)
+         (2, "a b c"),                # 3 tokens  -> 1 chunk
+         (3, ""), (4, None),          # no tokens -> no rows
+         (5, " ".join(words[:90]))],  # exactly chunk+stride -> 2 full chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=50, stride=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert set(by_doc) == {1, 2, 5}
+    assert [by_doc[1][i]["n_chunk_tokens"] for i in range(4)] == [50, 50, 50, 11]
+    # overlap: chunk 1 starts at token 40
+    assert by_doc[1][1]["chunk_text"].split(" ")[0] == "w40"
+    assert by_doc[1][3]["chunk_text"] == " ".join(words[120:])
+    assert by_doc[2][0]["chunk_text"] == "a b c"
+    assert len(by_doc[5]) == 2 and by_doc[5][1]["n_chunk_tokens"] == 50
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+
+
+def test_edit_distance_pairs_catches_in_place_edit(spark):
+    """A one-word in-place edit in a long doc: shingle Jaccard drops all
+    n crossing grams but normalized Levenshtein stays tiny — the pair
+    the fuzzy verifier exists for. Distant docs never pass; ratio is
+    the hand value lev/maxlen."""
+    from log_analysis_spark.operators.dedup import edit_distance_pairs
+
+    base = " ".join(f"tok{i:03d}" for i in range(200))
+    edited = base.replace("tok100", "tokXXX")    # same length, lev == 3
+    other = " ".join(f"zzz{i:03d}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["edit_ratio"]
+           for r in edit_distance_pairs(docs, k=8, bands=4, n=3,
+                                        max_ratio=0.3).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] == round(3 / len(base), 6)
+    assert all(3 not in pair for pair in out)
