@@ -62,11 +62,17 @@ END
 # profiler must separate — two-field objects, a nested object, the raw
 # props arm, and a malformed arm (at web scale some payloads are always
 # garbage; extraction must NULL them, not abort the scan).
+# String VALUES are embedded through md5(): raw control chars inside a
+# JSON string (e.g. \x0b from the adversarial corpus) are accepted by
+# Spark's lenient Jackson parser but rejected by DuckDB's strict one —
+# JSON validity itself is the divergent surface, so the payloads embed
+# only JSON-safe hex. The keyset/key-count gates depend on KEYS, and the
+# invalid-payload branches (raw props / 'not json') are still exercised.
 _JSON_SQL = """
 CASE CAST(event_id % 5 AS INT)
-  WHEN 0 THEN concat('{{"user": ', CAST(coalesce(user_id, 0) AS {S}), ', "action": "', coalesce(event_type, ''), '"}}')
+  WHEN 0 THEN concat('{{"user": ', CAST(coalesce(user_id, 0) AS {S}), ', "action": "', md5(coalesce(event_type, '')), '"}}')
   WHEN 1 THEN concat('{{"user": ', CAST(coalesce(user_id, 0) AS {S}), ', "latency_ms": ', CAST(coalesce(user_id, 0) % 950 + 50 AS {S}), '}}')
-  WHEN 2 THEN concat('{{"action": "', coalesce(event_type, ''), '", "meta": {{"retry": ', CAST(event_id % 3 AS {S}), '}}}}')
+  WHEN 2 THEN concat('{{"action": "', md5(coalesce(event_type, '')), '", "meta": {{"retry": ', CAST(event_id % 3 AS {S}), '}}}}')
   WHEN 3 THEN props
   ELSE concat('payload=', CAST(event_id AS {S}), ' not json')
 END
@@ -2583,7 +2589,7 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
     sql["psi_drift"] = """
 WITH e AS (
   SELECT event_type AS class, epoch_us(ts) AS us,
-         try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props) THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END AS k
   FROM events WHERE ts IS NOT NULL),
 b AS (SELECT min(us) + max(us) AS mm FROM e),
 f AS (SELECT class,
@@ -4617,10 +4623,10 @@ SELECT lang_id, count(*) AS n_docs FROM l GROUP BY lang_id ORDER BY lang_id
     sql["json_field_stats"] = """
 SELECT event_type,
        count(*) AS n_rows,
-       count(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-       CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       count(CASE WHEN json_valid(props) THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END) AS n_k,
+       CAST(sum(CASE WHEN json_valid(props) THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
+       min(CASE WHEN json_valid(props) THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END) AS min_k,
+       max(CASE WHEN json_valid(props) THEN try_cast(json_extract_string(props, '$.k') AS BIGINT) END) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """.strip()
 
@@ -4636,8 +4642,8 @@ FROM t GROUP BY keyset ORDER BY keyset
 
     sql["json_key_counts"] = f"""
 WITH t AS (SELECT {json_duck} AS j FROM events),
-     k AS (SELECT unnest(json_keys(j)) AS json_key FROM t
-           WHERE json_valid(j) AND json_type(j) = 'OBJECT')
+     k AS (SELECT unnest(CASE WHEN json_valid(j) AND json_type(j) = 'OBJECT'
+                        THEN json_keys(j) ELSE [] END) AS json_key FROM t)
 SELECT json_key, count(*) AS n_rows FROM k GROUP BY json_key ORDER BY json_key
 """.strip()
 

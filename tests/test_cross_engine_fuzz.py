@@ -54,6 +54,11 @@ DOC_GATES = [
     "gopher_quality", "tfidf_topk", "char_entropy", "incremental_dedup",
     "bigram_logprob", "pmi_collocations", "vocab_stats",
     "mixing_allocation", "token_fertility",
+    "class_keywords", "doc_chunks",
+    # edit_distance_pairs is deliberately ABSENT: DuckDB's levenshtein
+    # counts bytes where Spark counts code points, so its gate is exact
+    # only on ASCII corpora (documented in the operator; the testdata
+    # tables are verified ASCII at every sf)
 ]
 
 
@@ -123,6 +128,11 @@ EVENT_GATES = [
     # streaming windowed counts: pins that the watermark's NULL-event-time
     # drop equals the oracle's ts IS NOT NULL filter on adversarial input
     "windowed_template_counts",
+    # JSON payload gates: malformed / NULL / scalar / unicode props must
+    # take the '<invalid>' (or NULL-field) path identically; psi_drift
+    # adds NULL-ts exclusion + the missing-feature drift bucket
+    "json_field_stats", "json_keyset_profile", "json_key_counts",
+    "psi_drift",
 ]
 
 
