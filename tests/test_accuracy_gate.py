@@ -310,6 +310,17 @@ def test_psi_drift_shift_missing_and_stability(spark):
     assert out["shift"]["psi"] > 0.25          # 'major drift' by the standard reading
     assert out["gone_missing"]["psi"] > 0.25   # the missing bucket does the work
     assert out["stable"]["n_ref"] == out["stable"]["n_cur"] == 100
+    # volume-only change (2x rows, same histogram shape) reads ~stable:
+    # PSI is shape-sensitive, not volume-sensitive — count_drift's job
+    vol = []
+    for i in range(100):
+        vol.append(("v", t0 + dt.timedelta(hours=i % 10), float(i % 100)))
+    for i in range(200):
+        vol.append(("v", t0 + dt.timedelta(hours=10 + i % 10), float(i % 100)))
+    vdf = spark.createDataFrame(vol, "class string, ts timestamp, f double")
+    vout = psi_drift(vdf, "f", class_col="class").collect()[0]
+    assert vout["n_ref"] == 100 and vout["n_cur"] == 200
+    assert 0 < vout["psi"] < 0.01
     # clamping: out-of-range values land in edge bins, never error
     clamp = spark.createDataFrame(
         [("c", t0, -50.0), ("c", t0 + dt.timedelta(hours=10), 500.0)],

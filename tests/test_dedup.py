@@ -541,3 +541,33 @@ def test_edit_distance_pairs_catches_in_place_edit(spark):
     assert (1, 2) in out
     assert out[(1, 2)] == round(3 / len(base), 6)
     assert all(3 not in pair for pair in out)
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Brute-force cross-check across the length spectrum (0..~260
+    tokens, both stride regimes): every chunk of every doc equals a
+    plain-Python sliding window; total coverage (set of tokens) is
+    preserved; no doc loses its tail."""
+    from log_analysis_spark.operators.packing import chunk_documents
+
+    def py_chunks(tokens, chunk, stride):
+        if not tokens:
+            return []
+        n_chunks = 1 + max(0, -(-max(0, len(tokens) - chunk) // stride))
+        return [tokens[i * stride: i * stride + chunk] for i in range(n_chunks)]
+
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate([0, 1, 9, 10, 11, 49, 50, 51, 89, 90, 91,
+                                   100, 129, 130, 131, 199, 200, 260])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, stride in ((50, 40), (10, 10), (7, 3)):
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["n_chunk_tokens"], r["chunk_text"])
+        for doc_id, text in docs:
+            want = py_chunks(text.split(" ") if text else [], chunk, stride)
+            assert len(got.get(doc_id, {})) == len(want), (chunk, stride, doc_id)
+            for idx, wtoks in enumerate(want):
+                assert got[doc_id][idx] == (len(wtoks), " ".join(wtoks)), \
+                    (chunk, stride, doc_id, idx)
