@@ -205,6 +205,31 @@ def q_count_drift_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_drift_robust(ev, "event_type").orderBy("key", "bucket_us")
 
 
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion click→signup→purchase within 7 days
+    (operators/funnel.window_funnel — the ClickHouse windowFunnel
+    analog; the reference's sink engine ships this as a native
+    aggregate). All anchors are earliest-qualifying (min), all
+    comparisons integer micros, so the DuckDB replay is exact with no
+    float discipline needed. Hash-gated."""
+    from .operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(ev, ["click", "signup", "purchase"], window_days=7)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/funnel.
+    retention_cohorts): cohort = ISO week (Monday UTC, both engines) of
+    first event, cells = distinct cohort users active at each week
+    offset — offsets are exact week multiples so the division is
+    integer-exact. Hash-gated."""
+    from .operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (operators/packing.
     chunk_documents): 50-token windows at stride 40, pure integer chunk
@@ -2583,6 +2608,48 @@ ORDER BY ts_us DESC, event_id ASC LIMIT 500
     # (a NULL-ts bucket row would otherwise sit in a different frame);
     # the anomaly flag compares the 1e-6-rounded z in both engines.
     drift_z = "CASE WHEN hist >= 3 AND sd > 0 THEN (n - mean) / sd END"
+    # funnel: earliest-qualifying anchors via chained window mins, all
+    # integer micros; the deadline is anchored at step 0 (ClickHouse
+    # windowFunnel semantics)
+    sql["window_funnel"] = """
+WITH e AS (
+  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS us
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('click', 'signup', 'purchase')),
+w0 AS (SELECT *, min(CASE WHEN et = 'click' THEN us END)
+                 OVER (PARTITION BY u) AS t0 FROM e),
+w1 AS (SELECT *, min(CASE WHEN et = 'signup' AND us >= t0
+                          AND us <= t0 + 604800000000 THEN us END)
+                 OVER (PARTITION BY u) AS t1 FROM w0),
+w2 AS (SELECT *, min(CASE WHEN et = 'purchase' AND us >= t1
+                          AND us <= t0 + 604800000000 THEN us END)
+                 OVER (PARTITION BY u) AS t2 FROM w1),
+p AS (SELECT u, max(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+             max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+      FROM w2 GROUP BY u),
+t AS (SELECT CAST(sum(r0) AS BIGINT) AS n0, CAST(sum(r1) AS BIGINT) AS n1,
+             CAST(sum(r2) AS BIGINT) AS n2 FROM p)
+SELECT 0 AS step_idx, 'click' AS step, n0 AS n_users FROM t
+UNION ALL SELECT 1, 'signup', n1 FROM t
+UNION ALL SELECT 2, 'purchase', n2 FROM t
+ORDER BY step_idx
+""".strip()
+
+    sql["retention_cohorts"] = """
+WITH e AS (SELECT user_id AS u, epoch_us(date_trunc('week', ts)) AS week_us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+c AS (SELECT u, week_us,
+             min(week_us) OVER (PARTITION BY u) AS cohort_week_us FROM e),
+o AS (SELECT u, cohort_week_us,
+             (week_us - cohort_week_us) // 604800000000 AS week_offset FROM c)
+SELECT cohort_week_us, week_offset,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM o GROUP BY cohort_week_us, week_offset
+ORDER BY cohort_week_us, week_offset
+""".strip()
+
     # PSI: the midpoint test stays integer (us*2 <= min+max) because
     # Spark truncates double->long and DuckDB rounds; bin + smoothing
     # arithmetic mirrors aggregates.psi_drift expression-for-expression
@@ -4721,6 +4788,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_keywords": q_class_keywords,
         "doc_chunks": q_doc_chunks,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "window_funnel": q_window_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,

@@ -1,0 +1,127 @@
+"""Funnel and cohort-retention aggregates — the flagship product/log
+analytics queries over an events stream (the reference's sink target,
+ClickHouse, ships these as windowFunnel()/retention(); this module is
+the Spark-first analog over the same event shape).
+
+Both operators share the transcript layout's partitioning: ONE
+hash(user) Exchange, then per-user logic as window/aggregate expressions
+over that layout — no UDFs, no per-user iteration, engine-exact integer
+time arithmetic (unix micros) throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_WEEK = 7 * _US_PER_DAY
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion (ClickHouse ``windowFunnel`` analog):
+    for each user, step k counts only if it occurs at-or-after the
+    user's step-(k-1) anchor AND within ``window_days`` of the step-1
+    anchor; anchors are the EARLIEST qualifying occurrence (min), so the
+    result is deterministic regardless of event order or duplicates.
+    A user reaching step k implies steps 1..k-1 (monotone by
+    construction, asserted in tests). Rows with NULL user, NULL ts, or
+    a type outside ``steps`` are ignored.
+
+    Scale: ONE hash(user) Exchange feeds a chain of len(steps)
+    full-partition Window mins over the SAME partitioning (Catalyst
+    plans them as consecutive Window operators, no re-shuffle); the
+    final distinct-user tally collapses to len(steps) rows. Hot users
+    degrade to a within-partition scan — the bound every per-user
+    window op here shares.
+
+    Returns (step_idx, step, n_users) sorted by step_idx."""
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    e = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+                  & F.col(type_col).isin(list(steps)))
+        .select(F.col(user_col).alias("u"),
+                F.col(type_col).alias("et"),
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"))
+    )
+    w = Window.partitionBy("u")
+    cur = e
+    deadline = None
+    for i, step in enumerate(steps):
+        if i == 0:
+            cond = F.when(F.col("et") == step, F.col("us"))
+        else:
+            cond = F.when(
+                (F.col("et") == step)
+                & (F.col("us") >= F.col(f"t{i - 1}"))
+                & (F.col("us") <= deadline), F.col("us"))
+        cur = cur.withColumn(f"t{i}", F.min(cond).over(w))
+        if i == 0:
+            deadline = F.col("t0") + F.lit(window_days * _US_PER_DAY)
+    per_user = cur.groupBy("u").agg(
+        *[F.max(F.col(f"t{i}").isNotNull().cast("long")).alias(f"r{i}")
+          for i in range(len(steps))])
+    tallies = per_user.agg(
+        *[F.sum(f"r{i}").alias(f"n{i}") for i in range(len(steps))])
+    rows = [
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"n{i}").alias("n_users"))
+        for i, s in enumerate(steps)
+    ]
+    return (
+        tallies.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.step_idx", "r.step", "r.n_users")
+        .orderBy("step_idx")
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention (ClickHouse ``retention`` / the classic
+    triangle matrix): cohort = the ISO week (date_trunc, Monday UTC) of
+    a user's first event; each (cohort, offset) cell counts the
+    DISTINCT cohort users active offset weeks later. offset 0 is the
+    cohort size by construction. NULL user/ts rows are ignored; both
+    engines truncate weeks to Monday so the offset difference is an
+    exact multiple of the week in micros (integer division, no
+    rounding).
+
+    Scale: ONE hash(user) Exchange (the min-over-user window), the
+    (cohort, offset, user) distinct collapse — bounded by distinct
+    (user, active-week) pairs, far below event count — then a tiny
+    (cohort, offset) tally.
+
+    Returns (cohort_week_us, week_offset, n_users) sorted."""
+    e = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"),
+                F.unix_micros(F.date_trunc(
+                    "WEEK", F.col(ts_col).cast("timestamp"))).alias("week_us"))
+    )
+    w = Window.partitionBy("u")
+    cells = (
+        e.withColumn("cohort_week_us", F.min("week_us").over(w))
+        .select(
+            "u", "cohort_week_us",
+            ((F.col("week_us") - F.col("cohort_week_us")) / _US_PER_WEEK)
+            .cast("long").alias("week_offset"))
+    )
+    if max_offset_weeks is not None:
+        cells = cells.filter(F.col("week_offset") <= max_offset_weeks)
+    return (
+        cells.groupBy("cohort_week_us", "week_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+        .orderBy("cohort_week_us", "week_offset")
+    )

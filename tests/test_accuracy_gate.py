@@ -327,3 +327,68 @@ def test_psi_drift_shift_missing_and_stability(spark):
         "class string, ts timestamp, f double")
     got = psi_drift(clamp, "f", class_col="class").collect()
     assert len(got) == 1 and got[0]["n_ref"] == got[0]["n_cur"] == 1
+
+
+def test_window_funnel_ordering_window_and_monotonicity(spark):
+    """Funnel semantics: order matters (a signup BEFORE the click
+    doesn't count), the window anchors at step 0, anchors are
+    earliest-qualifying, and step counts are monotone non-increasing."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.funnel import window_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    rows = [
+        # A: full ordered funnel inside the window
+        (1, "click", t0), (1, "signup", t0 + h), (1, "purchase", t0 + 2 * h),
+        # B: signup precedes the click -> never re-qualifies
+        (2, "signup", t0), (2, "click", t0 + h),
+        # C: signup lands outside the 7-day window of the first click
+        (3, "click", t0), (3, "signup", t0 + 8 * d),
+        # D: purchase BEFORE signup doesn't count; the later one does.
+        #    The earliest-anchor rule: t1 = first signup after click.
+        (4, "click", t0), (4, "purchase", t0 + h), (4, "signup", t0 + 2 * h),
+        (4, "purchase", t0 + 3 * h),
+        # E: NULL user / NULL ts rows are ignored
+        (None, "click", t0), (5, "click", None),
+        # F: clicks only
+        (6, "click", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step"]: r["n_users"]
+           for r in window_funnel(df, ["click", "signup", "purchase"],
+                                  window_days=7).collect()}
+    assert out == {"click": 5, "signup": 2, "purchase": 2}
+    # duplicate step names rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        window_funnel(df, ["click", "click"])
+
+
+def test_retention_cohorts_matrix(spark):
+    """Cohort = Monday-truncated week of first event; cells count
+    distinct users; duplicate events in a week count once; offset 0
+    equals cohort size."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.funnel import retention_cohorts
+
+    # 2024-01-01 is a Monday
+    w0 = dt.datetime(2024, 1, 3)     # week of Jan 1
+    w1 = dt.datetime(2024, 1, 10)    # week of Jan 8
+    w2 = dt.datetime(2024, 1, 17)    # week of Jan 15
+    rows = [
+        (1, w0), (1, w0), (1, w1),          # cohort wk0, active wk0+wk1
+        (2, w0), (2, w2),                   # cohort wk0, active wk0+wk2
+        (3, w1), (3, w2),                   # cohort wk1
+        (None, w0), (4, None),              # ignored
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_week_us"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    wk0 = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    wk1 = int(dt.datetime(2024, 1, 8).timestamp() * 1_000_000)
+    assert out == {(wk0, 0): 2, (wk0, 1): 1, (wk0, 2): 1,
+                   (wk1, 0): 1, (wk1, 1): 1}

@@ -133,6 +133,9 @@ EVENT_GATES = [
     # adds NULL-ts exclusion + the missing-feature drift bucket
     "json_field_stats", "json_keyset_profile", "json_key_counts",
     "psi_drift",
+    # integer-exact funnel/cohort aggregates: NULL user/ts exclusion +
+    # the out-of-order and outside-window paths on adversarial input
+    "window_funnel", "retention_cohorts",
 ]
 
 
