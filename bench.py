@@ -193,7 +193,7 @@ def main() -> None:
         "variable_value_topk", "template_lifecycle", "stitch_multiline",
         "json_field_stats", "json_keyset_profile",
         "psi_drift", "class_keywords", "doc_chunks", "edit_distance_pairs",
-        "window_funnel", "retention_cohorts",
+        "window_funnel", "retention_cohorts", "rolling_active_users",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -230,6 +230,18 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev)
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per active day
+    (operators/funnel.rolling_active_users): exact distinct counts via
+    a collapsed (user, day) relation and a row-local 7-day contribution
+    explode — no range join. dau/wau are integers; stickiness is one
+    division rounded at 1e-6. Hash-gated."""
+    from .operators.funnel import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (operators/packing.
     chunk_documents): 50-token windows at stride 40, pure integer chunk
@@ -2650,6 +2662,22 @@ FROM o GROUP BY cohort_week_us, week_offset
 ORDER BY cohort_week_us, week_offset
 """.strip()
 
+    sql["rolling_active_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, epoch_us(date_trunc('day', ts)) AS day_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+dau AS (SELECT day_us, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        FROM pairs GROUP BY day_us),
+contrib AS (
+  SELECT u, day_us + unnest(range(0, 7)) * 86400000000 AS day_us FROM pairs),
+wau AS (SELECT day_us, CAST(count(DISTINCT u) AS BIGINT) AS wau
+        FROM contrib GROUP BY day_us)
+SELECT dau.day_us, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness_r
+FROM dau JOIN wau ON dau.day_us = wau.day_us
+ORDER BY dau.day_us
+""".strip()
+
     # PSI: the midpoint test stays integer (us*2 <= min+max) because
     # Spark truncates double->long and DuckDB rounds; bin + smoothing
     # arithmetic mirrors aggregates.psi_drift expression-for-expression
@@ -4790,6 +4818,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "window_funnel": q_window_funnel,
         "retention_cohorts": q_retention_cohorts,
+        "rolling_active_users": q_rolling_active_users,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,

@@ -125,3 +125,51 @@ def retention_cohorts(
         .agg(F.countDistinct("u").alias("n_users"))
         .orderBy("cohort_week_us", "week_offset")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per day — the engagement
+    dashboard triple. Exact distinct counts (no HLL: sketch merges are
+    engine-divergent, and the relation this runs on is already
+    collapsed): dau = distinct users that day, wau = distinct users in
+    the trailing ``window_days`` ENDING that day, stickiness =
+    dau/wau rounded at 1e-6. Only days with activity emit rows (a
+    silent day has no anchor row; calendar completion is a trivial
+    join the caller owns, same convention as count_drift's observed
+    buckets).
+
+    Scale: one corpus shuffle collapses events to distinct (user, day)
+    pairs; each pair then contributes to ``window_days`` target days
+    via a row-local explode (x7 of the COLLAPSED relation, not the
+    corpus — no range join, no NestedLoop), one more distinct-agg
+    keyed by day, and a |days| join to drop phantom trailing days.
+
+    Returns (day_us, dau, wau, stickiness_r) sorted by day."""
+    us_day = F.lit(_US_PER_DAY)
+    pairs = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            F.unix_micros(F.date_trunc(
+                "DAY", F.col(ts_col).cast("timestamp"))).alias("day_us"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day_us").agg(F.countDistinct("u").alias("dau"))
+    contrib = (
+        pairs.select(
+            "u", "day_us",
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_i"))
+        .select("u", (F.col("day_us") + F.col("_i") * us_day).alias("day_us"))
+    )
+    wau = contrib.groupBy("day_us").agg(F.countDistinct("u").alias("wau"))
+    return (
+        dau.join(wau, "day_us")
+        .select("day_us", "dau", "wau",
+                F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness_r"))
+        .orderBy("day_us")
+    )

@@ -392,3 +392,29 @@ def test_retention_cohorts_matrix(spark):
     wk1 = int(dt.datetime(2024, 1, 8).timestamp() * 1_000_000)
     assert out == {(wk0, 0): 2, (wk0, 1): 1, (wk0, 2): 1,
                    (wk1, 0): 1, (wk1, 1): 1}
+
+
+def test_rolling_active_users_window_boundary(spark):
+    """WAU on day d includes a user active on d-6 but not d-7; dau
+    dedups within a day; NULL user/ts excluded; only active days emit."""
+    import datetime as dt
+
+    from log_analysis_spark.operators.funnel import rolling_active_users
+
+    d0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, d0), (1, d0 + dt.timedelta(hours=5)),   # same day, dedup
+        (2, d0),
+        (1, d0 + 6 * day),                          # day 6: u1 active, u2 in 7d window
+        (1, d0 + 7 * day),                          # day 7: u2's day-0 visit aged out
+        (None, d0), (3, None),                      # excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day_us"]: r for r in rolling_active_users(df, window_days=7).collect()}
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert set(out) == {us(d0), us(d0 + 6 * day), us(d0 + 7 * day)}
+    assert (out[us(d0)]["dau"], out[us(d0)]["wau"]) == (2, 2)
+    assert (out[us(d0 + 6 * day)]["dau"], out[us(d0 + 6 * day)]["wau"]) == (1, 2)
+    assert (out[us(d0 + 7 * day)]["dau"], out[us(d0 + 7 * day)]["wau"]) == (1, 1)
+    assert out[us(d0 + 6 * day)]["stickiness_r"] == 0.5

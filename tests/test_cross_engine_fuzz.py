@@ -135,7 +135,7 @@ EVENT_GATES = [
     "psi_drift",
     # integer-exact funnel/cohort aggregates: NULL user/ts exclusion +
     # the out-of-order and outside-window paths on adversarial input
-    "window_funnel", "retention_cohorts",
+    "window_funnel", "retention_cohorts", "rolling_active_users",
 ]
 
 
