@@ -212,3 +212,41 @@ def test_dsir_probs_join_is_broadcast(spark):
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The bucketed-catalog layout the dedup-index docs prescribe
+    (build_minhash_index: write bucketBy so incremental joins prune) is
+    real: two tables bucketed 8-ways on the join key sort-merge-join
+    with ZERO Exchange in the final plan — the co-located join that
+    saves the corpus shuffle at 10^12 rows — while the same join over
+    plain parquet shuffles both sides."""
+    a = spark.range(0, 2000).selectExpr("id AS u", "id * 2 AS x")
+    b = spark.range(0, 2000).selectExpr("id AS u", "id * 3 AS y")
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    (a.write.mode("overwrite").option("path", str(tmp_path / "bkt_a"))
+     .bucketBy(8, "u").sortBy("u").saveAsTable("bkt_a"))
+    (b.write.mode("overwrite").option("path", str(tmp_path / "bkt_b"))
+     .bucketBy(8, "u").sortBy("u").saveAsTable("bkt_b"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "u")
+        assert j.count() == 2000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert "SortMergeJoin" in final
+        assert "Exchange" not in final, final[:2000]
+        # control: the identical join over non-bucketed inputs shuffles
+        a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+        b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+        pj = spark.read.parquet(str(tmp_path / "pa")).join(
+            spark.read.parquet(str(tmp_path / "pb")), "u")
+        pj.count()
+        pplan = pj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in pplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
