@@ -194,6 +194,7 @@ def main() -> None:
         "json_field_stats", "json_keyset_profile",
         "psi_drift", "class_keywords", "doc_chunks", "edit_distance_pairs",
         "window_funnel", "retention_cohorts", "rolling_active_users",
+        "error_rate_ranking",
     ):
         timed(name, lambda name=name: qmap[name](spark, sf_dir).count())
 

@@ -242,6 +242,23 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, window_days=7)
 
 
+def q_error_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user error-rate ranking by WILSON LOWER BOUND (operators/
+    stats.wilson_ranked_rates) — the small-sample correction that stops
+    a 1/1 failure from outranking 90/100. Top-20 on the 1e-9-quantized
+    (lb desc, user asc) total order; both engines replay the identical
+    expression order so the double arithmetic is bit-compatible under
+    the 1e-6 output rounding. Hash-gated."""
+    from .operators.stats import wilson_ranked_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        wilson_ranked_rates(ev, F.col("event_type") == "error",
+                            "user_id", z=1.96, k=20)
+        .withColumnRenamed("group", "user_id")
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (operators/packing.
     chunk_documents): 50-token windows at stride 40, pure integer chunk
@@ -2678,6 +2695,23 @@ FROM dau JOIN wau ON dau.day_us = wau.day_us
 ORDER BY dau.day_us
 """.strip()
 
+    sql["error_rate_ranking"] = """
+WITH a AS (
+  SELECT user_id AS g, count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+s AS (
+  SELECT g, CAST(n AS BIGINT) AS n, n_flag,
+         (n_flag / n + (1.96 * 1.96) / (2 * n)
+          - 1.96 * sqrt((n_flag / n) * (1 - n_flag / n) / n
+                        + (1.96 * 1.96) / (4 * n * n)))
+         / (1 + (1.96 * 1.96) / n) AS lb
+  FROM a)
+SELECT g AS user_id, n, n_flag, round(n_flag / n, 6) AS rate_r,
+       round(lb, 6) AS wilson_lb_r
+FROM s ORDER BY round(lb, 9) DESC, g ASC LIMIT 20
+""".strip()
+
     # PSI: the midpoint test stays integer (us*2 <= min+max) because
     # Spark truncates double->long and DuckDB rounds; bin + smoothing
     # arithmetic mirrors aggregates.psi_drift expression-for-expression
@@ -4819,6 +4853,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel": q_window_funnel,
         "retention_cohorts": q_retention_cohorts,
         "rolling_active_users": q_rolling_active_users,
+        "error_rate_ranking": q_error_rate_ranking,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,

@@ -204,3 +204,53 @@ def profile_columns(df: DataFrame, cols: list[str],
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_present, n_null, n_distinct, min_str, max_str)")
+
+
+def wilson_ranked_rates(
+    df: DataFrame,
+    flag: Column,
+    group_col: str,
+    z: float = 1.96,
+    k: int = 20,
+) -> DataFrame:
+    """Rank groups by the WILSON LOWER BOUND of a boolean rate (error
+    rate per user/tool/template) instead of the raw proportion — the
+    small-sample correction that stops a 1/1 failure from outranking
+    90/100 (the standard fix; Agresti-Coull is its rounding). For
+    p̂ = s/n:
+
+        lb = (p̂ + z²/2n − z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Scale: ONE map-side-collapsing groupBy on the group key; the
+    formula is in-plan JVM arithmetic on the collapsed relation and the
+    cut is a TakeOrdered top-k on the (1e-9-quantized lb desc, group
+    asc) total order — deterministic membership, engine-exact
+    replayable expression order. NULL group rows are excluded.
+
+    Returns (group, n, n_flag, rate_r, wilson_lb_r) — top-k rows."""
+    agg = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        # NULL flags count as not-flagged (a NULL event_type is not an
+        # error) — without the coalesce one NULL poisons the whole
+        # group's sum to NULL/NaN
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.coalesce(flag.cast("long"), F.lit(0))).alias("n_flag"))
+    )
+    zl = F.lit(float(z))
+    n = F.col("n")
+    p = F.col("n_flag") / n
+    z2 = zl * zl
+    lb = ((p + z2 / (2 * n)
+           - zl * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+          / (1 + z2 / n))
+    scored = agg.select(
+        "group", "n", "n_flag",
+        F.round(p, 6).alias("rate_r"),
+        F.round(lb, 6).alias("wilson_lb_r"),
+        F.round(lb, 9).alias("_key"))
+    return (
+        scored.orderBy(F.col("_key").desc(), F.col("group").asc())
+        .limit(k)
+        .drop("_key")
+    )

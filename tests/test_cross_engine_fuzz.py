@@ -136,6 +136,7 @@ EVENT_GATES = [
     # integer-exact funnel/cohort aggregates: NULL user/ts exclusion +
     # the out-of-order and outside-window paths on adversarial input
     "window_funnel", "retention_cohorts", "rolling_active_users",
+    "error_rate_ranking",
 ]
 
 

@@ -148,3 +148,29 @@ def test_ccnet_buckets_tercile_split(spark):
         # ranked bucket than a lower-logprob doc
         assert all(a >= b for a, b in zip(ranks, ranks[1:])), (lang, ranks)
         assert ranks[0] == 2 and ranks[-1] == 0
+
+
+def test_wilson_ranked_rates_small_sample_correction(spark):
+    """The whole point: 1/1 must NOT outrank 90/100; the lb matches the
+    hand formula; NULL groups excluded; top-k cut respected."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.operators.stats import wilson_ranked_rates
+
+    rows = ([("one_shot", True)]
+            + [("steady", True)] * 90 + [("steady", False)] * 10
+            + [("clean", False)] * 50 + [(None, True)] * 3
+            + [("mid", True)] * 3 + [("mid", False)] * 3)
+    df = spark.createDataFrame(rows, "g string, is_err boolean")
+    out = wilson_ranked_rates(df, F.col("is_err"), "g", k=2).collect()
+    assert [r["group"] for r in out] == ["steady", "one_shot"]  # k=2 cut, no NULL
+    def wilson(s, n, z=1.96):
+        p = s / n
+        return (p + z*z/(2*n) - z*math.sqrt(p*(1-p)/n + z*z/(4*n*n))) / (1 + z*z/n)
+    top = out[0]
+    assert top["n"] == 100 and top["n_flag"] == 90
+    assert abs(top["wilson_lb_r"] - round(wilson(90, 100), 6)) < 1e-9
+    assert out[1]["wilson_lb_r"] == round(wilson(1, 1), 6)
+    assert round(wilson(1, 1), 6) < round(wilson(90, 100), 6)  # the correction itself
