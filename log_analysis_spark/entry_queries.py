@@ -259,6 +259,43 @@ def q_error_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization, value-gated by BATCH REPLAY (the
+    streaming_count_drift recipe): this query actually RUNS Structured
+    Streaming — readStream over the events parquet, watermark,
+    session_window(gap=8h) groupBy, memory sink, drained — and the
+    DuckDB oracle replays gap sessionization (the user_sessions CTEs)
+    with the session_window rendering: start = first event, end = last
+    event + gap, exact microsecond arithmetic. NULL user/ts rows are
+    the ones a watermark never admits, excluded in both engines."""
+    import tempfile
+    import uuid
+
+    from .streaming.stream import streaming_session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("event_id", "user_id",
+                      F.col("ts").cast("timestamp").alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="ssess_gate_")
+    in_dir = os.path.join(tmp, "in")
+    lines.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(lines.schema).parquet(in_dir)
+    agg = streaming_session_stats(stream, gap="8 hours", watermark="24 hours")
+    name = "ssess_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(tmp, "ck"))
+         .start())
+    try:
+        q.processAllAvailable()
+        drained = spark.table(name).collect()
+        schema = spark.table(name).schema
+    finally:
+        q.stop()
+    return (spark.createDataFrame(drained, schema)
+            .orderBy("user_id", "session_start"))
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking with overlap (operators/packing.
     chunk_documents): 50-token windows at stride 40, pure integer chunk
@@ -2712,6 +2749,27 @@ SELECT g AS user_id, n, n_flag, round(n_flag / n, 6) AS rate_r,
 FROM s ORDER BY round(lb, 9) DESC, g ASC LIMIT 20
 """.strip()
 
+    # streaming sessionization: gap CTEs of user_sessions, rendered in
+    # session_window terms (end = last event + gap)
+    sql["streaming_sessions"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e),
+s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 28800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM l)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 8 HOUR AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""".strip()
+
     # PSI: the midpoint test stays integer (us*2 <= min+max) because
     # Spark truncates double->long and DuckDB rounds; bin + smoothing
     # arithmetic mirrors aggregates.psi_drift expression-for-expression
@@ -4854,6 +4912,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "rolling_active_users": q_rolling_active_users,
         "error_rate_ranking": q_error_rate_ranking,
+        "streaming_sessions": q_streaming_sessions,
         "count_drift_robust": q_count_drift_robust,
         "streaming_count_drift": q_streaming_count_drift,
         "broadcast_enrich_join": q_broadcast_enrich_join,
