@@ -995,11 +995,21 @@ def edit_distance_pairs(
     texts = df.select(F.col(id_col), F.col(text_col).alias("_edt"))
     ta = texts.withColumnRenamed(id_col, "id_a").withColumnRenamed("_edt", "_ta")
     tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("_edt", "_tb")
-    mx = F.greatest(F.char_length("_ta"), F.char_length("_tb"))
+    la, lb = F.char_length("_ta"), F.char_length("_tb")
+    mx = F.greatest(la, lb)
     ratio = F.when(mx == 0, F.lit(0.0)) \
              .otherwise(F.levenshtein("_ta", "_tb") / mx)
+    # Length prefilter: edit distance >= |len_a - len_b|, and round(., 6)
+    # is monotone, so any pair whose length-gap ratio already exceeds the
+    # threshold cannot pass the edit_ratio filter. Evaluating it BEFORE
+    # levenshtein skips the O(len_a*len_b) DP on exactly the candidates
+    # where it is most expensive (length-divergent LSH false positives) —
+    # result-identical by construction, so the DuckDB oracle is unchanged.
+    gap_ok = F.when(mx == 0, F.lit(True)) \
+              .otherwise(F.round(F.abs(la - lb) / mx, 6) <= max_ratio)
     result = (
         candidates.join(ta, "id_a").join(tb, "id_b")
+        .filter(gap_ok)
         .select("id_a", "id_b", F.round(ratio, 6).alias("edit_ratio"))
         .filter(F.col("edit_ratio") <= max_ratio)
     )
