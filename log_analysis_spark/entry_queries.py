@@ -30,6 +30,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tk(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Kernel-feeding table read: ``_t`` plus a parallelism rebalance.
+
+    A parquet ROW GROUP is the unit of split — a single-row-group file
+    (exactly what the small test fixtures are) scans as ONE task no
+    matter how many cores the session has, which pins any stage-1
+    Python/Arrow kernel (minhash, winnowing, token signatures, …) to a
+    single core. Round-robin repartition to the session's default
+    parallelism restores kernel scaling for the cost of one shuffle of
+    the (tiny) input. The guard makes this a no-op on production
+    inputs, which split naturally (many files / many row groups /
+    Iceberg file planning): it only fires when the scan yields fewer
+    partitions than cores. Queries whose stage 1 is pure JVM
+    expressions keep using ``_t`` — for them the extra Exchange costs
+    more than the single-task scan (measured at sf0.1: tpch_q1
+    0.32→0.56s and duplicate_spans 2.95→4.28s when rebalanced, vs
+    edit_distance_pairs 5.96→4.27s and token_signatures 1.28→0.82s).
+    Row-preserving, so every value-hash gate is unaffected."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # Log-line construction shared by the matcher queries: a deterministic
 # expression over the events table, valid in both Spark SQL and DuckDB
 # (`{S}` is the string type name: STRING for Spark, VARCHAR for DuckDB).
@@ -320,7 +345,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents corpus is pure ASCII (verified at every sf)."""
     from .operators.dedup import edit_distance_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     return edit_distance_pairs(docs, k=8, bands=4, n=3, max_ratio=0.3) \
         .orderBy("id_a", "id_b")
 
@@ -1312,7 +1337,7 @@ def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure JVM-side higher-order-function expressions on both engines."""
     from .functions.token_classes import signatures_udf
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _tk(spark, sf_dir, "events")
     # single-file scan -> repartition so the classification kernel runs
     # at full width (no-op-cost at real scan split counts)
     lines = (ev.repartition(spark.sparkContext.defaultParallelism)
@@ -1574,7 +1599,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level minhash parity (k=4, md5-derived, engine-portable)."""
     from .operators.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=4, n=3)
     return sigs.select(
         "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(4)]
@@ -1590,7 +1615,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ulp at the threshold boundary cannot flip membership."""
     from .operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=8, bands=4, n=3, threshold=0.0)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
@@ -1610,7 +1635,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, which is the whole point at 100 TB."""
     from .operators.dedup import incremental_minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     history = docs.filter(F.col("doc_id") % 4 != 0)
     pairs = incremental_minhash_dedup(batch, history, k=8, bands=4, n=3,
@@ -1632,7 +1657,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, not a weaker banded-candidate subset (review finding r4)."""
     from .operators.dedup import simhash_neardup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     return (
         simhash_neardup_pairs(spark, docs, max_hamming=3)
         .orderBy("id_a", "id_b")
@@ -1764,7 +1789,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (ivf_centroids, nonzero_unit_vectors,
                                        semantic_dedup)
 
-    emb = _t(spark, sf_dir, "embeddings") \
+    emb = _tk(spark, sf_dir, "embeddings") \
         .repartition(spark.sparkContext.defaultParallelism)
     nz = nonzero_unit_vectors(emb).select("vec_id", "embedding", "unit")
     C = ivf_centroids(nz, k=8, vec_col="embedding", id_col="vec_id",
@@ -1804,7 +1829,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows on either side (explode drops empty arrays)."""
     from .operators.text_analysis import winnowing_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tk(spark, sf_dir, "documents")
     win = winnowing_udf(spark, k=5, window=4)
     # The documents table is one small file -> one input split; without a
     # repartition the per-char md5 kernel runs on a single core. At 100 TB
