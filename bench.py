@@ -183,7 +183,8 @@ def main() -> None:
         "turn_merge", "tool_latency", "dsir_weights", "count_drift", "count_drift_robust",
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
-        "mixing_allocation", "conv_dedup", "conv_neardup_pairs", "token_fertility",
+        "mixing_allocation", "conv_dedup", "conv_neardup_pairs",
+        "agent_loops", "token_fertility",
         "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",

@@ -2026,6 +2026,24 @@ def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runaway-agent loop detection (transcript.detect_agent_loops):
+    maximal runs where the masked (role \\x1f text) turn signature
+    repeats with period 1 (stutter) or period 2 (tool-retry
+    alternation), covering >= 4 turns — the conversations a curation
+    pass flags before their near-identical turns poison training data.
+    ONE hash(conv_id) Exchange: both periods' lags and islands come out
+    of one window pass and the run rollup groups on a superset of that
+    partitioning. Hash-gated: DuckDB replays the mask chain, md5
+    signatures, per-period lag flags, island cumsums, and the
+    alternation witness that keeps constant runs out of period 2."""
+    from .operators.transcript import detect_agent_loops
+
+    trx = _transcripts(spark, sf_dir)
+    return (detect_agent_loops(trx, min_turns=4)
+            .orderBy("conv_id", "period", "start_turn"))
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language (text_analysis.token_fertility):
     BPE-ish subwords per whitespace word, the per-language token-cost
@@ -3803,6 +3821,54 @@ WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.8
 ORDER BY conv_a, conv_b
 """.strip()
 
+    # agent loops: per-period lag flags, island cumsums, alternation
+    # witness — all exact string/integer arithmetic; md5 hex lowercase
+    # in both engines, '\x1f' embedded raw exactly as the Spark side's
+    # concat_ws separator
+    sql["agent_loops"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+sigs AS (
+  SELECT conv_id, turn_idx,
+         md5(concat(coalesce(role, ''), '\x1f',
+                    {mask_sql_duck("coalesce(text, '')")})) AS sig
+  FROM trx
+),
+w AS (
+  SELECT conv_id, turn_idx, sig,
+         lag(sig, 1) OVER win AS l1, lag(sig, 2) OVER win AS l2,
+         lag(turn_idx, 1) OVER win AS s1, lag(turn_idx, 2) OVER win AS s2
+  FROM sigs WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+fl AS (
+  SELECT *, (l1 IS NOT NULL AND sig = l1) AS f1,
+            (l2 IS NOT NULL AND sig = l2) AS f2,
+            coalesce(sig <> l1, TRUE) AS a2
+  FROM w
+),
+isl AS (
+  SELECT *, sum(CASE WHEN f1 THEN 0 ELSE 1 END) OVER win AS i1,
+            sum(CASE WHEN f2 THEN 0 ELSE 1 END) OVER win AS i2
+  FROM fl
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING)
+),
+stacked AS (
+  SELECT conv_id, turn_idx, 1 AS period, f1 AS flag, i1 AS island,
+         s1 AS start_cand, TRUE AS alt FROM isl
+  UNION ALL
+  SELECT conv_id, turn_idx, 2, f2, i2, s2, a2 FROM isl
+),
+runs AS (
+  SELECT conv_id, period, island, count(*) AS m,
+         min(start_cand) AS start_turn, max(turn_idx) AS end_turn,
+         max(CASE WHEN alt THEN 1 ELSE 0 END) AS has_alt
+  FROM stacked WHERE flag GROUP BY conv_id, period, island
+)
+SELECT conv_id, period, start_turn, end_turn, m + period AS n_turns
+FROM runs WHERE m + period >= 4 AND has_alt = 1
+ORDER BY conv_id, period, start_turn
+""".strip()
+
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
     # family's hash); only the final mean is float, rounded at 1e-6
     sql["dsir_weights"] = """
@@ -4992,6 +5058,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_allocation": q_mixing_allocation,
         "conv_dedup": q_conv_dedup,
         "conv_neardup_pairs": q_conv_neardup_pairs,
+        "agent_loops": q_agent_loops,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

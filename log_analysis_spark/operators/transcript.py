@@ -268,3 +268,104 @@ def conv_neardup_pairs(
         sh, threshold, id_col=conv_col, max_doc_freq=max_digest_freq)
     return pairs.withColumnRenamed("id_a", "conv_a") \
                 .withColumnRenamed("id_b", "conv_b")
+
+
+def detect_agent_loops(
+    df: DataFrame,
+    min_turns: int = 4,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Agent-loop detection: maximal runs of turns whose masked
+    (role \\x1f text) signature repeats with period 1 or 2 — the two
+    shapes a stuck agent actually produces. Period 1 is the stutter
+    (the same assistant message re-emitted turn after turn); period 2
+    is the retry loop (tool call -> identical error -> identical tool
+    call ...), which is THE canonical runaway-agent transcript and the
+    reason a curation pass wants these conversations flagged before
+    they poison training data with thousands of near-identical turns.
+    Variable values (ids, offsets, timestamps inside the text) are
+    collapsed by the shared mask chain, so "retry #4" and "retry #5"
+    loop together — the same signature convention as
+    ``conv_neardup_pairs`` / exact conversation dedup.
+
+    Semantics (engine-exact, replayed verbatim by the DuckDB oracle):
+    sig = md5(coalesce(role,'') \\x1f mask(coalesce(text,''))); rows
+    order by ``turn_col`` within a conversation. For period p, a turn
+    is FLAGGED when its sig equals the sig p turns earlier; a maximal
+    run of m consecutive flagged turns covers m + p turns and is
+    reported when m + p >= ``min_turns``. Period-2 runs additionally
+    require at least one flagged turn whose sig differs from its
+    IMMEDIATE predecessor (a genuinely alternating pair) — otherwise a
+    constant run would surface twice, once per period.
+
+    Output: (conv_id, period, start_turn, end_turn, n_turns), one row
+    per maximal run, where start_turn/end_turn are the first/last
+    covered turn indices.
+
+    Scale: every lag / island cumsum shares ONE hash(conv_id) window
+    Exchange, and the island rollup groups by (conv, period, island) —
+    a superset of that partitioning, so the whole operator is one
+    Exchange over the turn stream plus a run-sized aggregate (the
+    merge_consecutive_turns shape). Loop length is bounded by a single
+    conversation, never the corpus. Reference analog: the repeated-
+    signature tally of the grouping counts, src/log_matcher.rs:214-252,
+    turned into a sequence detector on the transcripts axis."""
+    from ..functions.masks import mask_col
+
+    sig = F.md5(F.concat_ws(
+        "\x1f", F.coalesce(F.col(role_col), F.lit("")),
+        mask_col(F.coalesce(F.col(text_col), F.lit("")))))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    run = Window.partitionBy(conv_col).orderBy(turn_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(conv_col, turn_col, sig.alias("_sig"))
+    lag1 = F.lag("_sig", 1).over(w)
+    lag2 = F.lag("_sig", 2).over(w)
+    flag1 = lag1.isNotNull() & (F.col("_sig") == lag1)
+    flag2 = lag2.isNotNull() & (F.col("_sig") == lag2)
+    # both periods' flags/islands/starts come out of ONE window pass
+    # (same partition+order spec), then stack via explode — the island
+    # rollup below then groups on a superset of the window's
+    # hash(conv_id) partitioning, so no second Exchange
+    ann = base.select(
+        conv_col, F.col(turn_col),
+        flag1.alias("_f1"), flag2.alias("_f2"),
+        F.sum(F.when(flag1, F.lit(0)).otherwise(F.lit(1)))
+         .over(run).alias("_i1"),
+        F.sum(F.when(flag2, F.lit(0)).otherwise(F.lit(1)))
+         .over(run).alias("_i2"),
+        F.lag(turn_col, 1).over(w).alias("_s1"),
+        F.lag(turn_col, 2).over(w).alias("_s2"),
+        # alternation witness (period minimality for p=2): a flagged
+        # turn whose sig differs from its IMMEDIATE predecessor
+        F.coalesce(F.col("_sig") != lag1, F.lit(True)).alias("_a2"),
+    )
+    stacked = ann.select(
+        conv_col, F.col(turn_col),
+        F.explode(F.array(
+            F.struct(F.lit(1).alias("period"), F.col("_f1").alias("flag"),
+                     F.col("_i1").alias("island"),
+                     F.col("_s1").alias("start_cand"),
+                     F.lit(True).alias("alt")),
+            F.struct(F.lit(2).alias("period"), F.col("_f2").alias("flag"),
+                     F.col("_i2").alias("island"),
+                     F.col("_s2").alias("start_cand"),
+                     F.col("_a2").alias("alt")),
+        )).alias("_pp"),
+    )
+    runs = (
+        stacked.filter(F.col("_pp.flag"))
+        .groupBy(conv_col, F.col("_pp.period").alias("period"),
+                 F.col("_pp.island").alias("_island"))
+        .agg(F.count(F.lit(1)).alias("_m"),
+             F.min("_pp.start_cand").alias("start_turn"),
+             F.max(turn_col).alias("end_turn"),
+             F.max(F.col("_pp.alt").cast("int")).alias("_has_alt"))
+        .withColumn("n_turns", F.col("_m") + F.col("period"))
+        .filter((F.col("n_turns") >= min_turns) & (F.col("_has_alt") == 1))
+        .select(conv_col, "period", "start_turn", "end_turn", "n_turns")
+    )
+    return runs

@@ -121,7 +121,8 @@ EVENT_GATES = [
     "time_range_recent", "majority_vote", "distinct_groups", "max_id",
     "user_sessions", "line_dedup", "c4_clean", "count_drift",
     "count_drift_robust",
-    "conv_dedup", "conv_neardup_pairs", "streaming_count_drift", "vocab_growth",
+    "conv_dedup", "conv_neardup_pairs", "agent_loops",
+    "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "template_transitions", "rare_transitions", "entropy_drift",
     "coverage_topp", "asof_enrich", "interval_windows", "sink_rollup",

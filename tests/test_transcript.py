@@ -198,3 +198,76 @@ def test_dedup_conversations_turn_order_matters(spark):
     got = {r["conv_id"]: r["digest"]
            for r in dedup_conversations(df).collect()}
     assert got["a"] != got["b"]
+
+
+def test_agent_loops_stutter_and_retry(spark):
+    """Period-1 stutter and period-2 tool-retry alternation are both
+    found as maximal runs; clean conversations and short repeats are
+    not; masked variable values still loop together."""
+    from log_analysis_spark.operators.transcript import detect_agent_loops
+
+    rows = [
+        # c1: 5x identical assistant stutter (turns 2-6) after a clean
+        # opening — ONE period-1 run covering turns 2..6
+        ("c1", 0, "user", "do the thing", "none"),
+        ("c1", 1, "assistant", "ok", "none"),
+        ("c1", 2, "assistant", "I will retry now", "none"),
+        ("c1", 3, "assistant", "I will retry now", "none"),
+        ("c1", 4, "assistant", "I will retry now", "none"),
+        ("c1", 5, "assistant", "I will retry now", "none"),
+        ("c1", 6, "assistant", "I will retry now", "none"),
+        # c2: tool-retry alternation A B A B A B (turns 0-5), where the
+        # B texts differ only in a masked number — ONE period-2 run
+        ("c2", 0, "assistant", "run tool X", "bash"),
+        ("c2", 1, "tool", "error at offset 17", "none"),
+        ("c2", 2, "assistant", "run tool X", "bash"),
+        ("c2", 3, "tool", "error at offset 42", "none"),
+        ("c2", 4, "assistant", "run tool X", "bash"),
+        ("c2", 5, "tool", "error at offset 99", "none"),
+        # c3: a single immediate repeat (2 turns) — below min_turns
+        ("c3", 0, "user", "hi", "none"),
+        ("c3", 1, "user", "hi", "none"),
+        # c4: clean conversation, no loops
+        ("c4", 0, "user", "q", "none"),
+        ("c4", 1, "assistant", "a", "none"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = {(r["conv_id"], r["period"]): r
+           for r in detect_agent_loops(df, min_turns=4).collect()}
+
+    # c1 stutter: period-1 run turns 2..6 (5 turns). NO period-2 row
+    # for the same constant run (alternation witness suppresses it).
+    assert ("c1", 1) in got
+    r = got[("c1", 1)]
+    assert (r["start_turn"], r["end_turn"], r["n_turns"]) == (2, 6, 5)
+    assert ("c1", 2) not in got
+
+    # c2 retry loop: period-2 run turns 0..5 (6 turns), no period-1
+    assert ("c2", 2) in got
+    r = got[("c2", 2)]
+    assert (r["start_turn"], r["end_turn"], r["n_turns"]) == (0, 5, 6)
+    assert ("c2", 1) not in got
+
+    assert all(c not in ("c3", "c4") for c, _ in got)
+
+
+def test_agent_loops_two_separate_runs_are_maximal(spark):
+    """Two disjoint stutter runs in one conversation come back as two
+    rows, not merged across the gap."""
+    from log_analysis_spark.operators.transcript import detect_agent_loops
+
+    rows = (
+        [("c", i, "assistant", "loop one", "none") for i in range(4)]
+        + [("c", 4, "user", "break", "none")]
+        + [("c", 5 + i, "assistant", "loop two", "none") for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    runs = sorted(
+        detect_agent_loops(df, min_turns=4).collect(),
+        key=lambda r: r["start_turn"])
+    assert [(r["period"], r["start_turn"], r["end_turn"], r["n_turns"])
+            for r in runs] == [(1, 0, 3, 4), (1, 5, 8, 4)]
