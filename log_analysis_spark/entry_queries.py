@@ -2044,6 +2044,26 @@ def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("conv_id", "period", "start_turn"))
 
 
+def q_branch_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-rollout branch detection (transcript.branch_prefix_pairs):
+    pairs where one conversation's masked turn sequence is a strict
+    prefix of another's — the multi-sample rollout shape a curation
+    pass down-weights. Run over a deterministically truncated
+    transcript relation (each conversation cut to 2 + bucket%5 turns,
+    bucket = the conv_id's numeric suffix — engine-portable arithmetic,
+    no Spark-only hash) so sf0.01 produces real branch structure.
+    Hash-gated: DuckDB replays the mask chain, per-turn md5 records,
+    ordered rec arrays, full-sequence and per-length prefix hashes, and
+    the strict-containment (length, hash) equi-join."""
+    from .operators.transcript import branch_prefix_pairs
+
+    trx = _transcripts(spark, sf_dir)
+    bucket = F.substring(F.col("conv_id"), 2, 10).cast("int")
+    cut = trx.filter(F.col("turn_idx") < 2 + (bucket % 5))
+    return (branch_prefix_pairs(cut, min_prefix_turns=2)
+            .orderBy("prefix_conv", "parent_conv"))
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language (text_analysis.token_fertility):
     BPE-ish subwords per whitespace word, the per-language token-cost
@@ -3869,6 +3889,39 @@ FROM runs WHERE m + period >= 4 AND has_alt = 1
 ORDER BY conv_id, period, start_turn
 """.strip()
 
+    # branch prefixes: per-turn md5 records, ordered arrays, prefix
+    # hashes over list slices — all exact string arithmetic; the
+    # truncation bucket is integer arithmetic on the conv_id suffix
+    sql["branch_prefix_pairs"] = f"""
+WITH trx AS (SELECT * FROM ({_trx_sql_duck(line_duck)})
+             WHERE turn_idx < 2 + (CAST(substr(conv_id, 2) AS INT) % 5)),
+recs AS (
+  SELECT conv_id, turn_idx,
+         md5(concat(coalesce(role, ''), '\x1f',
+                    {mask_sql_duck("coalesce(text, '')")})) AS rec
+  FROM trx
+),
+arrs AS (
+  SELECT conv_id, count(*) AS n, list(rec ORDER BY turn_idx) AS arr
+  FROM recs GROUP BY conv_id
+),
+fulls AS (
+  SELECT conv_id AS prefix_conv, CAST(n AS INT) AS prefix_turns,
+         md5(array_to_string(arr, '\x1e')) AS h
+  FROM arrs WHERE n >= 2
+),
+pref AS (
+  SELECT conv_id AS parent_conv, CAST(n AS INT) AS parent_turns,
+         CAST(k AS INT) AS k, md5(array_to_string(arr[1:k], '\x1e')) AS ph
+  FROM (SELECT conv_id, n, arr, unnest(range(1, n)) AS k
+        FROM arrs WHERE n >= 2)
+)
+SELECT prefix_conv, parent_conv, prefix_turns, parent_turns
+FROM fulls f JOIN pref p
+  ON p.ph = f.h AND p.k = f.prefix_turns AND p.parent_conv <> f.prefix_conv
+ORDER BY prefix_conv, parent_conv
+""".strip()
+
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
     # family's hash); only the final mean is float, rounded at 1e-6
     sql["dsir_weights"] = """
@@ -5059,6 +5112,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "conv_neardup_pairs": q_conv_neardup_pairs,
         "agent_loops": q_agent_loops,
+        "branch_prefix_pairs": q_branch_prefix_pairs,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

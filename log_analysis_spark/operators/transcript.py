@@ -369,3 +369,100 @@ def detect_agent_loops(
         .select(conv_col, "period", "start_turn", "end_turn", "n_turns")
     )
     return runs
+
+
+def branch_prefix_pairs(
+    df: DataFrame,
+    min_prefix_turns: int = 1,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    mask_variables: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Sampled-rollout BRANCH detection: pairs (prefix_conv,
+    parent_conv) where conversation A's entire masked turn sequence is
+    a STRICT prefix of conversation B's — the shape multi-sample agent
+    rollouts produce (N continuations branching from one shared
+    history). A curation pass drops or down-weights the contained
+    prefix conversations: keeping both trains twice on the shared
+    turns, the within-corpus analog of the decontamination overlap.
+
+    Per turn: rec = md5(role \\x1f masked-text) — the exact convention
+    of ``dedup_conversations`` (so ids/counters/timestamps don't break
+    branch identity). Per conversation: the ordered rec array; its
+    full-sequence hash h = md5('\\x1e'-join(arr)); and for every
+    proper length k < n a prefix hash over the first k recs. A pair is
+    emitted when A.h equals B's prefix hash at k = A.n_turns and
+    A != B (duplicates — same length AND same hash — are NOT pairs;
+    that's ``dedup_conversations``' job). ``min_prefix_turns`` guards
+    the degenerate one-turn-greeting prefix whose fan-out is the
+    number of conversations opening with it.
+
+    Output: (prefix_conv, parent_conv, prefix_turns, parent_turns).
+
+    Scale: ONE conv_id rollup Exchange builds the rec arrays; prefix
+    hashing is row-local (sequence + slice inside the same task,
+    emitting at most one fixed-width row per input TURN, never more);
+    the containment test is an equi-join on the fixed-width
+    (length, hash) key — nothing quadratic in conversations, only the
+    true containment fan-out, and the per-conversation O(n^2 * 32)
+    prefix-hash chars are bounded by conversation length (the axis
+    bound), never the corpus. Both join sides derive from the same
+    rollup, and exchange reuse does NOT dedupe it (the explode changes
+    the subtree — the coverage_topp multi-consumer trap), so
+    ``materialize=True`` (default) persists the conversation-sized
+    array relation for exactly one corpus pass, eagerly checkpoints the
+    (pair-sized) result, and unpersists before returning. Reference
+    analog: the template-cache prefix walk, src/log_matcher.rs:168-199,
+    lifted from fragment position to turn position."""
+    from ..functions.masks import mask_col
+
+    turn_txt = F.coalesce(F.col(text_col), F.lit(""))
+    if mask_variables:
+        turn_txt = mask_col(turn_txt)
+    rec = F.md5(F.concat_ws(
+        "\x1f", F.coalesce(F.col(role_col), F.lit("")), turn_txt))
+    arrs = (
+        df.select(F.col(conv_col), F.col(turn_col), rec.alias("_rec"))
+        .groupBy(conv_col)
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.transform(
+                 F.sort_array(F.collect_list(F.struct(turn_col, "_rec"))),
+                 lambda s: s["_rec"]).alias("_arr"))
+    )
+    if materialize:
+        arrs = arrs.persist()
+    fulls = arrs.select(
+        F.col(conv_col).alias("prefix_conv"),
+        F.col("_n").cast("int").alias("prefix_turns"),
+        F.md5(F.concat_ws("\x1e", F.col("_arr"))).alias("_h"),
+    ).filter(F.col("prefix_turns") >= min_prefix_turns)
+    prefixes = (
+        arrs.filter(F.col("_n") >= 2)
+        .select(F.col(conv_col).alias("parent_conv"),
+                F.col("_n").cast("int").alias("parent_turns"),
+                F.col("_arr"),
+                F.explode(F.sequence(
+                    F.lit(1), (F.col("_n") - 1).cast("int"))).alias("_k"))
+        .select("parent_conv", "parent_turns", "_k",
+                F.md5(F.concat_ws(
+                    "\x1e", F.slice(F.col("_arr"), F.lit(1), F.col("_k"))))
+                .alias("_ph"))
+    )
+    result = (
+        fulls.join(
+            prefixes,
+            (F.col("_h") == F.col("_ph"))
+            & (F.col("prefix_turns") == F.col("_k"))
+            & (F.col("prefix_conv") != F.col("parent_conv")))
+        .select("prefix_conv", "parent_conv", "prefix_turns",
+                "parent_turns")
+    )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            arrs.unpersist()
+    return result

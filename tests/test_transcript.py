@@ -271,3 +271,34 @@ def test_agent_loops_two_separate_runs_are_maximal(spark):
         key=lambda r: r["start_turn"])
     assert [(r["period"], r["start_turn"], r["end_turn"], r["n_turns"])
             for r in runs] == [(1, 0, 3, 4), (1, 5, 8, 4)]
+
+
+def test_branch_prefix_pairs_strict_containment(spark):
+    """A full sequence matching another's prefix pairs up; equal-length
+    duplicates do NOT (that's dedup_conversations' job); masked
+    variable values still match; min_prefix_turns guards greetings."""
+    from log_analysis_spark.operators.transcript import branch_prefix_pairs
+
+    rows = (
+        # a: 2 turns; b: 4 turns extending a's masked content (numbers
+        # differ -> masked equal); c: exact duplicate of a; d: diverges
+        # at turn 1; e: 1-turn greeting that prefixes b at k=1
+        [("a", i, "user", f"step {i} ok", "none") for i in range(2)]
+        + [("b", i, "user", f"step {i + 10} ok", "none") for i in range(4)]
+        + [("c", i, "user", f"step {i} ok", "none") for i in range(2)]
+        + [("d", 0, "user", "step 0 ok", "none"),
+           ("d", 1, "user", "something else entirely", "none")]
+        + [("e", 0, "user", "step 99 ok", "none")]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = sorted(tuple(r) for r in
+                 branch_prefix_pairs(df, min_prefix_turns=2).collect())
+    assert got == [("a", "b", 2, 4), ("c", "b", 2, 4)]
+    # with min_prefix_turns=1 the greeting e joins every conversation
+    # whose first masked turn matches (a, b, c, d)
+    got1 = sorted(tuple(r) for r in
+                  branch_prefix_pairs(df, min_prefix_turns=1).collect())
+    assert ("e", "b", 1, 4) in got1 and ("e", "d", 1, 2) in got1
+    assert all(p[0] != p[1] for p in got1)
