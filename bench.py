@@ -184,7 +184,8 @@ def main() -> None:
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "conv_neardup_pairs",
-        "agent_loops", "branch_prefix_pairs", "token_fertility",
+        "agent_loops", "branch_prefix_pairs", "refusal_stats",
+        "token_fertility",
         "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",

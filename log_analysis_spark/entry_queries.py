@@ -2064,6 +2064,41 @@ def q_branch_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prefix_conv", "parent_conv"))
 
 
+def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation refusal rate (transcript.refusal_stats): the
+    RLHF-curation signal that caps alignment boilerplate in a training
+    blend. The synth transcripts never refuse, so the gate injects
+    refusal texts deterministically (pure functions of turn_uid, the
+    _defective_transcripts recipe) — three phrases covering different
+    rules plus a 'sorry for the delay' DECOY that must NOT match (word
+    boundaries + the ', but' tail do real work). Hash-gated: DuckDB
+    replays the injection CASE, the full regex OR chain (RE2 and Java
+    dialects agree on this syntax subset), the role predicate, and the
+    bit-exact IEEE double division."""
+    from .operators.transcript import refusal_stats
+
+    trx = _transcripts(spark, sf_dir)
+    uid = F.col("turn_uid")
+    injected = trx.withColumn(
+        "text",
+        F.when(uid % 17 == 3,
+               F.lit("I'm sorry, but I can't help with that request."))
+        .when(uid % 17 == 5,
+              F.lit("As an AI language model, I must decline."))
+        .when(uid % 17 == 11,
+              F.lit("sorry for the delay, here is the result 42"))
+        .when(uid % 17 == 13,
+              F.lit("I am unable to comply with retry 7"))
+        .otherwise(F.col("text")))
+    out = refusal_stats(injected)
+    return (out.select(
+        "conv_id",
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.col("n_refusal_turns").cast("long").alias("n_refusal_turns"),
+        "refusal_rate", "first_refusal_turn")
+        .orderBy("conv_id"))
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language (text_analysis.token_fertility):
     BPE-ish subwords per whitespace word, the per-language token-cost
@@ -3922,6 +3957,48 @@ FROM fulls f JOIN pref p
 ORDER BY prefix_conv, parent_conv
 """.strip()
 
+    # refusal stats: injection CASE + regex OR chain + integer-exact
+    # counts + one IEEE double division (bit-identical across engines)
+    from .operators.transcript import refusal_sql_duck
+
+    refusal_pred = refusal_sql_duck("text", "role")
+    sql["refusal_stats"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+inj AS (
+  SELECT conv_id, turn_idx, role,
+         CASE
+           WHEN turn_uid % 17 = 3
+             THEN 'I''m sorry, but I can''t help with that request.'
+           WHEN turn_uid % 17 = 5
+             THEN 'As an AI language model, I must decline.'
+           WHEN turn_uid % 17 = 11
+             THEN 'sorry for the delay, here is the result 42'
+           WHEN turn_uid % 17 = 13
+             THEN 'I am unable to comply with retry 7'
+           ELSE text
+         END AS text
+  FROM trx
+),
+fl AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_role,
+         CASE WHEN {refusal_pred} THEN 1 ELSE 0 END AS is_ref
+  FROM inj
+),
+agg AS (
+  SELECT conv_id,
+         CAST(sum(is_role) AS BIGINT) AS n_assistant_turns,
+         CAST(sum(is_ref) AS BIGINT) AS n_refusal_turns,
+         min(CASE WHEN is_ref = 1 THEN turn_idx END) AS first_refusal_turn
+  FROM fl GROUP BY conv_id
+)
+SELECT conv_id, n_assistant_turns, n_refusal_turns,
+       CASE WHEN n_assistant_turns > 0
+            THEN n_refusal_turns / n_assistant_turns END AS refusal_rate,
+       first_refusal_turn
+FROM agg ORDER BY conv_id
+""".strip()
+
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
     # family's hash); only the final mean is float, rounded at 1e-6
     sql["dsir_weights"] = """
@@ -5113,6 +5190,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup_pairs": q_conv_neardup_pairs,
         "agent_loops": q_agent_loops,
         "branch_prefix_pairs": q_branch_prefix_pairs,
+        "refusal_stats": q_refusal_stats,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

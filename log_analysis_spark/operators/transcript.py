@@ -466,3 +466,81 @@ def branch_prefix_pairs(
         finally:
             arrs.unpersist()
     return result
+
+
+# Refusal / alignment-boilerplate patterns — syntax valid in BOTH Java
+# regex (Spark rlike) and RE2 (DuckDB regexp_matches): (?i) inline
+# flag, \b word boundaries, alternation; no lookaround, no backrefs.
+# Same dual-dialect rule-table architecture as redaction.PII_RULES.
+REFUSAL_PATTERNS: tuple[str, ...] = (
+    r"(?i)\bi can(not|'t) (help|assist|provide|comply|do that)\b",
+    r"(?i)\bi('m| am) sorry,? but\b",
+    r"(?i)\bas an ai( language model)?\b",
+    r"(?i)\bi('m| am) (unable|not able) to\b",
+    r"(?i)\bi must decline\b",
+    r"(?i)\bi won't be able to\b",
+)
+
+
+def refusal_stats(
+    df: DataFrame,
+    patterns: tuple[str, ...] = REFUSAL_PATTERNS,
+    refusal_role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation refusal rate — the RLHF-data curation signal
+    that decides whether a conversation teaches helpfulness or
+    boilerplate. A turn is a refusal when its role is ``refusal_role``
+    and its text matches ANY rule in ``patterns`` (classic alignment
+    boilerplate: "I cannot help", "I'm sorry, but", "as an AI", ...).
+    Mixing pipelines cap the refusal share of a training blend; this
+    emits the per-conversation numbers that filter feeds on.
+
+    Output: (conv_id, n_assistant_turns, n_refusal_turns, refusal_rate,
+    first_refusal_turn) — rate is NULL when the conversation has no
+    ``refusal_role`` turns, first_refusal_turn NULL when nothing
+    refused. The division is a single IEEE double op, bit-identical
+    across engines (no rounding in the gate).
+
+    Scale: the rlike chain is row-local JVM regex inside the scan's
+    codegen span; the only Exchange is the conv_id groupBy, with
+    map-side partial aggregation, emitting one fixed-width row per
+    conversation. Reference analog: the matched/unmatched predicate
+    tally, src/log_matcher.rs:214-252, with refusal rules in place of
+    template hits."""
+    is_role = F.col(role_col) == F.lit(refusal_role)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    hit = F.lit(False)
+    for pat in patterns:
+        hit = hit | txt.rlike(pat)
+    is_refusal = is_role & hit
+    return (
+        df.groupBy(conv_col)
+        .agg(
+            F.sum(is_role.cast("int")).alias("n_assistant_turns"),
+            F.sum(is_refusal.cast("int")).alias("n_refusal_turns"),
+            F.min(F.when(is_refusal, F.col(turn_col)))
+             .alias("first_refusal_turn"),
+        )
+        .withColumn(
+            "refusal_rate",
+            F.when(F.col("n_assistant_turns") > 0,
+                   F.col("n_refusal_turns") / F.col("n_assistant_turns")))
+        .select(conv_col, "n_assistant_turns", "n_refusal_turns",
+                "refusal_rate", "first_refusal_turn")
+    )
+
+
+def refusal_sql_duck(text_expr: str, role_expr: str,
+                     refusal_role: str = "assistant") -> str:
+    """DuckDB rendering of the per-turn refusal predicate (escaped
+    pattern literals, OR chain over regexp_matches) — composes into the
+    oracle's aggregate exactly like redact_sql_duck."""
+    txt = f"coalesce({text_expr}, '')"
+    ors = " OR ".join(
+        f"regexp_matches({txt}, '{p.replace(chr(39), chr(39) * 2)}')"
+        for p in REFUSAL_PATTERNS)
+    return f"(({role_expr}) = '{refusal_role}' AND ({ors}))"

@@ -302,3 +302,30 @@ def test_branch_prefix_pairs_strict_containment(spark):
                   branch_prefix_pairs(df, min_prefix_turns=1).collect())
     assert ("e", "b", 1, 4) in got1 and ("e", "d", 1, 2) in got1
     assert all(p[0] != p[1] for p in got1)
+
+
+def test_refusal_stats_role_filter_decoy_and_null_rate(spark):
+    """Only refusal_role turns count; 'sorry for the delay' is NOT a
+    refusal (word-boundary + ', but' tail); conversations without
+    assistant turns get a NULL rate."""
+    from log_analysis_spark.operators.transcript import refusal_stats
+
+    rows = [
+        ("c1", 0, "user", "I'm sorry, but I can't help", "none"),  # user: no
+        ("c1", 1, "assistant", "As an AI I must decline.", "none"),
+        ("c1", 2, "assistant", "sorry for the delay, result: 42", "none"),
+        ("c1", 3, "assistant", "here you go", "none"),
+        ("c2", 0, "user", "hi", "none"),   # no assistant turns
+        ("c3", 0, "assistant", None, "none"),  # NULL text, no refusal
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = {r["conv_id"]: r for r in refusal_stats(df).collect()}
+    assert got["c1"]["n_assistant_turns"] == 3
+    assert got["c1"]["n_refusal_turns"] == 1
+    assert got["c1"]["first_refusal_turn"] == 1
+    assert abs(got["c1"]["refusal_rate"] - 1 / 3) < 1e-15
+    assert got["c2"]["n_assistant_turns"] == 0
+    assert got["c2"]["refusal_rate"] is None
+    assert got["c3"]["n_refusal_turns"] == 0
