@@ -343,7 +343,10 @@ def detect_agent_loops(
         # turn whose sig differs from its IMMEDIATE predecessor
         F.coalesce(F.col("_sig") != lag1, F.lit(True)).alias("_a2"),
     )
-    stacked = ann.select(
+    # drop turns flagged for NEITHER period before the explode: the run
+    # rollup only consumes flagged rows, so on a mostly-loop-free
+    # corpus the stack + aggregate see a small fraction of the turns
+    stacked = ann.filter(F.col("_f1") | F.col("_f2")).select(
         conv_col, F.col(turn_col),
         F.explode(F.array(
             F.struct(F.lit(1).alias("period"), F.col("_f1").alias("flag"),
