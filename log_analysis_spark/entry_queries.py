@@ -30,6 +30,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _present_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Presentation sort for a BOUNDED gate result (conversation-sized,
+    group-sized, top-k — never corpus-sized rows).
+
+    ``orderBy`` plans an Exchange rangepartitioning whose bounds come
+    from a SAMPLING JOB that re-executes the child plan — for a gate
+    whose upstream is seconds of scan+window+agg, the presentation sort
+    silently DOUBLES the query (measured: language_switching 4.17s with
+    orderBy vs 2.20s with this helper, same result rows). A bounded
+    result doesn't need a distributed sort: shuffle the few hundred
+    rows to one partition (an explicit Exchange — upstream parallelism
+    is preserved, unlike coalesce(1) which would collapse the final
+    stage) and sort within it. Row order equals orderBy's on the same
+    keys, so oracle hash-equality is unaffected."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _tk(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Kernel-feeding table read: ``_t`` plus a parallelism rebalance.
 
@@ -347,7 +364,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tk(spark, sf_dir, "documents")
     return edit_distance_pairs(docs, k=8, bands=4, n=3, max_ratio=0.3) \
-        .orderBy("id_a", "id_b")
+        .transform(_present_sorted, "id_a", "id_b")
 
 
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +402,7 @@ def q_class_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (class_keywords(docs, class_col="source", k=5)
             .withColumnRenamed("class", "source")
-            .orderBy("source", "rank"))
+            .transform(_present_sorted, "source", "rank"))
 
 
 def q_streaming_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,7 +663,7 @@ def q_template_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift_ppm",
             F.expr("(n_pair_groups * n_total_groups * 1000000) div "
                    "(support_a * support_b)"))
-        .orderBy("t_a", "t_b")
+        .transform(_present_sorted, "t_a", "t_b")
     )
 
 
@@ -814,7 +831,7 @@ def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.try_element_at(vars_col, F.lit(1)).alias("value"))
     return (
         top_values_per_group(v, "template_id", "value", k=3)
-        .orderBy("template_id", "rank")
+        .transform(_present_sorted, "template_id", "rank")
     )
 
 
@@ -1620,7 +1637,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
         .filter(F.col("jaccard_r") >= 0.35)
-        .orderBy("id_a", "id_b")
+        .transform(_present_sorted, "id_a", "id_b")
     )
 
 
@@ -1696,7 +1713,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine_r", "rank")
-        .orderBy("query_id", "rank")
+        .transform(_present_sorted, "query_id", "rank")
     )
 
 
@@ -1731,7 +1748,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine_r", "rank")
-        .orderBy("query_id", "rank")
+        .transform(_present_sorted, "query_id", "rank")
     )
 
 
@@ -1774,7 +1791,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine_r", "rank")
-        .orderBy("query_id", "rank")
+        .transform(_present_sorted, "query_id", "rank")
     )
 
 
@@ -1860,7 +1877,7 @@ def q_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     threshold=0.0, threshold_r=0.25)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
-        .orderBy("id_a", "id_b")
+        .transform(_present_sorted, "id_a", "id_b")
     )
 
 
@@ -2022,7 +2039,7 @@ def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv_neardup_pairs(trx, threshold=0.8)
         .select("conv_a", "conv_b",
                 F.round(F.col("jaccard") + F.lit(0.0), 6).alias("jaccard_r"))
-        .orderBy("conv_a", "conv_b")
+        .transform(_present_sorted, "conv_a", "conv_b")
     )
 
 
@@ -2040,8 +2057,8 @@ def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.transcript import detect_agent_loops
 
     trx = _transcripts(spark, sf_dir)
-    return (detect_agent_loops(trx, min_turns=4)
-            .orderBy("conv_id", "period", "start_turn"))
+    return _present_sorted(detect_agent_loops(trx, min_turns=4),
+                           "conv_id", "period", "start_turn")
 
 
 def q_branch_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,8 +2077,8 @@ def q_branch_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trx = _transcripts(spark, sf_dir)
     bucket = F.substring(F.col("conv_id"), 2, 10).cast("int")
     cut = trx.filter(F.col("turn_idx") < 2 + (bucket % 5))
-    return (branch_prefix_pairs(cut, min_prefix_turns=2)
-            .orderBy("prefix_conv", "parent_conv"))
+    return _present_sorted(branch_prefix_pairs(cut, min_prefix_turns=2),
+                           "prefix_conv", "parent_conv")
 
 
 def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2096,7 +2113,42 @@ def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
         F.col("n_refusal_turns").cast("long").alias("n_refusal_turns"),
         "refusal_rate", "first_refusal_turn")
-        .orderBy("conv_id"))
+        .transform(_present_sorted, "conv_id"))
+
+
+def q_language_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation code-switch profile (transcript.
+    language_switching): per-turn stopword-heuristic lang-id, switches
+    counted against the previous turn, one conversation rollup riding
+    the window's Exchange. The synth transcripts are monolingual-ish,
+    so the gate injects stopword-heavy de/fr/es/ru sentences
+    deterministically (turn_uid arithmetic) to create real switching.
+    Hash-gated: DuckDB replays the injection CASE, the generated
+    per-language score exprs, the asc tie-break CASE, the lag window,
+    and the integer switch/distinct counts."""
+    from .operators.transcript import language_switching
+
+    trx = _transcripts(spark, sf_dir)
+    uid = F.col("turn_uid")
+    injected = trx.withColumn(
+        "text",
+        F.when(uid % 11 == 2,
+               F.lit("der hund und die katze ist nicht ein problem mit von zu"))
+        .when(uid % 11 == 4,
+              F.lit("le chat et la maison est pour dans que des un une"))
+        .when(uid % 11 == 6,
+              F.lit("el perro y la casa es por un una que con los las"))
+        .when(uid % 11 == 8,
+              F.lit("и в не на я что он с как это по его"))
+        .otherwise(F.col("text")))
+    out = language_switching(injected)
+    return (out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_switches").cast("long").alias("n_switches"),
+        "first_lang")
+        .transform(_present_sorted, "conv_id"))
 
 
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2152,7 +2204,7 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = doc_tokens(docs)
-    return heavy_hitters(toks, threshold=300).orderBy("word")
+    return heavy_hitters(toks, threshold=300).transform(_present_sorted, "word")
 
 
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2267,7 +2319,7 @@ def q_json_keyset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(json_keyset_col(j).alias("keyset"))
         .groupBy("keyset").agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("keyset")
+        .transform(_present_sorted, "keyset")
     )
 
 
@@ -3957,6 +4009,55 @@ FROM fulls f JOIN pref p
 ORDER BY prefix_conv, parent_conv
 """.strip()
 
+    # language switching: injection CASE + the generated per-language
+    # score exprs + asc tie-break + lag window + integer counts
+    langs_sw, lang_exprs_sw, greatest_sw = _duck_lang_parts()
+    pick_sw = " ".join(f"WHEN s_{l} >= mx THEN '{l}'" for l in langs_sw[:-1])
+    sql["language_switching"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+inj AS (
+  SELECT conv_id, turn_idx,
+         CASE
+           WHEN turn_uid % 11 = 2
+             THEN 'der hund und die katze ist nicht ein problem mit von zu'
+           WHEN turn_uid % 11 = 4
+             THEN 'le chat et la maison est pour dans que des un une'
+           WHEN turn_uid % 11 = 6
+             THEN 'el perro y la casa es por un una que con los las'
+           WHEN turn_uid % 11 = 8
+             THEN 'и в не на я что он с как это по его'
+           ELSE text
+         END AS text
+  FROM trx
+),
+f AS (
+  SELECT conv_id, turn_idx,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                               '[ \\t\\n\\x0b\\f\\r]+') AS words
+  FROM inj
+),
+s AS (SELECT conv_id, turn_idx, {', '.join(lang_exprs_sw)} FROM f),
+b AS (SELECT conv_id, turn_idx, greatest({greatest_sw}) AS mx, * FROM s),
+l AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN mx IS NULL OR mx < 0.01 THEN 'unknown'
+              {pick_sw} ELSE '{langs_sw[-1]}' END AS lang
+  FROM b
+),
+w AS (
+  SELECT conv_id, turn_idx, lang,
+         lag(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pl
+  FROM l
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN pl IS NOT NULL AND lang <> pl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+       arg_min(lang, turn_idx) AS first_lang
+FROM w GROUP BY conv_id ORDER BY conv_id
+""".strip()
+
     # refusal stats: injection CASE + regex OR chain + integer-exact
     # counts + one IEEE double division (bit-identical across engines)
     from .operators.transcript import refusal_sql_duck
@@ -5191,6 +5292,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loops": q_agent_loops,
         "branch_prefix_pairs": q_branch_prefix_pairs,
         "refusal_stats": q_refusal_stats,
+        "language_switching": q_language_switching,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

@@ -547,3 +547,52 @@ def refusal_sql_duck(text_expr: str, role_expr: str,
         f"regexp_matches({txt}, '{p.replace(chr(39), chr(39) * 2)}')"
         for p in REFUSAL_PATTERNS)
     return f"(({role_expr}) = '{refusal_role}' AND ({ors}))"
+
+
+def language_switching(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    min_score: float = 0.01,
+) -> DataFrame:
+    """Per-conversation code-switching profile — the multilingual
+    consistency signal a curation pass uses to route conversations to
+    per-language blends (a conversation that flips language mid-stream
+    is usually concatenation noise, not genuine code-switching, and
+    either way needs different handling than a monolingual one).
+
+    Each turn gets the engine's stopword-heuristic language id
+    (text_analysis.lang_id_col — same rule table, same asc tie-break,
+    same ``min_score`` floor to 'unknown'); a SWITCH is a turn whose
+    language differs from the previous turn's (first turn never
+    switches; 'unknown' participates like any language — flips into
+    and out of unidentifiable text count, because they are exactly the
+    concatenation-noise shape). Output one row per conversation:
+    (conv_id, n_turns, n_langs, n_switches, first_lang).
+
+    Scale: the lang scores are JVM array expressions inside the scan's
+    codegen span; the lag window and the conversation rollup share ONE
+    hash(conv_id) Exchange (the groupBy keys are a superset of the
+    window partitioning); output is conversation-sized. Reference
+    analog: the per-template grouping tallies again
+    (src/log_matcher.rs:214-252), keyed by language transition instead
+    of template."""
+    from .text_analysis import lang_id_col
+
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    base = df.select(
+        conv_col, F.col(turn_col),
+        lang_id_col(F.coalesce(F.col(text_col), F.lit("")),
+                    min_score=min_score).alias("_lang"))
+    prev = F.lag("_lang").over(w)
+    ann = base.withColumn(
+        "_switch",
+        (prev.isNotNull() & (F.col("_lang") != prev)).cast("long"))
+    return (
+        ann.groupBy(conv_col)
+        .agg(F.count(F.lit(1)).alias("n_turns"),
+             F.countDistinct("_lang").alias("n_langs"),
+             F.sum("_switch").alias("n_switches"),
+             F.expr(f"min_by(_lang, {turn_col})").alias("first_lang"))
+    )

@@ -122,7 +122,7 @@ EVENT_GATES = [
     "user_sessions", "line_dedup", "c4_clean", "count_drift",
     "count_drift_robust",
     "conv_dedup", "conv_neardup_pairs", "agent_loops",
-    "branch_prefix_pairs", "refusal_stats",
+    "branch_prefix_pairs", "refusal_stats", "language_switching",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "template_transitions", "rare_transitions", "entropy_drift",

@@ -329,3 +329,29 @@ def test_refusal_stats_role_filter_decoy_and_null_rate(spark):
     assert got["c2"]["n_assistant_turns"] == 0
     assert got["c2"]["refusal_rate"] is None
     assert got["c3"]["n_refusal_turns"] == 0
+
+
+def test_language_switching_counts_flips(spark):
+    """en -> de -> de -> unknown: 2 switches, 3 langs, first_lang en;
+    a monolingual conversation has 0 switches."""
+    from log_analysis_spark.operators.transcript import language_switching
+
+    rows = [
+        ("c1", 0, "user", "the cat and the dog was in it for that", "none"),
+        ("c1", 1, "assistant",
+         "der hund und die katze ist nicht ein problem mit", "none"),
+        ("c1", 2, "user", "das ist nicht der fall und auch nicht zu", "none"),
+        ("c1", 3, "assistant", "zzz qqq 12345 !!!", "none"),
+        ("c2", 0, "user", "the cat and the dog", "none"),
+        ("c2", 1, "assistant", "it is the same for that", "none"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = {r["conv_id"]: r for r in language_switching(df).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_langs"], c1["n_switches"],
+            c1["first_lang"]) == (4, 3, 2, "en")
+    c2 = got["c2"]
+    assert c2["n_switches"] == 0 and c2["n_langs"] == 1
+    assert c2["first_lang"] == "en"
