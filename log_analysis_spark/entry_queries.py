@@ -609,7 +609,7 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("sum_charge_cents3"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(_present_sorted, "l_returnflag", "l_linestatus")
     )
 
 
@@ -683,7 +683,7 @@ def q_template_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = lines.withColumn("template_id", match_udf(spark, m)(F.col("line")))
     return (
         template_transitions(assign, group_col="g", order_cols=("event_id",))
-        .orderBy("template_id", "next_template_id")
+        .transform(_present_sorted, "template_id", "next_template_id")
     )
 
 
@@ -1272,7 +1272,7 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("mean_s_r"),
              F.min("gap_us").alias("min_us"),
              F.max("gap_us").alias("max_us"))
-        .orderBy("tool")
+        .transform(_present_sorted, "tool")
     )
 
 
@@ -2019,7 +2019,7 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.transcript import dedup_conversations
 
     trx = _transcripts(spark, sf_dir).filter(F.col("turn_idx") < 3)
-    return dedup_conversations(trx).orderBy("conv_id")
+    return dedup_conversations(trx).transform(_present_sorted, "conv_id")
 
 
 def q_conv_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,7 +2159,7 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import token_fertility
 
     return (token_fertility(_t(spark, sf_dir, "documents"))
-            .orderBy("lang_id"))
+            .transform(_present_sorted, "lang_id"))
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
