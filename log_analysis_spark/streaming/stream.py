@@ -819,3 +819,140 @@ def streaming_stitch_multiline(
                          else GroupStateTimeout.ProcessingTimeTimeout),
         )
     )
+
+
+def streaming_agent_loops(
+    stream_df: DataFrame,
+    min_turns: int = 4,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    state_ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming runaway-agent loop ALARM — the live counterpart of
+    ``operators.transcript.detect_agent_loops``. Batch detection tells
+    curation which conversations were poisoned; the operational use is
+    cutting the loop off WHILE it runs (an agent stuck in a tool-retry
+    cycle burns tokens until something notices), so the streaming form
+    raises an alarm as soon as a period-1 stutter or period-2 retry
+    alternation covers ``min_turns`` turns, and keeps re-raising with
+    the extended extent while the loop continues.
+
+    Same signature convention as the batch operator: sig = md5(role
+    \\x1f masked-text) — masked so "retry #4"/"retry #5" loop together.
+    Per conversation the state is O(1): the last two signatures, their
+    turn indices, and each period's current (run length, start turn,
+    alternation witness) — a handful of fixed-width fields regardless
+    of conversation length, the streaming bound an unbounded ingest
+    requires. The number of conversation groups grows with the stream;
+    ``state_ttl_seconds`` (opt-in, same contract and caveats as
+    ``streaming_neardup_pairs``) expires conversations idle past the
+    TTL.
+
+    Delivery: AT-LEAST-ONCE per batch — a run still growing re-emits
+    each micro-batch with its larger extent, and a run that closes
+    mid-batch emits its final extent; downstream keeps
+    groupBy(conv_id, period, start_turn).max(end_turn) exactly like the
+    batch result (the equivalence the tests pin). Ordering contract:
+    turns arrive in turn order per conversation (the ingest's framing);
+    within a micro-batch rows are sorted by ``turn_col``, and a
+    late turn at or before the last processed index is DROPPED — the
+    same late-data discipline as a watermark, applied on turn index.
+
+    Output: (conv_id, period, start_turn, end_turn, n_turns).
+    Reference analog: the matcher service's per-stream tallies
+    (src/log_matcher.rs:214-252) turned into an online sequence
+    detector."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    from ..functions.masks import mask_col
+    from ..matcher import ship_package
+
+    ship_package(stream_df.sparkSession)
+    sig = F.md5(F.concat_ws(
+        "\x1f", F.coalesce(F.col(role_col), F.lit("")),
+        mask_col(F.coalesce(F.col(text_col), F.lit("")))))
+    base = stream_df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        sig.alias("_sig"))
+
+    ttl_ms = None if state_ttl_seconds is None else int(state_ttl_seconds * 1000)
+    EMPTY = ""
+
+    def _track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (l1, l2, t1, t2, m1, s1, m2, s2, alt2) = state.get
+        else:
+            l1, l2, t1, t2 = EMPTY, EMPTY, -1, -1
+            m1, s1, m2, s2, alt2 = 0, -1, 0, -1, False
+        rows: list[tuple[int, int, int, int]] = []  # period, start, end, n
+
+        def close(period, m, start, end, has_alt):
+            if m >= 1 and m + period >= min_turns and has_alt:
+                rows.append((period, int(start), int(end), m + period))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for t, s in zip(pdf["turn_idx"], pdf["_sig"]):
+                t = int(t)
+                if t <= t1:
+                    continue  # late/duplicate turn: dropped
+                s = s if s is not None else EMPTY
+                f1 = l1 != EMPTY and s == l1
+                f2 = l2 != EMPTY and s == l2
+                alt = not (l1 != EMPTY and s == l1)
+                if f1:
+                    if m1 == 0:
+                        s1 = t1
+                    m1 += 1
+                else:
+                    close(1, m1, s1, t1, True)
+                    m1 = 0
+                if f2:
+                    if m2 == 0:
+                        s2 = t2
+                        alt2 = False
+                    m2 += 1
+                    alt2 = alt2 or alt
+                else:
+                    close(2, m2, s2, t1, alt2)
+                    m2 = 0
+                    alt2 = False
+                l2, t2 = l1, t1
+                l1, t1 = s, t
+        # still-open qualifying runs: re-raise the alarm with the
+        # current extent (at-least-once growing emission)
+        close(1, m1, s1, t1, True)
+        close(2, m2, s2, t1, alt2)
+        state.update((l1, l2, int(t1), int(t2),
+                      int(m1), int(s1), int(m2), int(s2), bool(alt2)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if rows:
+            yield pd.DataFrame(
+                {"conv_id": [key[0]] * len(rows),
+                 "period": [r[0] for r in rows],
+                 "start_turn": [r[1] for r in rows],
+                 "end_turn": [r[2] for r in rows],
+                 "n_turns": [r[3] for r in rows]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    return base.groupBy("conv_id").applyInPandasWithState(
+        _track,
+        outputStructType=("conv_id string, period int, start_turn int, "
+                          "end_turn int, n_turns int"),
+        stateStructType=("l1 string, l2 string, t1 long, t2 long, "
+                         "m1 long, s1 long, m2 long, s2 long, alt2 boolean"),
+        outputMode="append",
+        timeoutConf=("ProcessingTimeTimeout" if ttl_ms is not None
+                     else "NoTimeout"),
+    )

@@ -842,3 +842,76 @@ def test_streaming_stitch_multiline_forced_chunking(spark, tmp_path):
         assert rows[0]["text"] == "no anchors here 0\nno anchors here 1\nno anchors here 2"
     finally:
         q.stop()
+
+
+def test_streaming_agent_loops_alarm_and_batch_equivalence(spark, tmp_path):
+    """Live loop alarm: a stutter split ACROSS micro-batches raises with
+    the full extent (O(1) state survives batches); the max-rollup of the
+    at-least-once alarms equals the batch detector on the drained
+    input; a clean conversation never alarms."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.transcript import detect_agent_loops
+    from log_analysis_spark.streaming.stream import streaming_agent_loops
+
+    in_dir = str(tmp_path / "turns_in")
+    os.makedirs(in_dir)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    # batch 1: c1 starts a stutter (3 identical turns = run of 2 flags,
+    # covers 3 turns -> below min_turns=4, no alarm yet); c2 clean
+    b1 = pd.DataFrame([
+        ("c1", 0, "assistant", "I will retry now"),
+        ("c1", 1, "assistant", "I will retry now"),
+        ("c1", 2, "assistant", "I will retry now"),
+        ("c2", 0, "user", "hello"),
+        ("c2", 1, "assistant", "hi there"),
+    ], columns=cols)
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx long, role string, text string").parquet(in_dir)
+    alarms = streaming_agent_loops(stream, min_turns=4)
+    q = (alarms.writeStream.format("memory").queryName("loop_mem")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("SELECT * FROM loop_mem").collect()
+        assert got1 == []  # 3 covered turns < min_turns
+
+        # batch 2: the stutter continues -> cross-batch alarm covering
+        # the WHOLE run incl. batch-1 turns; plus a retry alternation
+        # conversation entirely inside this batch
+        b2 = pd.DataFrame([
+            ("c1", 3, "assistant", "I will retry now"),
+            ("c1", 4, "assistant", "I will retry now"),
+            ("c3", 0, "assistant", "run tool X"),
+            ("c3", 1, "tool", "error at offset 17"),
+            ("c3", 2, "assistant", "run tool X"),
+            ("c3", 3, "tool", "error at offset 42"),
+            ("c3", 4, "assistant", "run tool X"),
+            ("c3", 5, "tool", "error at offset 99"),
+        ], columns=cols)
+        spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM loop_mem").collect()
+        # max-rollup of at-least-once alarms == batch detector
+        best: dict[tuple, tuple] = {}
+        for r in rows:
+            k = (r["conv_id"], r["period"], r["start_turn"])
+            v = (r["end_turn"], r["n_turns"])
+            if k not in best or v > best[k]:
+                best[k] = v
+        stream_runs = {k + best[k] for k in best}
+        batch_df = spark.createDataFrame(
+            pd.concat([b1, b2]), schema="conv_id string, turn_idx long, "
+                                        "role string, text string")
+        batch_runs = {(r["conv_id"], r["period"], r["start_turn"],
+                       r["end_turn"], r["n_turns"])
+                      for r in detect_agent_loops(batch_df, min_turns=4).collect()}
+        assert stream_runs == batch_runs, (stream_runs, batch_runs)
+        assert ("c1", 1, 0, 4, 5) in stream_runs      # cross-batch extent
+        assert ("c3", 2, 0, 5, 6) in stream_runs      # alternation alarm
+        assert not any(k[0] == "c2" for k in stream_runs)
+    finally:
+        q.stop()
