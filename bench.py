@@ -185,7 +185,7 @@ def main() -> None:
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "conv_neardup_pairs",
         "agent_loops", "branch_prefix_pairs", "refusal_stats",
-        "language_switching", "token_fertility",
+        "language_switching", "conv_pii_density", "token_fertility",
         "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
         "ccnet_buckets", "quality_classifier",
         "template_cooccurrence", "template_transitions",

@@ -1113,11 +1113,14 @@ _TOOL_SQL = ("CASE CAST(event_id % 6 AS INT) WHEN 0 THEN 'bash' "
              "ELSE 'editor' END")
 
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _transcripts(spark: SparkSession, sf_dir: str,
+                 line_sql: str | None = None) -> DataFrame:
     """Deterministic transcript relation (conv_id, turn_idx, role, text,
     tool, turn_uid) derived from the events fixture: conversations are
     user buckets, turn order is the stable (ts, event_id) sort, text is
-    the shared _LINE_SQL rendering. turn_uid (= event_id) is the stable
+    the shared _LINE_SQL rendering (or ``line_sql`` — the PII gate
+    renders _PII_LINE_SQL instead, mirrored by _trx_sql_duck's
+    line_duck parameter). turn_uid (= event_id) is the stable
     ingest key the integrity query uses to rank duplicate turn_idx
     rows deterministically."""
     ev = _t(spark, sf_dir, "events")
@@ -1127,7 +1130,7 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         ev.withColumn("conv_id", conv)
-        .withColumn("text", F.expr(_LINE_SQL.format(S="STRING")))
+        .withColumn("text", F.expr((line_sql or _LINE_SQL).format(S="STRING")))
     )
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return (
@@ -2149,6 +2152,24 @@ def q_language_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_switches").cast("long").alias("n_switches"),
         "first_lang")
         .transform(_present_sorted, "conv_id"))
+
+
+def q_conv_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation PII density (transcript.conversation_pii_density):
+    the privacy-triage ranking — emails/keys/tokens/IPs/accounts per
+    kilochar, conversation grain. Runs over transcripts rendered with
+    the PII-enriched line (the same _PII_LINE_SQL the redaction gate
+    uses), so every rule fires on real spans. Hash-gated: DuckDB
+    replays the progressive count chain per turn, the conversation
+    rollup, and the two-op IEEE density division."""
+    from .operators.transcript import conversation_pii_density
+
+    trx = _transcripts(spark, sf_dir, line_sql=_PII_LINE_SQL)
+    out = conversation_pii_density(trx)
+    casts = [F.col(c).cast("long").alias(c) for c in out.columns
+             if c.endswith("_spans") or c in ("n_turns", "n_chars")]
+    return (out.select("conv_id", *casts, "pii_per_kchar")
+            .transform(_present_sorted, "conv_id"))
 
 
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4058,6 +4079,38 @@ SELECT conv_id,
 FROM w GROUP BY conv_id ORDER BY conv_id
 """.strip()
 
+    # conversation PII density: progressive per-category counts per
+    # turn (same chain as pii_redaction), conversation rollup, two-op
+    # IEEE density division
+    from .operators.redaction import PII_RULES, pii_span_counts_sql_duck
+
+    pii_line_duck = _PII_LINE_SQL.format(S="VARCHAR")
+    pii_counts_trx = pii_span_counts_sql_duck("coalesce(text, '')")
+    sql["conv_pii_density"] = f"""
+WITH trx AS ({_trx_sql_duck(pii_line_duck)}),
+per AS (
+  SELECT conv_id, length(coalesce(text, '')) AS chars,
+         {', '.join(f'{pii_counts_trx[cat]} AS c_{cat}' for cat, _p, _r in PII_RULES)}
+  FROM trx
+),
+agg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         {', '.join(f'CAST(sum(c_{cat}) AS BIGINT) AS {cat}_spans' for cat, _p, _r in PII_RULES)},
+         CAST(sum(chars) AS BIGINT) AS n_chars
+  FROM per GROUP BY conv_id
+),
+tot AS (
+  SELECT *, CAST({' + '.join(f'{cat}_spans' for cat, _p, _r in PII_RULES)} AS BIGINT) AS total_spans
+  FROM agg
+)
+SELECT conv_id, n_turns,
+       {', '.join(f'{cat}_spans' for cat, _p, _r in PII_RULES)},
+       n_chars, total_spans,
+       CASE WHEN n_chars > 0
+            THEN total_spans * 1000.0 / n_chars END AS pii_per_kchar
+FROM tot ORDER BY conv_id
+""".strip()
+
     # refusal stats: injection CASE + regex OR chain + integer-exact
     # counts + one IEEE double division (bit-identical across engines)
     from .operators.transcript import refusal_sql_duck
@@ -5293,6 +5346,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_prefix_pairs": q_branch_prefix_pairs,
         "refusal_stats": q_refusal_stats,
         "language_switching": q_language_switching,
+        "conv_pii_density": q_conv_pii_density,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

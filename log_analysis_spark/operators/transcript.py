@@ -596,3 +596,54 @@ def language_switching(
              F.sum("_switch").alias("n_switches"),
              F.expr(f"min_by(_lang, {turn_col})").alias("first_lang"))
     )
+
+
+def conversation_pii_density(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation PII density — the privacy-triage ranking a
+    retention pipeline runs over transcripts: which conversations carry
+    the most unredacted emails / key ids / bearer tokens / IPs /
+    account numbers per kilochar, so scrubbing and legal review start
+    where the exposure is. Uses the SAME progressive rule table as
+    redaction.pii_span_counts (an email's digits never double-count as
+    an account number), so density here and scrubbing there can never
+    disagree about what counts.
+
+    Output one row per conversation: (conv_id, n_turns, <cat>_spans per
+    rule, total_spans, n_chars, pii_per_kchar) — the rate is
+    total_spans * 1000.0 / n_chars (two IEEE double ops, bit-identical
+    across engines; NULL when the conversation has no characters).
+
+    Scale: the regexp chain is row-local inside the scan's codegen
+    span; ONE conv_id groupBy with map-side partials; output is
+    conversation-sized. Reference analog: the masking priority chain,
+    smart_template_generator.rs:64-117, aggregated to the conversation
+    grain."""
+    from .redaction import PII_RULES, pii_span_counts
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = pii_span_counts(txt)
+    per_turn = df.select(
+        F.col(conv_col),
+        F.length(txt).alias("_chars"),
+        *[counts[cat].alias(f"_n_{cat}") for cat, _p, _r in PII_RULES],
+    )
+    agg = per_turn.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        *[F.sum(f"_n_{cat}").alias(f"{cat}_spans") for cat, _p, _r in PII_RULES],
+        F.sum("_chars").alias("n_chars"),
+    )
+    total = None
+    for cat, _p, _r in PII_RULES:
+        c = F.col(f"{cat}_spans")
+        total = c if total is None else total + c
+    return (
+        agg.withColumn("total_spans", total)
+        .withColumn(
+            "pii_per_kchar",
+            F.when(F.col("n_chars") > 0,
+                   F.col("total_spans") * 1000.0 / F.col("n_chars")))
+    )

@@ -355,3 +355,34 @@ def test_language_switching_counts_flips(spark):
     c2 = got["c2"]
     assert c2["n_switches"] == 0 and c2["n_langs"] == 1
     assert c2["first_lang"] == "en"
+
+
+def test_conversation_pii_density_progressive_counts(spark):
+    """Progressive chain semantics at the conversation grain: an email's
+    digits don't double-count as an account number; density NULL on an
+    all-empty conversation."""
+    from log_analysis_spark.operators.transcript import (
+        conversation_pii_density,
+    )
+
+    rows = [
+        ("c1", 0, "user", "mail me at a12345678901234@b.co now", "none"),
+        ("c1", 1, "assistant", "from 10.1.2.3 card 4000123412341234", "none"),
+        ("c2", 0, "user", "", "none"),
+        ("c2", 1, "user", None, "none"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+    got = {r["conv_id"]: r for r in conversation_pii_density(df).collect()}
+    c1 = got["c1"]
+    # email consumed first: its 14-digit local part must NOT also count
+    # as an account; the card and the IP each count once
+    assert c1["email_spans"] == 1
+    assert c1["account_spans"] == 1
+    assert c1["ipv4_spans"] == 1
+    assert c1["total_spans"] == 3
+    assert c1["n_chars"] > 0 and c1["pii_per_kchar"] > 0
+    c2 = got["c2"]
+    assert c2["total_spans"] == 0 and c2["n_chars"] == 0
+    assert c2["pii_per_kchar"] is None
