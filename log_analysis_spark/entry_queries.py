@@ -1279,6 +1279,54 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool EXACT nearest-rank latency percentiles — p50/p90/p99 of
+    the same inter-turn gap distribution q_tool_latency means over
+    (operators/stats.grouped_exact_percentiles). The tail percentiles
+    are THE slow-tool alarm signal (a mean hides a stuck p99); the
+    operator computes them without the per-group row sort the naive
+    exact plan needs: a value-level histogram (map-side-collapsing
+    groupBy, bounded by the value domain after ms quantization), a
+    cumulative count over the per-tool DISTINCT gap values, and
+    k = ceil(q*n) picked with pure-int64 rational ranks — so the gate
+    needs zero float rounding. quantize=1000 demonstrates the wide-
+    domain scale path (exact percentile of the ms-bucketed gap,
+    reported as the bucket lower bound in µs).
+
+    Plan: the shared hash(conv_id) lead() window, then ONE corpus
+    Exchange for the (tool, gap) histogram; the cumsum window and the
+    rank join run over the bounded histogram, never the rows."""
+    from .operators.stats import grouped_exact_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    conv = F.concat(
+        F.lit("c"),
+        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
+    )
+    base = (
+        ev.filter(F.col("ts").isNotNull())
+        .withColumn("conv_id", conv)
+        .withColumn("tool", F.expr(_TOOL_SQL))
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("eid", F.coalesce(F.col("event_id"), F.lit(-1)))
+    )
+    w = Window.partitionBy("conv_id").orderBy("us", "eid")
+    g = base.withColumn("next_us", F.lead("us").over(w))
+    gaps = (
+        g.filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
+        .select("tool", (F.col("next_us") - F.col("us")).alias("gap_us"))
+    )
+    out = grouped_exact_percentiles(
+        spark, gaps, "gap_us", "tool",
+        qs=[(1, 2), (9, 10), (99, 100)], quantize=1000)
+    return (
+        out.select("tool", "q_num", "q_den",
+                   F.col("n").cast("long").alias("n"),
+                   F.col("pct").cast("long").alias("pct_us"))
+        .transform(_present_sorted, "tool", "q_num", "q_den")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-unigram importance weights over documents
     (operators/dsir.dsir_weights, arXiv:2302.03169): target domain =
@@ -3890,6 +3938,45 @@ FROM g WHERE tool IS NOT NULL AND next_us IS NOT NULL
 GROUP BY tool ORDER BY tool
 """.strip()
 
+    # exact nearest-rank percentiles: DuckDB replays the ms
+    # quantization (shared %-remainder semantics), the value-level
+    # histogram, the cumulative count over distinct gaps, and the
+    # pure-int64 rational rank k = (q_num*n + q_den-1) // q_den —
+    # no float appears anywhere, so no rounding in the gate
+    sql["tool_latency_quantiles"] = f"""
+WITH e AS (
+  SELECT concat('c', CAST(coalesce(user_id, 0) % 499 AS VARCHAR)) AS conv_id,
+         {_TOOL_SQL} AS tool,
+         epoch_us(ts) AS us,
+         coalesce(event_id, -1) AS eid
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT conv_id, tool, us,
+         lead(us) OVER (PARTITION BY conv_id ORDER BY us, eid) AS next_us
+  FROM e
+),
+gap AS (
+  SELECT tool,
+         CAST((next_us - us) - ((next_us - us) % 1000) AS BIGINT) AS v
+  FROM g WHERE tool IS NOT NULL AND next_us IS NOT NULL
+),
+hist AS (SELECT tool, v, count(*) AS cnt FROM gap GROUP BY tool, v),
+cdf AS (
+  SELECT tool, v, cnt,
+         sum(cnt) OVER (PARTITION BY tool ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY tool) AS n
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(q_num, q_den))
+SELECT tool, CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+       CAST(n AS BIGINT) AS n, min(v) AS pct_us
+FROM cdf CROSS JOIN qs
+WHERE cum >= (q_num * n + q_den - 1) // q_den
+GROUP BY tool, q_num, q_den, n
+ORDER BY tool, q_num, q_den
+""".strip()
+
     sql["tool_transitions"] = f"""
 WITH trx AS ({_trx_sql_duck(line_duck)}),
 t AS (
@@ -5384,6 +5471,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_integrity": q_conversation_integrity,
         "tool_transitions": q_tool_transitions,
         "tool_latency": q_tool_latency,
+        "tool_latency_quantiles": q_tool_latency_quantiles,
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "user_sessions": q_user_sessions,

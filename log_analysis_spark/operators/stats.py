@@ -167,6 +167,67 @@ def grouped_quantile_estimates(spark: SparkSession, df: DataFrame,
                       F.round(est, 6).alias("est"))
 
 
+def grouped_exact_percentiles(spark: SparkSession, df: DataFrame,
+                              value_col: Column | str, group_col: str,
+                              qs: list[tuple[int, int]],
+                              quantize: int | None = None) -> DataFrame:
+    """(group, q_num, q_den, n, pct) — EXACT nearest-rank percentiles
+    per group, computed WITHOUT sorting rows.
+
+    The classic exact-percentile plan sorts each group's rows (a
+    per-group global sort: at 100 TB with |groups| small that's a
+    handful of reducers each sorting billions of rows — the skew worst
+    case). This operator instead aggregates a VALUE-LEVEL histogram —
+    groupBy (group, value), map-side-collapsing, output bounded by the
+    value domain rather than the row count — then takes a cumulative
+    count over the per-group distinct values (a window over the
+    bounded histogram, never the rows) and picks the nearest-rank
+    order statistic pct = min value whose cumulative count reaches
+    k = ceil(q*n). Exact for discrete value columns by construction;
+    for wide/continuous domains pass ``quantize`` to floor-divide
+    values first (the result is then the exact percentile of the
+    quantized value, reported as the bucket's lower bound — error
+    < quantize, same contract as the reference's fixed-precision
+    latency columns, src/benchmark_runner.rs:110-145).
+
+    ``qs`` are RATIONAL (num, den) pairs — k = (num*n + den-1) DIV
+    den is pure int64 arithmetic, so engines cannot disagree in a
+    last-ulp of 0.95*n the way a double rank can. Nearest-rank (no
+    interpolation) keeps the output a VALUE THAT OCCURS in the data,
+    hash-gateable with zero rounding.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    if quantize is not None:
+        # pure int64 bucket lower bound (no double round-trip): both
+        # engines share remainder-of-dividend % semantics, so this
+        # replays exactly (toward-zero bucketing for negatives)
+        v = (v - (v % F.lit(quantize))).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = F.sum("cnt").over(
+        Window.partitionBy("_g").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = F.sum("cnt").over(Window.partitionBy("_g"))
+    cdf = hist.select("_g", "_v", "cnt", cum.alias("cum"), n.alias("n"))
+    qdf = spark.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long")
+    # integer ceil without doubles: k = ceil(num*n/den) = (num*n + den-1) DIV den
+    k = F.expr("CAST((q_num * n + q_den - 1) DIV q_den AS BIGINT)")
+    return (
+        cdf.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= k)
+        .groupBy("_g", "q_num", "q_den", "n")
+        .agg(F.min("_v").alias("pct"))
+        .select(F.col("_g").alias(group_col), "q_num", "q_den", "n", "pct")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str],
                     exact_distinct: bool = True) -> DataFrame:
     """One-scan table profiling: per column (n_present, n_null,

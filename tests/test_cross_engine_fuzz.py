@@ -126,6 +126,7 @@ EVENT_GATES = [
     "conv_pii_density",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
+    "tool_latency_quantiles",
     "template_transitions", "rare_transitions", "entropy_drift",
     "coverage_topp", "asof_enrich", "interval_windows", "sink_rollup",
     # streaming windowed counts: pins that the watermark's NULL-event-time

@@ -174,3 +174,46 @@ def test_wilson_ranked_rates_small_sample_correction(spark):
     assert abs(top["wilson_lb_r"] - round(wilson(90, 100), 6)) < 1e-9
     assert out[1]["wilson_lb_r"] == round(wilson(1, 1), 6)
     assert round(wilson(1, 1), 6) < round(wilson(90, 100), 6)  # the correction itself
+
+
+def test_grouped_exact_percentiles_vs_sorted_rank(spark):
+    """Nearest-rank percentiles from the value-histogram path equal the
+    textbook sorted-list definition (k-th smallest, k = ceil(q*n)) on a
+    tied, skewed, multi-group frame — and quantize buckets to the
+    lower bound."""
+    import math
+
+    from log_analysis_spark.operators.stats import grouped_exact_percentiles
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, vals in {
+        "a": np.concatenate([rng.integers(0, 50, 91),
+                             rng.integers(5000, 5010, 9)]),  # spiky tail
+        "b": np.repeat([7, 7, 7, 9], 25),                    # heavy ties
+        "c": np.array([42]),                                 # n = 1
+    }.items():
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [(1, 2), (9, 10), (99, 100)]
+
+    got = {(r["g"], r["q_num"], r["q_den"]): (r["n"], r["pct"])
+           for r in grouped_exact_percentiles(
+               spark, df, "v", "g", qs).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        for num, den in qs:
+            k = math.ceil(num * len(s) / den)
+            assert got[(g, num, den)] == (len(s), s[k - 1]), (g, num, den)
+
+    # quantize=10: exact percentile of the bucketed value, lower bound
+    q10 = {(r["g"], r["q_num"]): r["pct"]
+           for r in grouped_exact_percentiles(
+               spark, df, "v", "g", [(1, 2)], quantize=10).collect()}
+    for g, vals in by_g.items():
+        s = sorted(v - (v % 10) for v in vals)
+        k = math.ceil(len(s) / 2)
+        assert q10[(g, 1)] == s[k - 1], g
