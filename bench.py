@@ -180,7 +180,8 @@ def main() -> None:
         "user_sessions", "bloom_decontamination", "cms_token_counts",
         "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
         "heavy_hitter_tokens", "bpe_pair_counts",
-        "turn_merge", "tool_latency", "dsir_weights", "count_drift", "count_drift_robust",
+        "turn_merge", "tool_latency", "tool_latency_quantiles",
+        "dsir_weights", "count_drift", "count_drift_robust",
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",
         "mixing_allocation", "conv_dedup", "conv_neardup_pairs",
