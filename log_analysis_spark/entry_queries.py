@@ -2220,6 +2220,57 @@ def q_conv_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_present_sorted, "conv_id"))
 
 
+def q_verbosity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation reply-verbosity OLS slope (transcript.
+    verbosity_trend): within-conversation verbosity inflation/collapse
+    — five conversation-bounded int64 sums in ONE map-side-combinable
+    conv_id groupBy, no window, slope = (n·Σxy − Σx·Σy)/(n·Σx² −
+    (Σx)²) evaluated post-agg. Hash-gated with zero rounding: the
+    sums are exact integers in both engines and each division is a
+    single IEEE op on exactly-converted doubles."""
+    from .operators.transcript import verbosity_trend
+
+    return (verbosity_trend(_transcripts(spark, sf_dir))
+            .transform(_present_sorted, "conv_id"))
+
+
+def q_prompt_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-prompt response divergence (transcript.
+    prompt_divergence): preference-pair mining over conversations that
+    open with the same user prompt. The synth transcripts never share
+    openings (rendered lines embed ids), so the gate injects a canned
+    5-prompt pool deterministically — user turns at turn_idx ≤ 1 get
+    prompt[conv_number % 7] for pool ids 0-4 (ids 5-6 keep their
+    unique rendered text, so unshared prompts are represented and
+    must be filtered by min_convs). Hash-gated: DuckDB replays the
+    injection CASE, both min_by(text, turn_idx) firsts, the md5
+    digests, and the distinct-response count."""
+    from .operators.transcript import prompt_divergence
+
+    trx = _transcripts(spark, sf_dir)
+    pool = [
+        "How do I reset my password?",
+        "Summarize the attached log file.",
+        "Why is the deploy failing?",
+        "Write a unit test for the parser.",
+        "Explain this stack trace.",
+    ]
+    pick = F.substring(F.col("conv_id"), 2, 10).cast("int") % 7
+    inj = F.col("text")
+    for i, p in enumerate(pool):
+        inj = F.when(
+            (F.col("role") == "user") & (F.col("turn_idx") <= 1)
+            & (pick == i), F.lit(p)).otherwise(inj)
+    out = prompt_divergence(trx.withColumn("text", inj))
+    return (out.select(
+        "prompt_digest",
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.col("n_distinct_responses").cast("long")
+        .alias("n_distinct_responses"),
+        "example_conv")
+        .transform(_present_sorted, "prompt_digest"))
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language (text_analysis.token_fertility):
     BPE-ish subwords per whitespace word, the per-language token-cost
@@ -3938,6 +3989,68 @@ FROM g WHERE tool IS NOT NULL AND next_us IS NOT NULL
 GROUP BY tool ORDER BY tool
 """.strip()
 
+    # duplicate-prompt mining: DuckDB replays the canned-pool
+    # injection, both min_by firsts (NULL ordering keys skipped in
+    # both engines), the md5 digests, and the distinct-response count
+    sql["prompt_divergence"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+inj AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = 'user' AND turn_idx <= 1 THEN
+           CASE CAST(substr(conv_id, 2) AS INT) % 7
+             WHEN 0 THEN 'How do I reset my password?'
+             WHEN 1 THEN 'Summarize the attached log file.'
+             WHEN 2 THEN 'Why is the deploy failing?'
+             WHEN 3 THEN 'Write a unit test for the parser.'
+             WHEN 4 THEN 'Explain this stack trace.'
+             ELSE text
+           END
+         ELSE text END AS text
+  FROM trx
+),
+fu AS (
+  SELECT conv_id,
+         min_by(text, CASE WHEN role = 'user' THEN turn_idx END)
+           AS prompt,
+         min_by(text, CASE WHEN role = 'assistant' THEN turn_idx END)
+           AS resp
+  FROM inj GROUP BY conv_id
+)
+SELECT md5(prompt) AS prompt_digest,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT md5(coalesce(resp, ''))) AS BIGINT)
+         AS n_distinct_responses,
+       min(conv_id) AS example_conv
+FROM fu WHERE prompt IS NOT NULL
+GROUP BY md5(prompt) HAVING count(*) >= 2
+ORDER BY prompt_digest
+""".strip()
+
+    # OLS slope from five exact integer sums; both divisions are
+    # single IEEE ops on exactly-converted integers — no rounding
+    sql["verbosity_trend"] = f"""
+WITH trx AS ({_trx_sql_duck(line_duck)}),
+a AS (
+  SELECT conv_id,
+         CAST(turn_idx AS BIGINT) AS x,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS y
+  FROM trx WHERE role = 'assistant' AND turn_idx IS NOT NULL
+),
+s AS (
+  SELECT conv_id, count(*) AS n_turns,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM a GROUP BY conv_id
+)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(sy AS DOUBLE) / n_turns AS mean_reply_chars,
+       CASE WHEN n_turns * sxx - sx * sx <> 0
+            THEN CAST(n_turns * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_turns * sxx - sx * sx AS DOUBLE)
+       END AS slope_chars_per_turn
+FROM s ORDER BY conv_id
+""".strip()
+
     # exact nearest-rank percentiles: DuckDB replays the ms
     # quantization (shared %-remainder semantics), the value-level
     # histogram, the cumulative count over distinct gaps, and the
@@ -5434,6 +5547,8 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refusal_stats": q_refusal_stats,
         "language_switching": q_language_switching,
         "conv_pii_density": q_conv_pii_density,
+        "verbosity_trend": q_verbosity_trend,
+        "prompt_divergence": q_prompt_divergence,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

@@ -647,3 +647,118 @@ def conversation_pii_density(
             F.when(F.col("n_chars") > 0,
                    F.col("total_spans") * 1000.0 / F.col("n_chars")))
     )
+
+
+def verbosity_trend(
+    df: DataFrame,
+    role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation reply-verbosity trend: the least-squares slope
+    of reply length over turn index — the curation signal for
+    within-conversation verbosity inflation (assistants that pad more
+    and more each turn) or collapse (replies degenerating to one-liners
+    mid-conversation), both of which poison preference data.
+
+    The OLS slope needs no window and no second pass: it is a pure
+    function of FIVE integer sums — slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²) — so the whole operator is ONE
+    map-side-combinable groupBy(conv_id) emitting a fixed-width row
+    per conversation; the slope arithmetic runs post-aggregation on
+    conversation-sized data. All five sums are conversation-bounded
+    int64 (overflow needs turn_idx·len·turns ≳ 9e18 — a single
+    conversation of ~10k turns of ~100KB replies; the ANSI-mode sum
+    would fail loudly, not wrap). The two final divisions are single
+    IEEE ops on exact-integer-valued doubles — bit-identical across
+    engines, no rounding in the gate.
+
+    Output: (conv_id, n_turns, mean_reply_chars,
+    slope_chars_per_turn) — slope NULL when the conversation has <2
+    distinct reply positions (denominator 0).
+
+    Reference analog: the per-template tallies of
+    src/log_matcher.rs:214-252 — here a second-moment statistic on the
+    transcripts axis instead of a count."""
+    x = F.col(turn_col).cast("long")
+    y = F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    agg = (
+        df.filter((F.col(role_col) == role) & F.col(turn_col).isNotNull())
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"), F.sum(x * y).alias("_sxy"),
+        )
+    )
+    num = F.col("n_turns") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_turns") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        conv_col,
+        "n_turns",
+        (F.col("_sy").cast("double") / F.col("n_turns"))
+        .alias("mean_reply_chars"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .alias("slope_chars_per_turn"),
+    )
+
+
+def prompt_divergence(
+    df: DataFrame,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_convs: int = 2,
+) -> DataFrame:
+    """Duplicate-prompt response divergence — the preference-pair
+    mining signal: conversations that OPEN with the same user prompt
+    but draw different first responses are candidate (chosen, rejected)
+    pairs; prompts that always draw the same response are memorized
+    boilerplate worth deduplicating instead.
+
+    Two bounded aggregations, no window: (1) one conv_id rollup takes
+    each conversation's first ``prompt_role`` and first
+    ``response_role`` turn via min_by(text, turn_idx) — both engines
+    skip NULL ordering keys, so the role filter rides INSIDE the
+    aggregate and the rollup stays a single map-side-combinable pass
+    emitting one fixed-width row per conversation; (2) a groupBy on
+    the prompt's md5 counts conversations and DISTINCT response
+    digests per shared prompt. Texts never move past stage 1 — only
+    16-byte digests shuffle in stage 2 (the corpus-scale point: a
+    hot prompt shared by millions of conversations shuffles digests,
+    not bodies).
+
+    Output: (prompt_digest, n_convs, n_distinct_responses,
+    example_conv), prompts shared by ≥ ``min_convs`` conversations.
+    Requires ``turn_col`` unique within a conversation (the transcript
+    contract) — min_by tie-breaking is engine-specific otherwise.
+
+    Reference analog: the template_examples sampling sink
+    (src/clickhouse_client.rs:270-312) — grouping identical openings
+    and measuring response spread instead of storing 1% examples."""
+    u_ord = F.when(F.col(role_col) == prompt_role, F.col(turn_col))
+    r_ord = F.when(F.col(role_col) == response_role, F.col(turn_col))
+    fu = (
+        df.groupBy(conv_col)
+        .agg(
+            F.min_by(F.col(text_col), u_ord).alias("_prompt"),
+            F.min_by(F.col(text_col), r_ord).alias("_resp"),
+        )
+        .filter(F.col("_prompt").isNotNull())
+    )
+    return (
+        fu.groupBy(F.md5(F.col("_prompt")).alias("prompt_digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.countDistinct(
+                F.md5(F.coalesce(F.col("_resp"), F.lit("")))
+            ).alias("n_distinct_responses"),
+            F.min(conv_col).alias("example_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )

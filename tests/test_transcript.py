@@ -386,3 +386,66 @@ def test_conversation_pii_density_progressive_counts(spark):
     c2 = got["c2"]
     assert c2["total_spans"] == 0 and c2["n_chars"] == 0
     assert c2["pii_per_kchar"] is None
+
+
+def test_verbosity_trend_known_slopes(spark):
+    """Linear growth → exact slope; constant → 0; single reply → NULL
+    slope; non-assistant turns and NULL turn_idx excluded."""
+    from log_analysis_spark.operators.transcript import verbosity_trend
+
+    rows = [
+        # c1: assistant lengths 10, 20, 30 at x = 0,1,2 → slope 10
+        ("c1", 0, "assistant", "a" * 10),
+        ("c1", 1, "assistant", "b" * 20),
+        ("c1", 2, "assistant", "c" * 30),
+        ("c1", 3, "user", "x" * 999),            # excluded: role
+        # c2: constant 5 → slope 0.0
+        ("c2", 0, "assistant", "e" * 5),
+        ("c2", 4, "assistant", "f" * 5),
+        # c3: one reply → denominator 0 → NULL slope
+        ("c3", 7, "assistant", "g" * 12),
+        # c4: NULL turn_idx excluded entirely
+        ("c4", None, "assistant", "h" * 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["conv_id"]: r for r in verbosity_trend(df).collect()}
+
+    assert got["c1"]["n_turns"] == 3
+    assert got["c1"]["slope_chars_per_turn"] == 10.0
+    assert got["c1"]["mean_reply_chars"] == 20.0
+    assert got["c2"]["slope_chars_per_turn"] == 0.0
+    assert got["c3"]["slope_chars_per_turn"] is None
+    assert got["c3"]["n_turns"] == 1
+    assert "c4" not in got
+
+
+def test_prompt_divergence_pairs_and_filters(spark):
+    """Shared prompt + divergent responses counted; identical responses
+    collapse to 1 distinct; unique prompts and user-less conversations
+    drop out."""
+    from log_analysis_spark.operators.transcript import prompt_divergence
+
+    rows = [
+        # c1/c2: same prompt, different first responses → divergent
+        ("c1", 0, "user", "P"), ("c1", 1, "assistant", "R1"),
+        ("c2", 0, "user", "P"), ("c2", 1, "assistant", "R2"),
+        # c3/c4: same prompt, same response → 1 distinct
+        ("c3", 0, "user", "Q"), ("c3", 1, "assistant", "S"),
+        ("c4", 2, "user", "Q"), ("c4", 3, "assistant", "S"),
+        # c4 decoy: later user turn must NOT replace the first
+        ("c4", 4, "user", "ZZZ"),
+        # c5: unique prompt → filtered by min_convs
+        ("c5", 0, "user", "solo"), ("c5", 1, "assistant", "x"),
+        # c6: no user turn at all → filtered before grouping
+        ("c6", 0, "assistant", "orphan"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {r["example_conv"]: r for r in prompt_divergence(df).collect()}
+
+    assert set(got) == {"c1", "c3"}
+    assert got["c1"]["n_convs"] == 2
+    assert got["c1"]["n_distinct_responses"] == 2
+    assert got["c3"]["n_convs"] == 2
+    assert got["c3"]["n_distinct_responses"] == 1
