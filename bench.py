@@ -181,7 +181,7 @@ def main() -> None:
         "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
         "heavy_hitter_tokens", "bpe_pair_counts",
         "turn_merge", "tool_latency", "tool_latency_quantiles",
-        "verbosity_trend", "prompt_divergence",
+        "verbosity_trend", "prompt_divergence", "conversation_scorecard",
         "dsir_weights", "count_drift", "count_drift_robust",
         "char_entropy", "profile_columns",
         "bigram_logprob", "pmi_collocations", "vocab_stats",

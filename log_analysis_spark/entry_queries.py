@@ -2132,6 +2132,38 @@ def q_branch_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "prefix_conv", "parent_conv")
 
 
+def _refusal_injected(trx: DataFrame) -> DataFrame:
+    """Deterministic refusal injection (pure function of turn_uid):
+    three phrases covering different rules + a word-boundary decoy —
+    shared by the refusal_stats gate and the scorecard."""
+    uid = F.col("turn_uid")
+    return trx.withColumn(
+        "text",
+        F.when(uid % 17 == 3,
+               F.lit("I'm sorry, but I can't help with that request."))
+        .when(uid % 17 == 5,
+              F.lit("As an AI language model, I must decline."))
+        .when(uid % 17 == 11,
+              F.lit("sorry for the delay, here is the result 42"))
+        .when(uid % 17 == 13,
+              F.lit("I am unable to comply with retry 7"))
+        .otherwise(F.col("text")))
+
+
+# DuckDB rendering of the same injection (composes over any trx CTE)
+_REFUSAL_INJ_DUCK = """CASE
+           WHEN turn_uid % 17 = 3
+             THEN 'I''m sorry, but I can''t help with that request.'
+           WHEN turn_uid % 17 = 5
+             THEN 'As an AI language model, I must decline.'
+           WHEN turn_uid % 17 = 11
+             THEN 'sorry for the delay, here is the result 42'
+           WHEN turn_uid % 17 = 13
+             THEN 'I am unable to comply with retry 7'
+           ELSE text
+         END"""
+
+
 def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation refusal rate (transcript.refusal_stats): the
     RLHF-curation signal that caps alignment boilerplate in a training
@@ -2145,20 +2177,7 @@ def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact IEEE double division."""
     from .operators.transcript import refusal_stats
 
-    trx = _transcripts(spark, sf_dir)
-    uid = F.col("turn_uid")
-    injected = trx.withColumn(
-        "text",
-        F.when(uid % 17 == 3,
-               F.lit("I'm sorry, but I can't help with that request."))
-        .when(uid % 17 == 5,
-              F.lit("As an AI language model, I must decline."))
-        .when(uid % 17 == 11,
-              F.lit("sorry for the delay, here is the result 42"))
-        .when(uid % 17 == 13,
-              F.lit("I am unable to comply with retry 7"))
-        .otherwise(F.col("text")))
-    out = refusal_stats(injected)
+    out = refusal_stats(_refusal_injected(_transcripts(spark, sf_dir)))
     return (out.select(
         "conv_id",
         F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
@@ -2269,6 +2288,55 @@ def q_prompt_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_distinct_responses"),
         "example_conv")
         .transform(_present_sorted, "prompt_digest"))
+
+
+def q_conversation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation quality scorecard — the curation decision table:
+    refusal rate, PII density, and verbosity trend JOINED at
+    conversation grain over ONE shared relation (PII-enriched line
+    rendering + the refusal injection, so every metric is non-trivial).
+
+    The plan point this query exists to demonstrate: all three metric
+    subplans end in a HashAggregate keyed on conv_id, so each side
+    already satisfies hashpartitioning(conv_id) — with broadcasts
+    disabled the executed plan shows exactly the three aggregates'
+    own Exchanges plus the bounded presentation sort: the two joins
+    add ZERO (verified; at test scale AQE instead broadcasts the tiny
+    conversation-grain sides, which is also shuffle-free). At 10^12
+    turns this is the pattern for composing independently-
+    materialized conversation-grain metric tables without
+    re-shuffling any of them. Left joins from the refusal side (it
+    covers every conversation; verbosity drops assistant-less
+    conversations).
+
+    Hash-gated: the oracle replays the shared injected relation and
+    all three aggregates in one SQL statement."""
+    from .operators.transcript import (
+        conversation_pii_density,
+        refusal_stats,
+        verbosity_trend,
+    )
+
+    trx = _refusal_injected(
+        _transcripts(spark, sf_dir, line_sql=_PII_LINE_SQL))
+    r = refusal_stats(trx).select(
+        "conv_id",
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.col("n_refusal_turns").cast("long").alias("n_refusal_turns"),
+        "refusal_rate")
+    p = conversation_pii_density(trx).select(
+        "conv_id",
+        F.col("total_spans").cast("long").alias("total_spans"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "pii_per_kchar")
+    v = verbosity_trend(trx).select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_scored_replies"),
+        "mean_reply_chars", "slope_chars_per_turn")
+    return (
+        r.join(p, "conv_id", "left").join(v, "conv_id", "left")
+        .transform(_present_sorted, "conv_id")
+    )
 
 
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4320,17 +4388,7 @@ FROM tot ORDER BY conv_id
 WITH trx AS ({_trx_sql_duck(line_duck)}),
 inj AS (
   SELECT conv_id, turn_idx, role,
-         CASE
-           WHEN turn_uid % 17 = 3
-             THEN 'I''m sorry, but I can''t help with that request.'
-           WHEN turn_uid % 17 = 5
-             THEN 'As an AI language model, I must decline.'
-           WHEN turn_uid % 17 = 11
-             THEN 'sorry for the delay, here is the result 42'
-           WHEN turn_uid % 17 = 13
-             THEN 'I am unable to comply with retry 7'
-           ELSE text
-         END AS text
+         {_REFUSAL_INJ_DUCK} AS text
   FROM trx
 ),
 fl AS (
@@ -4351,6 +4409,61 @@ SELECT conv_id, n_assistant_turns, n_refusal_turns,
             THEN n_refusal_turns / n_assistant_turns END AS refusal_rate,
        first_refusal_turn
 FROM agg ORDER BY conv_id
+""".strip()
+
+    # scorecard: the three conversation-grain aggregates replayed over
+    # ONE shared injected relation and joined in a single statement
+    sql["conversation_scorecard"] = f"""
+WITH trx AS ({_trx_sql_duck(pii_line_duck)}),
+inj AS (
+  SELECT conv_id, turn_idx, role, turn_uid,
+         {_REFUSAL_INJ_DUCK} AS text
+  FROM trx
+),
+r AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_assistant_turns,
+         CAST(sum(CASE WHEN {refusal_pred} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_refusal_turns
+  FROM inj GROUP BY conv_id
+),
+pp AS (
+  SELECT conv_id, length(coalesce(text, '')) AS chars,
+         {' + '.join(f'({pii_counts_trx[cat]})' for cat, _p, _r in PII_RULES)} AS spans
+  FROM inj
+),
+p AS (
+  SELECT conv_id, CAST(sum(spans) AS BIGINT) AS total_spans,
+         CAST(sum(chars) AS BIGINT) AS n_chars
+  FROM pp GROUP BY conv_id
+),
+va AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS x,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS y
+  FROM inj WHERE role = 'assistant' AND turn_idx IS NOT NULL
+),
+v AS (
+  SELECT conv_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM va GROUP BY conv_id
+)
+SELECT r.conv_id, r.n_assistant_turns, r.n_refusal_turns,
+       CASE WHEN r.n_assistant_turns > 0
+            THEN r.n_refusal_turns / r.n_assistant_turns
+       END AS refusal_rate,
+       p.total_spans, p.n_chars,
+       CASE WHEN p.n_chars > 0
+            THEN p.total_spans * 1000.0 / p.n_chars
+       END AS pii_per_kchar,
+       CAST(v.n AS BIGINT) AS n_scored_replies,
+       CAST(v.sy AS DOUBLE) / v.n AS mean_reply_chars,
+       CASE WHEN v.n * v.sxx - v.sx * v.sx <> 0
+            THEN CAST(v.n * v.sxy - v.sx * v.sy AS DOUBLE)
+                 / CAST(v.n * v.sxx - v.sx * v.sx AS DOUBLE)
+       END AS slope_chars_per_turn
+FROM r LEFT JOIN p USING (conv_id) LEFT JOIN v USING (conv_id)
+ORDER BY conv_id
 """.strip()
 
     # DSIR: bucket ids are exact md5-derived integers (the split/sample
@@ -5549,6 +5662,7 @@ def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pii_density": q_conv_pii_density,
         "verbosity_trend": q_verbosity_trend,
         "prompt_divergence": q_prompt_divergence,
+        "conversation_scorecard": q_conversation_scorecard,
         "token_fertility": q_token_fertility,
         "vocab_growth": q_vocab_growth,
         "cms_token_counts": q_cms_token_counts,

@@ -124,6 +124,7 @@ EVENT_GATES = [
     "conv_dedup", "conv_neardup_pairs", "agent_loops",
     "branch_prefix_pairs", "refusal_stats", "language_switching",
     "conv_pii_density", "verbosity_trend", "prompt_divergence",
+    "conversation_scorecard",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "tool_latency_quantiles",
