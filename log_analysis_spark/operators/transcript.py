@@ -679,6 +679,15 @@ def verbosity_trend(
     slope_chars_per_turn) — slope NULL when the conversation has <2
     distinct reply positions (denominator 0).
 
+    Streaming-composable AS-IS: because the operator is a pure
+    mergeable aggregate, it runs unchanged over a streaming DataFrame
+    (complete/update mode) — the state store merges micro-batch
+    partials exactly like batch map-side combine, so the running slope
+    after any stream prefix equals the batch result on the turns seen
+    so far (pinned by test_streaming_verbosity_trend_batch_equivalence,
+    including a conversation split across micro-batches). State is
+    fixed-width per conversation, bounded by |observed conversations|.
+
     Reference analog: the per-template tallies of
     src/log_matcher.rs:214-252 — here a second-moment statistic on the
     transcripts axis instead of a count."""

@@ -915,3 +915,56 @@ def test_streaming_agent_loops_alarm_and_batch_equivalence(spark, tmp_path):
         assert not any(k[0] == "c2" for k in stream_runs)
     finally:
         q.stop()
+
+
+def test_streaming_verbosity_trend_batch_equivalence(spark, tmp_path):
+    """The batch verbosity_trend operator is streaming-composable
+    AS-IS: it is a pure mergeable aggregate (five int64 sums + count
+    per conversation, fixed-width state), so Spark's streaming
+    aggregation state store merges micro-batch partials exactly like
+    batch map-side combine — the complete-mode output after draining
+    two file drops equals the batch operator on their union, including
+    a conversation SPLIT across the drops."""
+    import pandas as pd
+
+    from log_analysis_spark.operators.transcript import verbosity_trend
+
+    in_dir = str(tmp_path / "vt_in")
+    os.makedirs(in_dir)
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    b1 = pd.DataFrame([
+        ("c1", 0, "assistant", "a" * 10),
+        ("c1", 1, "assistant", "b" * 20),
+        ("c2", 0, "assistant", "x" * 7),
+        ("c2", 1, "user", "ignored"),
+    ], columns=cols)
+    b2 = pd.DataFrame([
+        ("c1", 2, "assistant", "c" * 30),   # c1 continues across batches
+        ("c3", 0, "assistant", "y" * 4),
+        ("c3", 3, "assistant", "z" * 16),
+    ], columns=cols)
+
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx long, role string, text string"
+    ).parquet(in_dir)
+    q = (verbosity_trend(stream).writeStream.format("memory")
+         .queryName("vt_mem")
+         .option("checkpointLocation", str(tmp_path / "vt_ckpt"))
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.mode("append") \
+            .parquet(in_dir)
+        q.processAllAvailable()
+        got = {r["conv_id"]: r
+               for r in spark.sql("SELECT * FROM vt_mem").collect()}
+    finally:
+        q.stop()
+
+    batch = {r["conv_id"]: r for r in verbosity_trend(
+        spark.createDataFrame(pd.concat([b1, b2]))).collect()}
+    assert set(got) == set(batch) == {"c1", "c2", "c3"}
+    for c in batch:
+        assert got[c].asDict() == batch[c].asDict(), c
+    assert got["c1"]["slope_chars_per_turn"] == 10.0  # cross-batch merge
