@@ -1235,6 +1235,33 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(trx).orderBy("tool", "next_tool")
 
 
+def _tool_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (tool, gap_us) relation for the tool-latency family:
+    NULL-ts turns dropped BEFORE the lead() window so the (us, eid)
+    ordering is total and engine-exact; one hash(conv_id) Exchange.
+    Both q_tool_latency (mean/min/max) and q_tool_latency_quantiles
+    (exact p50/p90/p99) aggregate THIS frame, so their gap
+    distributions can never desynchronize."""
+    ev = _t(spark, sf_dir, "events")
+    conv = F.concat(
+        F.lit("c"),
+        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
+    )
+    base = (
+        ev.filter(F.col("ts").isNotNull())
+        .withColumn("conv_id", conv)
+        .withColumn("tool", F.expr(_TOOL_SQL))
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("eid", F.coalesce(F.col("event_id"), F.lit(-1)))
+    )
+    w = Window.partitionBy("conv_id").orderBy("us", "eid")
+    g = base.withColumn("next_us", F.lead("us").over(w))
+    return (
+        g.filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
+        .select("tool", (F.col("next_us") - F.col("us")).alias("gap_us"))
+    )
+
+
 def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool inter-turn latency: for every timestamped tool turn, the
     gap to the conversation's next timestamped turn — the ops metric a
@@ -1250,24 +1277,8 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning every transcript operator shares — then a |tools|-key
     map-side-collapsing groupBy; nothing corpus-sized moves after the
     window."""
-    ev = _t(spark, sf_dir, "events")
-    conv = F.concat(
-        F.lit("c"),
-        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
-    )
-    base = (
-        ev.filter(F.col("ts").isNotNull())
-        .withColumn("conv_id", conv)
-        .withColumn("tool", F.expr(_TOOL_SQL))
-        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
-        .withColumn("eid", F.coalesce(F.col("event_id"), F.lit(-1)))
-    )
-    w = Window.partitionBy("conv_id").orderBy("us", "eid")
-    g = base.withColumn("next_us", F.lead("us").over(w))
-    gap = F.col("next_us") - F.col("us")
     return (
-        g.filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
-        .select("tool", gap.alias("gap_us"))
+        _tool_gaps(spark, sf_dir)
         .groupBy("tool")
         .agg(F.count("*").alias("n_gaps"),
              F.round((F.sum("gap_us") / F.count("*")) / F.lit(1000000.0)
@@ -1298,26 +1309,8 @@ def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank join run over the bounded histogram, never the rows."""
     from .operators.stats import grouped_exact_percentiles
 
-    ev = _t(spark, sf_dir, "events")
-    conv = F.concat(
-        F.lit("c"),
-        (F.coalesce(F.col("user_id"), F.lit(0)) % 499).cast("string"),
-    )
-    base = (
-        ev.filter(F.col("ts").isNotNull())
-        .withColumn("conv_id", conv)
-        .withColumn("tool", F.expr(_TOOL_SQL))
-        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
-        .withColumn("eid", F.coalesce(F.col("event_id"), F.lit(-1)))
-    )
-    w = Window.partitionBy("conv_id").orderBy("us", "eid")
-    g = base.withColumn("next_us", F.lead("us").over(w))
-    gaps = (
-        g.filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
-        .select("tool", (F.col("next_us") - F.col("us")).alias("gap_us"))
-    )
     out = grouped_exact_percentiles(
-        spark, gaps, "gap_us", "tool",
+        spark, _tool_gaps(spark, sf_dir), "gap_us", "tool",
         qs=[(1, 2), (9, 10), (99, 100)], quantize=1000)
     return (
         out.select("tool", "q_num", "q_den",
@@ -4078,10 +4071,10 @@ inj AS (
 ),
 fu AS (
   SELECT conv_id,
-         min_by(text, CASE WHEN role = 'user' THEN turn_idx END)
-           AS prompt,
-         min_by(text, CASE WHEN role = 'assistant' THEN turn_idx END)
-           AS resp
+         min_by(coalesce(text, ''),
+                CASE WHEN role = 'user' THEN turn_idx END) AS prompt,
+         min_by(coalesce(text, ''),
+                CASE WHEN role = 'assistant' THEN turn_idx END) AS resp
   FROM inj GROUP BY conv_id
 )
 SELECT md5(prompt) AS prompt_digest,
@@ -4139,7 +4132,8 @@ g AS (
 ),
 gap AS (
   SELECT tool,
-         CAST((next_us - us) - ((next_us - us) % 1000) AS BIGINT) AS v
+         CAST((next_us - us)
+              - ((((next_us - us) % 1000) + 1000) % 1000) AS BIGINT) AS v
   FROM g WHERE tool IS NOT NULL AND next_us IS NOT NULL
 ),
 hist AS (SELECT tool, v, count(*) AS cnt FROM gap GROUP BY tool, v),

@@ -184,11 +184,12 @@ def grouped_exact_percentiles(spark: SparkSession, df: DataFrame,
     bounded histogram, never the rows) and picks the nearest-rank
     order statistic pct = min value whose cumulative count reaches
     k = ceil(q*n). Exact for discrete value columns by construction;
-    for wide/continuous domains pass ``quantize`` to floor-divide
+    for wide/continuous domains pass ``quantize`` to floor-bucket
     values first (the result is then the exact percentile of the
-    quantized value, reported as the bucket's lower bound — error
-    < quantize, same contract as the reference's fixed-precision
-    latency columns, src/benchmark_runner.rs:110-145).
+    quantized value, reported as the bucket's true lower bound —
+    negatives included — so error < quantize always biases downward;
+    same contract as the reference's fixed-precision latency columns,
+    src/benchmark_runner.rs:110-145).
 
     ``qs`` are RATIONAL (num, den) pairs — k = (num*n + den-1) DIV
     den is pure int64 arithmetic, so engines cannot disagree in a
@@ -200,10 +201,13 @@ def grouped_exact_percentiles(spark: SparkSession, df: DataFrame,
 
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     if quantize is not None:
-        # pure int64 bucket lower bound (no double round-trip): both
-        # engines share remainder-of-dividend % semantics, so this
-        # replays exactly (toward-zero bucketing for negatives)
-        v = (v - (v % F.lit(quantize))).cast("long")
+        # pure int64 FLOOR bucketing (no double round-trip): both
+        # engines share remainder-of-dividend % semantics, so the
+        # double-mod makes the bucket the true lower bound for
+        # negative values too (plain v - v%q would round toward zero,
+        # merging (-q, q) into one double-width bucket at 0)
+        q = F.lit(quantize)
+        v = (v - ((v % q) + q) % q).cast("long")
     hist = (
         df.select(F.col(group_col).alias("_g"), v.alias("_v"))
         .filter(F.col("_v").isNotNull())

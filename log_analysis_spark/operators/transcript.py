@@ -746,17 +746,23 @@ def prompt_divergence(
     example_conv), prompts shared by ≥ ``min_convs`` conversations.
     Requires ``turn_col`` unique within a conversation (the transcript
     contract) — min_by tie-breaking is engine-specific otherwise.
+    NULL text at the first turn counts as the EMPTY prompt/response
+    (coalesced before min_by): engines disagree on NULL *values*
+    inside min_by (Spark returns the NULL at the minimum key, DuckDB
+    skips it and returns the next turn's text), so the value column
+    must be null-total for the cross-engine gate to hold.
 
     Reference analog: the template_examples sampling sink
     (src/clickhouse_client.rs:270-312) — grouping identical openings
     and measuring response spread instead of storing 1% examples."""
     u_ord = F.when(F.col(role_col) == prompt_role, F.col(turn_col))
     r_ord = F.when(F.col(role_col) == response_role, F.col(turn_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     fu = (
         df.groupBy(conv_col)
         .agg(
-            F.min_by(F.col(text_col), u_ord).alias("_prompt"),
-            F.min_by(F.col(text_col), r_ord).alias("_resp"),
+            F.min_by(txt, u_ord).alias("_prompt"),
+            F.min_by(txt, r_ord).alias("_resp"),
         )
         .filter(F.col("_prompt").isNotNull())
     )

@@ -209,11 +209,16 @@ def test_grouped_exact_percentiles_vs_sorted_rank(spark):
             k = math.ceil(num * len(s) / den)
             assert got[(g, num, den)] == (len(s), s[k - 1]), (g, num, den)
 
-    # quantize=10: exact percentile of the bucketed value, lower bound
+    # quantize=10: exact percentile of the bucketed value, TRUE floor
+    # lower bound — negatives must floor down, not round toward zero
+    neg = spark.createDataFrame(
+        [("n", v) for v in (-15, -5, -1, 3, 12)], "g string, v long")
+    full = df.unionByName(neg)
     q10 = {(r["g"], r["q_num"]): r["pct"]
            for r in grouped_exact_percentiles(
-               spark, df, "v", "g", [(1, 2)], quantize=10).collect()}
-    for g, vals in by_g.items():
-        s = sorted(v - (v % 10) for v in vals)
+               spark, full, "v", "g", [(1, 2)], quantize=10).collect()}
+    for g, vals in {**by_g, "n": [-15, -5, -1, 3, 12]}.items():
+        s = sorted(10 * (v // 10) for v in vals)   # python // floors
         k = math.ceil(len(s) / 2)
         assert q10[(g, 1)] == s[k - 1], g
+    assert q10[("n", 1)] == -10   # buckets: -20,-10,-10,0,10 → median -10
