@@ -13,8 +13,9 @@ Env knobs:
 Modes:
   (default)            headline queries + e2e pipeline
   --datasets [N]       multi-dataset accuracy x throughput sweep: 16
-                       heterogeneous + 4 adversarial (shared-prefix,
-                       unicode, variant-phrasing) LogHub-style corpora
+                       heterogeneous + 6 adversarial (shared-prefix,
+                       unicode, variant-phrasing, hot-skew,
+                       score-tie) LogHub-style corpora
                        (N lines each,
                        default 20000), match + match-else-induce per
                        dataset, per-dataset rows persisted to
