@@ -3272,7 +3272,8 @@ GROUP BY n_name ORDER BY n_name
     sql["matched_split_counts"] = """
 SELECT 'matched' AS route, count(*) AS n_rows FROM events WHERE event_type IN ('click','view','purchase')
 UNION ALL
-SELECT 'unmatched' AS route, count(*) AS n_rows FROM events WHERE event_type NOT IN ('click','view','purchase')
+SELECT 'unmatched' AS route, count(*) AS n_rows FROM events
+WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase')
 """.strip()
 
     sql["union_counts"] = """
@@ -3570,7 +3571,8 @@ WITH l AS (SELECT concat('f', CAST(coalesce(user_id, 0) % 7 AS VARCHAR)) AS sour
                   event_id AS line_no, {ml_line_duck} AS text
            FROM events),
 s AS (SELECT *, CASE WHEN regexp_matches(text, '^[0-9]{{4}}-') THEN 1 ELSE 0 END AS a FROM l),
-c AS (SELECT *, sum(a) OVER (PARTITION BY source ORDER BY line_no) AS rec_idx FROM s)
+c AS (SELECT *, CAST(sum(a) OVER (PARTITION BY source ORDER BY line_no)
+                     AS BIGINT) AS rec_idx FROM s)
 SELECT source, rec_idx,
        string_agg(text, chr(10) ORDER BY line_no) AS text,
        count(*) AS n_lines, min(line_no) AS first_line_no,

@@ -54,7 +54,8 @@ DOC_GATES = [
     "gopher_quality", "tfidf_topk", "char_entropy", "incremental_dedup",
     "bigram_logprob", "pmi_collocations", "vocab_stats",
     "mixing_allocation", "token_fertility",
-    "class_keywords", "doc_chunks",
+    "class_keywords", "doc_chunks", "dedup_keep_best",
+    "neardup_components",
     # edit_distance_pairs is deliberately ABSENT: DuckDB's levenshtein
     # counts bytes where Spark counts code points, so its gate is exact
     # only on ASCII corpora (documented in the operator; the testdata
@@ -125,6 +126,13 @@ EVENT_GATES = [
     "branch_prefix_pairs", "refusal_stats", "language_switching",
     "conv_pii_density", "verbosity_trend", "prompt_divergence",
     "conversation_scorecard",
+    # transcript-shape gates promoted to fuzz coverage late round 5:
+    # NULL user_id/ts/event_id conversations, empty/control-char texts
+    "conversation_integrity", "tool_transitions", "turn_merge",
+    "turn_ordering_lag", "recent_per_user", "union_counts",
+    "template_cooccurrence", "template_lifecycle",
+    "variable_value_topk",
+    "matched_split_counts", "stitch_multiline", "grouping_accuracy",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
     "tool_latency_quantiles",
