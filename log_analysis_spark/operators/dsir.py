@@ -71,7 +71,14 @@ def dsir_weights(
     from .text_analysis import _words
 
     spark = df.sparkSession
-    flagged = df.withColumn("_is_t", target.cast("long"))
+    # NULL target flag (e.g. lang IS NULL under target = lang=='en')
+    # means NOT in the target domain — without the coalesce a NULL
+    # propagates into sum(_is_t), making c_t NULL for buckets whose
+    # grams all come from NULL-flag docs, and every such bucket's
+    # logratio silently drops out of the doc average (found by the
+    # adversarial fuzz gate; the oracle's CASE already said 0)
+    flagged = df.withColumn(
+        "_is_t", F.coalesce(target.cast("long"), F.lit(0)))
     # tokenize once WITH the flag carried along, so no join back is
     # needed for the bucket statistics; tokenizer = text_analysis._words
     # (the engine-wide WS_CLASS split — same tokens in the oracle).

@@ -56,6 +56,14 @@ DOC_GATES = [
     "mixing_allocation", "token_fertility",
     "class_keywords", "doc_chunks", "dedup_keep_best",
     "neardup_components",
+    # promoted late round 5 (same sweep as the events-gate promotion)
+    "length_quantiles", "profile_columns", "ccnet_buckets",
+    "dsir_weights", "heavy_hitter_tokens", "bpe_pair_counts",
+    "contamination", "posting_lists", "conjunctive_search",
+    "quality_classifier",
+    # stratified_split is deliberately ABSENT here: it stratifies over
+    # BOTH documents and events (cross-table), so neither single-table
+    # fuzz fixture can run it; its sf0.01 gate covers it
     # edit_distance_pairs is deliberately ABSENT: DuckDB's levenshtein
     # counts bytes where Spark counts code points, so its gate is exact
     # only on ASCII corpora (documented in the operator; the testdata
@@ -75,6 +83,11 @@ def fuzz_dir(spark, tmp_path_factory):
     # source cycles over the mixing recipe's domains (plus one outside
     # it) so mixing_allocation exercises both the join and the exclusion
     pdf["source"] = [f"src{i % 6}" for i in range(len(ADVERSARIAL_TEXTS))]
+    # lang mirrors the testdata schema (the profile/ccnet/dsir/split
+    # gates reference it); the NULL exercises per-language exclusion
+    langs = ["en", "de", None, "fr", "en", "es"]
+    pdf["lang"] = [langs[i % len(langs)]
+                   for i in range(len(ADVERSARIAL_TEXTS))]
     (spark.createDataFrame(pdf.astype({"doc_id": "int64", "n_chars": "int64"}))
      .coalesce(1).write.mode("overwrite")
      .parquet(str(tmp / "documents.parquet")))
