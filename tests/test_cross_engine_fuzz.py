@@ -144,7 +144,10 @@ EVENT_GATES = [
     "conversation_integrity", "tool_transitions", "turn_merge",
     "turn_ordering_lag", "recent_per_user", "union_counts",
     "template_cooccurrence", "template_lifecycle",
-    "variable_value_topk",
+    "variable_value_topk", "deterministic_sample",
+    # broadcast_enrich_join / tpch_q1_pricing are ABSENT: they read the
+    # TPC tables (lineitem/orders/customer/nation), not the adversarial
+    # events/documents fixtures; their sf0.01 gates cover them
     "matched_split_counts", "stitch_multiline", "grouping_accuracy",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
