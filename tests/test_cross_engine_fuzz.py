@@ -145,9 +145,8 @@ EVENT_GATES = [
     "turn_ordering_lag", "recent_per_user", "union_counts",
     "template_cooccurrence", "template_lifecycle",
     "variable_value_topk", "deterministic_sample",
-    # broadcast_enrich_join / tpch_q1_pricing are ABSENT: they read the
-    # TPC tables (lineitem/orders/customer/nation), not the adversarial
-    # events/documents fixtures; their sf0.01 gates cover them
+    # broadcast_enrich_join / tpch_q1_pricing live in TPC_GATES below
+    # (they read lineitem/orders/customer/nation, not events)
     "matched_split_counts", "stitch_multiline", "grouping_accuracy",
     "streaming_count_drift", "vocab_growth",
     "gopher_repetition", "gopher_dup_ngrams", "tool_latency",
@@ -320,6 +319,74 @@ def test_ann_gate_on_adversarial_corpus(spark, embeddings64_fuzz_dir,
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{embeddings64_fuzz_dir}/embeddings.parquet/*.parquet')")
     got = entry_mod.queries()[name](spark, embeddings64_fuzz_dir).toPandas()
+    want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert _hash(got) == _hash(want), name
+
+
+# TPC-table gates: adversarial lineitem/orders/customer/nation with
+# NULL join keys (dropped identically by inner joins in both engines),
+# NULL prices/discounts/flags (NULL-propagating revenue terms skipped
+# by sum in both), and a dangling o_custkey (no matching customer)
+TPC_GATES = ["tpch_q1_pricing", "broadcast_enrich_join"]
+
+
+@pytest.fixture(scope="module")
+def tpc_fuzz_dir(spark, tmp_path_factory):
+    import datetime as dt
+
+    tmp = tmp_path_factory.mktemp("fuzz_tpc_sf")
+    li = [
+        # (okey, pkey, skey, ln, qty, price, disc, tax, rflag, lstat, ship)
+        (1, 1, 1, 1, 10.0, 100.25, 0.05, 0.02, "A", "F", dt.datetime(2024, 1, 1)),
+        (1, 2, 1, 2, None, 50.10, 0.10, None, "N", "O", dt.datetime(2024, 2, 1)),
+        (2, 1, 2, 1, 3.0, None, 0.00, 0.01, "A", "F", None),
+        (2, 3, 2, 2, 7.5, 19.99, None, 0.03, None, "F", dt.datetime(2024, 3, 5)),
+        (None, 1, 1, 1, 1.0, 10.00, 0.01, 0.00, "R", "O", dt.datetime(2024, 4, 1)),
+        (3, 2, 3, 1, 2.0, 33.33, 0.07, 0.02, "R", None, dt.datetime(2024, 5, 1)),
+        (4, 1, 1, 1, 5.0, 75.50, 0.02, 0.01, "N", "O", dt.datetime(2024, 6, 1)),
+    ]
+    od = [
+        (1, 10, "O", 150.35, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 11, "F", 19.99, dt.datetime(2024, 3, 1), "3-MEDIUM"),
+        (3, None, "O", 33.33, None, "5-LOW"),       # NULL custkey
+        (4, 99, "O", 75.50, dt.datetime(2024, 6, 1), "2-HIGH"),  # dangling
+    ]
+    cu = [
+        (10, "Alice", 1, 100.0, "BUILDING"),
+        (11, "Bob", 2, None, "MACHINERY"),
+        (12, "Carol", None, 5.0, "AUTOMOBILE"),     # NULL nationkey
+    ]
+    na = [(1, "FRANCE", 1), (2, "GERMANY", 1), (3, "JAPAN", 2)]
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp / "lineitem.parquet"))
+    spark.createDataFrame(od, "o_orderkey long, o_custkey long, "
+        "o_orderstatus string, o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp / "orders.parquet"))
+    spark.createDataFrame(cu, "c_custkey long, c_name string, "
+        "c_nationkey int, c_acctbal double, c_mktsegment string").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
+    spark.createDataFrame(na, "n_nationkey int, n_name string, "
+        "n_regionkey int").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp / "nation.parquet"))
+    return str(tmp)
+
+
+@pytest.mark.parametrize("name", TPC_GATES)
+def test_tpc_gate_on_adversarial_corpus(spark, tpc_fuzz_dir, entry_mod, name):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tpc_fuzz_dir}/{t}.parquet/*.parquet')")
+    got = entry_mod.queries()[name](spark, tpc_fuzz_dir).toPandas()
     want = con.execute(entry_mod.oracle_sql()[name]).fetchdf()
     assert len(got) == len(want), (name, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), name
