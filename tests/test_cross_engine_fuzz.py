@@ -61,9 +61,7 @@ DOC_GATES = [
     "dsir_weights", "heavy_hitter_tokens", "bpe_pair_counts",
     "contamination", "posting_lists", "conjunctive_search",
     "quality_classifier",
-    # stratified_split is deliberately ABSENT here: it stratifies over
-    # BOTH documents and events (cross-table), so neither single-table
-    # fuzz fixture can run it; its sf0.01 gate covers it
+    # stratified_split reads EVENTS — it lives in EVENT_GATES
     # edit_distance_pairs is deliberately ABSENT: DuckDB's levenshtein
     # counts bytes where Spark counts code points, so its gate is exact
     # only on ASCII corpora (documented in the operator; the testdata
@@ -144,7 +142,7 @@ EVENT_GATES = [
     "conversation_integrity", "tool_transitions", "turn_merge",
     "turn_ordering_lag", "recent_per_user", "union_counts",
     "template_cooccurrence", "template_lifecycle",
-    "variable_value_topk", "deterministic_sample",
+    "variable_value_topk", "deterministic_sample", "stratified_split",
     # broadcast_enrich_join / tpch_q1_pricing live in TPC_GATES below
     # (they read lineitem/orders/customer/nation, not events)
     "matched_split_counts", "stitch_multiline", "grouping_accuracy",
