@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Optimization-round measurement harness (bench.py is FROZEN — this file
+is the §1.4-style isolation bench the optimization guide asks for).
+
+Times individual declared queries with the same best-of-2 `.count()`
+methodology bench.py uses, at any sf dir, with per-query job
+descriptions; optionally dumps `.explain("formatted")` to plans/r06/.
+
+Usage:
+  python bench_extra.py q1 q2 ...            # time the named queries
+  python bench_extra.py --explain q1 q2 ...  # also write plans/r06/<q>_<tag>.txt
+  python bench_extra.py --tag after ...      # tag for the explain files
+  python bench_extra.py --all                # every query bench.py times
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 here — the
+driver's round-5 measurement scale), SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERY_NAMES = [
+    "tpch_q1_pricing", "broadcast_enrich_join", "template_counts_topk",
+    "majority_vote", "recent_per_user", "match_assignments",
+    "mask_signature", "user_histogram", "exact_dedup_digest",
+    "minhash_signatures", "shingle_counts", "embedding_topk",
+    "text_quality", "variable_extraction", "induced_templates",
+    "simhash_sigs", "token_signatures", "lang_id",
+    "pii_redaction", "repetition_ratio", "context_window",
+    "embedding_topk_lsh", "embedding_topk_ivf", "winnowing_fingerprints",
+    "winnowing_neardup_pairs", "duplicate_spans", "unigram_logprob",
+    "user_sessions", "bloom_decontamination", "cms_token_counts",
+    "length_quantiles", "line_dedup", "tfidf_topk", "gopher_quality",
+    "heavy_hitter_tokens", "bpe_pair_counts",
+    "turn_merge", "tool_latency", "tool_latency_quantiles",
+    "verbosity_trend", "prompt_divergence", "conversation_scorecard",
+    "dsir_weights", "count_drift", "count_drift_robust",
+    "char_entropy", "profile_columns",
+    "bigram_logprob", "pmi_collocations", "vocab_stats",
+    "mixing_allocation", "conv_dedup", "conv_neardup_pairs",
+    "agent_loops", "branch_prefix_pairs", "refusal_stats",
+    "language_switching", "conv_pii_density", "token_fertility",
+    "vocab_growth", "gopher_repetition", "gopher_dup_ngrams",
+    "ccnet_buckets", "quality_classifier",
+    "template_cooccurrence", "template_transitions",
+    "rare_transitions", "entropy_drift", "coverage_topp", "asof_enrich",
+    "interval_windows", "sink_rollup",
+    "posting_lists", "conjunctive_search",
+    "variable_value_topk", "template_lifecycle", "stitch_multiline",
+    "json_field_stats", "json_keyset_profile",
+    "psi_drift", "class_keywords", "doc_chunks", "edit_distance_pairs",
+    "window_funnel", "retention_cohorts", "rolling_active_users",
+    "error_rate_ranking",
+]
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    explain = "--explain" in args
+    tag = "before"
+    if "--tag" in args:
+        tag = args[args.index("--tag") + 1]
+        args.remove("--tag")
+        args.remove(tag)
+    names = [a for a in args if not a.startswith("--")]
+    if "--all" in args:
+        names = list(BENCH_QUERY_NAMES)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from log_analysis_spark.entry_queries import queries_map
+    from log_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_extra", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # same warm-up as bench.py: spawn workers + JIT codegen once
+    from pyspark.sql import functions as F
+
+    from log_analysis_spark.matcher import match_udf
+    from log_analysis_spark.synth import POOL_TEMPLATES
+    from log_analysis_spark.templates import CompiledMatcher
+
+    warm_matcher = CompiledMatcher(templates=POOL_TEMPLATES)
+    (spark.range(cpus * 2000).repartition(cpus)
+     .select(match_udf(spark, warm_matcher)(
+         F.concat(F.lit("cpu_usage: 1.0% - w"),
+                  F.col("id").cast("string"))).alias("t"))
+     .count())
+
+    qmap = queries_map()
+    plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "plans", "r06")
+    os.makedirs(plans_dir, exist_ok=True)
+
+    # bench.py's non-qmap entries, replicated with identical arguments so
+    # per-query numbers are comparable to BENCH_r05's parsed values
+    def _special(name):
+        from log_analysis_spark.operators.dedup import (
+            incremental_minhash_dedup, minhash_lsh_pairs)
+        from log_analysis_spark.operators.similarity import (
+            cosine_neardup_pairs, hyperplane_codes, ivf_centroids,
+            semantic_dedup)
+
+        if name == "embedding_neardup_lsh":
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            dim = len(emb.select("embedding").first()["embedding"])
+            planes = hyperplane_codes(spark, dim, n_planes=8)
+            return lambda: cosine_neardup_pairs(
+                emb, planes, threshold=0.4, materialize=False).count()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if name == "minhash_lsh_pairs":
+            return lambda: minhash_lsh_pairs(
+                docs, k=16, bands=4, threshold=0.6, materialize=False).count()
+        if name == "incremental_dedup":
+            return lambda: incremental_minhash_dedup(
+                docs.filter(F.col("doc_id") % 4 == 0),
+                docs.filter(F.col("doc_id") % 4 != 0),
+                k=16, bands=4, threshold=0.6, materialize=False).count()
+        if name == "semantic_dedup_bench":
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            C = ivf_centroids(emb, k=8, vec_col="embedding",
+                              id_col="vec_id", seed=42, iters=8)
+            return lambda: semantic_dedup(emb, C, threshold=0.4,
+                                          materialize=False).count()
+        return None
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = _special(name)
+        if fn is None:
+            fn = lambda name=name: qmap[name](spark, sf_dir).count()
+            if explain:
+                df = qmap[name](spark, sf_dir)
+                with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as fh:
+                    fh.write(df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                        .fromString("formatted")))
+        best = float("inf")
+        for _ in range(2):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+            spark.sparkContext.setJobDescription(None)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    print(json.dumps({"metric": "bench_extra", "sf": sf, "cpus": cpus,
+                      "queries": timings,
+                      "total": round(sum(timings.values()), 3)}))
+
+
+if __name__ == "__main__":
+    main()

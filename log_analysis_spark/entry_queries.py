@@ -1398,11 +1398,12 @@ def q_token_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure JVM-side higher-order-function expressions on both engines."""
     from .functions.token_classes import signatures_udf
 
+    # _tk already rebalances a single-file scan to full kernel width;
+    # the old inner unconditional repartition re-shuffled its output —
+    # exactly the redundant Exchange _tk's docstring warns against
+    # (ADVICE r5 #2)
     ev = _tk(spark, sf_dir, "events")
-    # single-file scan -> repartition so the classification kernel runs
-    # at full width (no-op-cost at real scan split counts)
-    lines = (ev.repartition(spark.sparkContext.defaultParallelism)
-             .select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line")))
+    lines = ev.select(F.expr(_FMT_LINE_SQL.format(S="STRING")).alias("line"))
     sig = signatures_udf(spark)(F.col("line"))
     return (
         lines.select(sig["log_type_sig"].alias("log_type_sig"),
@@ -1850,8 +1851,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (ivf_centroids, nonzero_unit_vectors,
                                        semantic_dedup)
 
-    emb = _tk(spark, sf_dir, "embeddings") \
-        .repartition(spark.sparkContext.defaultParallelism)
+    # _tk already rebalances the single-file scan — the old unconditional
+    # .repartition here doubled the Exchange (ADVICE r5 #2)
+    emb = _tk(spark, sf_dir, "embeddings")
     nz = nonzero_unit_vectors(emb).select("vec_id", "embedding", "unit")
     C = ivf_centroids(nz, k=8, vec_col="embedding", id_col="vec_id",
                       seed=42, iters=8)

@@ -34,7 +34,15 @@ def match_udf(spark: SparkSession, matcher: CompiledMatcher):
     def _match(texts: pd.Series) -> pd.Series:
         return bc.value.match_series(texts)
 
-    return _match
+    # The kernel IS deterministic; the flag stops Catalyst from pushing a
+    # filter on the output column (the ubiquitous
+    # ``filter(template_id IS NOT NULL)``) below the projection and
+    # DUPLICATING the ArrowEvalPython node — the whole match pass paid
+    # twice per job (observed: 2 ArrowEvalPython in the match+filter+write
+    # single-sink plan, 1 after this flag; same fix as the LSH verify
+    # kernel). Every call site filters only on the UDF output itself, so
+    # no beneficial pushdown is lost.
+    return _match.asNondeterministic()
 
 
 def match_score_udf(spark: SparkSession, matcher: CompiledMatcher):
@@ -52,7 +60,8 @@ def match_score_udf(spark: SparkSession, matcher: CompiledMatcher):
         tid = pd.Series(ids, dtype="Int64").mask(pd.Series(ids) < 0)
         return pd.DataFrame({"template_id": tid, "score": scores})
 
-    return _match
+    # single-evaluation guard — see match_udf
+    return _match.asNondeterministic()
 
 
 def with_template_id(
@@ -102,7 +111,8 @@ def variables_udf(spark: SparkSession, matcher: CompiledMatcher):
         del out
         return result
 
-    return _extract
+    # single-evaluation guard — see match_udf
+    return _extract.asNondeterministic()
 
 
 def with_variables(

@@ -997,8 +997,27 @@ def edit_distance_pairs(
     tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("_edt", "_tb")
     la, lb = F.char_length("_ta"), F.char_length("_tb")
     mx = F.greatest(la, lb)
+    # Threshold-BOUNDED levenshtein (Spark >= 3.5 3-arg form): any pair
+    # that can pass the final filter satisfies
+    #   round(d/mx, 6) <= max_ratio  =>  d <= max_ratio*mx + 5e-7*mx
+    # so with t = floor(mx*(max_ratio + 1e-6)) + 1 every passing pair has
+    # d <= t strictly; the banded O(mx*t) DP returns the EXACT distance
+    # for d <= t and -1 (which the ratio filter rejects, -1/mx < 0 would
+    # pass — so -1 is mapped to an over-threshold sentinel) otherwise.
+    # Early abort on clearly-different candidates is where the time goes:
+    # the LSH candidate set is ~4 orders of magnitude larger than the
+    # true pair set, and the full O(len^2) DP on every false positive was
+    # the single largest cost in the round-5 bench (55.8s at sf1.0).
+    # Result-identical: kept pairs compute the same d, hence the same
+    # rounded ratio; dropped pairs were provably above the threshold.
+    # (F.levenshtein only takes an int literal threshold; the underlying
+    # expression accepts a per-row one through SQL)
+    d_bounded = F.expr(
+        "levenshtein(_ta, _tb, cast(floor(greatest(char_length(_ta), "
+        f"char_length(_tb)) * {max_ratio + 1e-6!r}) + 1 as int))")
+    d = F.when(d_bounded < 0, mx + F.lit(1)).otherwise(d_bounded)
     ratio = F.when(mx == 0, F.lit(0.0)) \
-             .otherwise(F.levenshtein("_ta", "_tb") / mx)
+             .otherwise(d / mx)
     # Length prefilter: edit distance >= |len_a - len_b|, and round(., 6)
     # is monotone, so any pair whose length-gap ratio already exceeds the
     # threshold cannot pass the edit_ratio filter. Evaluating it BEFORE

@@ -16,8 +16,64 @@ pre-filter.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _fold_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot products replicating Spark's ``_dot`` EXACTLY.
+
+    ``F.aggregate(zip_with(a, b, *), 0.0, +)`` is a left fold:
+    ``(((0 + a0*b0) + a1*b1) + ...)`` with every multiply and add an
+    IEEE-754 double op. numpy's elementwise multiply/add are the same
+    round-to-nearest double ops (no FMA fusion, unlike BLAS ``A @ B``),
+    so accumulating column-by-column in the same order yields BITWISE
+    identical results — which is what lets the interpreted-HOF dot (no
+    codegen, measured ~0.5 ms/row at dim 64) be swapped for this
+    vectorized kernel without disturbing a single value-hash gate.
+    """
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def dot_kernel_udf(spark):
+    """pandas UDF (unit array, unit array) -> double, bitwise-equal to
+    ``_dot`` (see ``_fold_dot_rows``) at a fraction of its cost.
+
+    Call-site contract (all in-repo uses satisfy it): both arrays
+    non-NULL with no NULL elements, equal lengths within a row. Rows
+    where either side is missing return NULL like ``_dot``; ragged rows
+    are grouped by length so mixed-dim batches still vectorize.
+    """
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @F.pandas_udf(T.DoubleType())
+    def _dot_k(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(a), index=a.index, dtype=object)
+        la = a.map(lambda v: -1 if v is None else len(v))
+        lb = b.map(lambda v: -1 if v is None else len(v))
+        ok = (la >= 0) & (la == lb)
+        groups = la[ok].groupby(la[ok]).groups
+        for _n, idx in groups.items():
+            A = np.vstack(a.loc[idx].to_numpy())
+            B = np.vstack(b.loc[idx].to_numpy())
+            out.loc[idx] = _fold_dot_rows(A.astype(np.float64, copy=False),
+                                          B.astype(np.float64, copy=False))
+        # object dtype on purpose: None rows must reach Arrow as NULL
+        # (astype(float64) would silently turn them into NaN, which is a
+        # VALUE to Spark, not NULL — a semantics change _dot never makes)
+        return out
+
+    # deterministic kernel; the flag stops Catalyst from duplicating the
+    # ArrowEvalPython node when a filter references the output column
+    # (threshold filters on cosine — the repo-wide single-eval guard)
+    return _dot_k.asNondeterministic()
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -411,7 +467,10 @@ def semantic_dedup(
 
     Output: (id_col, cell, kept int 0/1) — one row per nonzero vector.
     """
+    from ..session import ship_package
+
     spark = df.sparkSession
+    ship_package(spark)
     cdf = centroids_df(spark, centroids)
     corpus = (
         nonzero_unit_vectors(df, vec_col)
@@ -425,30 +484,70 @@ def semantic_dedup(
         .drop("cell_id", "cvec")
     )
     w = Window.partitionBy("cell").orderBy(F.desc("cdot"), F.asc(id_col))
-    ranked = (
-        ranked.withColumn("r", F.row_number().over(w))
-        .repartition(F.col("cell"))
-        .persist()
-    )
-    x = ranked.alias("x")
-    y = ranked.alias("y")
-    dup_ids = (
-        x.join(y, (F.col("x.cell") == F.col("y.cell"))
-               & (F.col("y.r") < F.col("x.r"))
-               & (F.round(_dot(F.col("x.unit"), F.col("y.unit")), 6)
-                  >= threshold))
-        .select(F.col(f"x.{id_col}").alias(id_col)).distinct()
-        .withColumn("_dup", F.lit(1))
-    )
-    result = (
-        ranked.join(dup_ids, id_col, "left")
-        .select(id_col, "cell",
-                F.when(F.col("_dup").isNotNull(), F.lit(0))
-                .otherwise(F.lit(1)).alias("kept"))
-    )
+    ranked = ranked.withColumn("r", F.row_number().over(w)) \
+        .select(id_col, "unit", "cell", "r")
+
+    # The EXISTS drop rule used to run as a within-cell pair SELF-JOIN
+    # whose condition evaluated the interpreted-HOF dot per candidate
+    # pair — |cell|^2/2 pairs x ~0.5 ms/pair dominated the query (31s at
+    # sf1.0: 20k vectors over k=8 cells is ~25M interpreted dots, twice
+    # with the duplicated persist discipline). A cell is the SemDeDup
+    # unit of locality (size ~constant at scale — k grows with the
+    # corpus), so the whole rule is one per-cell numpy kernel instead:
+    # groupBy(cell).applyInPandas reuses the window's hash(cell)
+    # partitioning (no extra Exchange), each cell's unit matrix folds
+    # into a pairwise dot matrix COLUMN-BY-COLUMN in Spark's exact
+    # left-fold order (bitwise-equal doubles — see _fold_dot_rows), and
+    # the round-6 threshold test replicates Spark HALF_UP rounding with
+    # an exact Decimal fallback within 1e-7 of any rounding boundary.
+    # Row-block streaming bounds kernel memory at O(block x |cell|).
+    thr = float(threshold)
+
+    def _decide(x: np.ndarray) -> np.ndarray:
+        # round-HALF-UP to 6 dp then compare — floor() on positives and
+        # all non-.5-boundary negatives matches BigDecimal HALF_UP, and
+        # the guard band below routes every boundary case to the exact
+        # replay, so this fast path never decides an ambiguous element
+        return (np.floor(x * 1e6 + 0.5) / 1e6) >= thr
+
+    def _cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        pdf = pdf.sort_values("r")
+        n = len(pdf)
+        U = np.vstack(pdf["unit"].to_numpy()).astype(np.float64, copy=False) \
+            if n else np.zeros((0, 0))
+        kept = np.ones(n, dtype=np.int32)
+        block = 4096
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            # BLAS matmul for the bulk: its pairwise/FMA summation can
+            # differ from Spark's left fold by O(dim * eps) ~ 1e-14, so
+            # every element within 1e-9 of flipping the decision is
+            # re-derived EXACTLY: the left-fold dot (bitwise-equal to
+            # the interpreted _dot) + shortest-repr HALF_UP rounding
+            # (replicating BigDecimal.valueOf().setScale()). Outside the
+            # band the BLAS value provably decides identically.
+            D = U[s:e] @ U.T
+            dec = _decide(D)
+            amb = _decide(D + 1e-9) != _decide(D - 1e-9)
+            for bi, j in np.argwhere(amb):
+                i = s + bi
+                acc = 0.0
+                for xv, yv in zip(U[i], U[j]):
+                    acc = acc + xv * yv
+                r6 = float(Decimal(repr(acc)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP))
+                dec[bi, j] = r6 >= thr
+            for i in range(s, e):
+                if i > 0 and dec[i - s, :i].any():
+                    kept[i] = 0
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                             "cell": pdf["cell"].to_numpy(),
+                             "kept": kept})
+
+    result = ranked.groupBy("cell").applyInPandas(
+        _cell_kernel, schema=f"{id_col} long, cell int, kept int")
     if materialize:
-        try:
-            result = result.localCheckpoint(eager=True)
-        finally:
-            ranked.unpersist()
+        result = result.localCheckpoint(eager=True)
     return result

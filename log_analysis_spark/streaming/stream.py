@@ -899,9 +899,20 @@ def streaming_agent_loops(
             if m >= 1 and m + period >= min_turns and has_alt:
                 rows.append((period, int(start), int(end), m + period))
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for t, s in zip(pdf["turn_idx"], pdf["_sig"]):
+        # Buffer ALL chunks for the key and sort ONCE: Spark hands a
+        # group to applyInPandasWithState as ~10k-row chunks with no
+        # cross-chunk order guarantee, so sorting each chunk
+        # independently let a turn in a later chunk with a LOWER
+        # turn_idx be silently dropped by the late-data check —
+        # missed/truncated loop alarms whenever a conversation's
+        # micro-batch slice spans multiple chunks (ADVICE r5 #1; the
+        # streaming_stitch_multiline union-then-sort discipline).
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) \
+                if len(chunks) > 1 else chunks[0]
+            batch = batch.sort_values("turn_idx")
+            for t, s in zip(batch["turn_idx"], batch["_sig"]):
                 t = int(t)
                 if t <= t1:
                     continue  # late/duplicate turn: dropped
