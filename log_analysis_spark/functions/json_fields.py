@@ -42,8 +42,13 @@ def json_keyset_col(col: Column | str, invalid_label: str = INVALID_KEYSET) -> C
     catch producers that added/dropped/renamed fields."""
     c = F.col(col) if isinstance(col, str) else col
     keys = F.json_object_keys(c)  # NULL for non-object / malformed
-    return F.when(keys.isNotNull(), F.array_join(F.array_sort(keys), ",")) \
-            .otherwise(F.lit(invalid_label))
+    # coalesce, not when/otherwise: the WHEN guard evaluated
+    # json_object_keys a second time for the THEN branch (one full JSON
+    # parse per row per evaluation; subexpression elimination does not
+    # reach across conditional branches here). array_join propagates
+    # NULL, so NULL keys fall through to the invalid label identically.
+    return F.coalesce(F.array_join(F.array_sort(keys), ","),
+                      F.lit(invalid_label))
 
 
 def flatten_json(df: DataFrame, col: str,

@@ -309,6 +309,14 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
+        # shingle→hash cache shared across the Arrow batch (the
+        # winnowing-kernel trick): template corpora repeat shingles
+        # heavily, and the per-shingle md5+hexdigest+int parse was the
+        # dominant cost of the whole LSH family at sf1.0 (4.1s of the
+        # 5.9s minhash_lsh_pairs run was this kernel). Same hash values,
+        # computed once per distinct shingle per batch.
+        cache: dict[str, int] = {}
+        md5 = hashlib.md5
         out: list[list[int] | None] = []
         for t in texts:
             if not isinstance(t, str):
@@ -319,9 +327,13 @@ def minhash_signatures(df: DataFrame, k: int = 16, n: int = 3,
                 out.append(None)
                 continue
             sh = {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
-            base = np.fromiter(
-                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P for s in sh),
-                dtype=np.int64, count=len(sh))
+            base = np.empty(len(sh), dtype=np.int64)
+            for i, s in enumerate(sh):
+                v = cache.get(s)
+                if v is None:
+                    v = int(md5(s.encode()).hexdigest()[:15], 16) % P
+                    cache[s] = v
+                base[i] = v
             out.append(((A * base[None, :] + B) % P).min(axis=1).tolist())
         return pd.Series(out)
 
@@ -409,9 +421,23 @@ def minhash_lsh_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def _jaccard_pair(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # text→shingle-set cache across the Arrow batch: every doc in
+        # several candidate pairs had its set rebuilt per pair (two
+        # Python set builds per row); bounded so a pathological batch of
+        # all-distinct giant texts cannot hold every set at once
+        cache: dict[str, set] = {}
+
         def sh_set(t):
-            w = ascii_words_py(t) if isinstance(t, str) else []
-            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+            if not isinstance(t, str):
+                return set()
+            v = cache.get(t)
+            if v is None:
+                if len(cache) > 20_000:
+                    cache.clear()
+                w = ascii_words_py(t)
+                v = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+                cache[t] = v
+            return v
         out = []
         for a, b in zip(ta, tb):
             sa, sb = sh_set(a), sh_set(b)
@@ -556,9 +582,21 @@ def incremental_minhash_dedup(
 
     @F.pandas_udf(T.DoubleType())
     def _jaccard_pair(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # per-batch text→set cache, same rationale/bound as the
+        # minhash_lsh_pairs verify kernel
+        cache: dict[str, set] = {}
+
         def sh_set(t):
-            w = ascii_words_py(t) if isinstance(t, str) else []
-            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+            if not isinstance(t, str):
+                return set()
+            v = cache.get(t)
+            if v is None:
+                if len(cache) > 20_000:
+                    cache.clear()
+                w = ascii_words_py(t)
+                v = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+                cache[t] = v
+            return v
         out = []
         for a, b in zip(ta, tb):
             sa, sb = sh_set(a), sh_set(b)
@@ -982,6 +1020,11 @@ def edit_distance_pairs(
     operator itself needs no such caveat.
     """
     sigs = minhash_signatures(df, k, n, text_col, id_col).persist()
+    if materialize:
+        # settle the signature cache BEFORE the bucket self-join: its two
+        # sides otherwise race to fill it and each runs the full minhash
+        # kernel (one tiny count job over the cached relation after)
+        sigs.count()
     buckets = minhash_band_buckets(sigs, k, bands, id_col)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
@@ -991,7 +1034,15 @@ def edit_distance_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
-    )
+    ).persist()
+    if materialize:
+        # settle the candidate cache too: with only a (wildly over-
+        # estimated) self-join cardinality to go on, the planner
+        # streamed the candidates through two text BHJs in a shape
+        # measured 4-5x slower than planning against the cached
+        # relation's real ~MB size (minhash_lsh_pairs persists its
+        # candidates for the same reason)
+        candidates.count()
     texts = df.select(F.col(id_col), F.col(text_col).alias("_edt"))
     ta = texts.withColumnRenamed(id_col, "id_a").withColumnRenamed("_edt", "_ta")
     tb = texts.withColumnRenamed(id_col, "id_b").withColumnRenamed("_edt", "_tb")
@@ -1012,10 +1063,44 @@ def edit_distance_pairs(
     # rounded ratio; dropped pairs were provably above the threshold.
     # (F.levenshtein only takes an int literal threshold; the underlying
     # expression accepts a per-row one through SQL)
-    d_bounded = F.expr(
-        "levenshtein(_ta, _tb, cast(floor(greatest(char_length(_ta), "
-        f"char_length(_tb)) * {max_ratio + 1e-6!r}) + 1 as int))")
-    d = F.when(d_bounded < 0, mx + F.lit(1)).otherwise(d_bounded)
+    # Tiered LITERAL thresholds, not a per-row threshold expression: a
+    # non-foldable threshold drops the levenshtein out of whole-stage
+    # codegen (measured 18.7s vs 5.6s for the same rows at sf1.0), and
+    # >4 CASE branches blow the generated method past the JIT limit
+    # (15 tiers measured 30.8s). Tier BOUNDARIES only affect speed,
+    # never results — every branch's literal t >= the per-pair bound
+    # floor(mx*(r+1e-6))+1 for its mx range, so a passing pair always
+    # gets its exact distance and -1 only ever marks provably-failing
+    # pairs. The boundaries come from a one-row length-stats job
+    # (approx percentiles are fine for the same reason).
+    import math
+
+    r_slack = max_ratio + 1e-6
+    stats = df.agg(
+        F.percentile_approx(F.char_length(F.col(text_col)), [0.5, 0.9])
+        .alias("p"),
+        F.max(F.char_length(F.col(text_col))).alias("mx")).first()
+    if stats["mx"] is None:
+        tiers = [256, 1024, 4096]
+    else:
+        tiers = sorted({int(stats["p"][0]), int(stats["p"][1]),
+                        int(stats["mx"])})
+    chain = None
+    for L in tiers:
+        lev = F.expr(
+            f"levenshtein(_ta, _tb, {math.floor(L * r_slack) + 1})")
+        chain = F.when(mx <= L, lev) if chain is None \
+            else chain.when(mx <= L, lev)
+    # texts longer than the sampled max (never at plan time, but kept
+    # for safety): exact unbounded distance
+    d_bounded = chain.otherwise(F.levenshtein("_ta", "_tb"))
+    # -1 sentinel folded via pmod so each levenshtein branch occurs
+    # exactly ONCE in the plan: pmod(-1, mx+2) = mx+1 (over threshold
+    # for any ratio <= 1), pmod(d, mx+2) = d for every real bounded
+    # distance (d <= floor(mx*(r+1e-6))+1 < mx+2). A CASE sentinel put
+    # TWO copies in the Project and filter pushdown added two more —
+    # four DP evaluations per pair in the executed plan.
+    d = F.pmod(d_bounded, mx + F.lit(2))
     ratio = F.when(mx == 0, F.lit(0.0)) \
              .otherwise(d / mx)
     # Length prefilter: edit distance >= |len_a - len_b|, and round(., 6)
@@ -1026,15 +1111,21 @@ def edit_distance_pairs(
     # result-identical by construction, so the DuckDB oracle is unchanged.
     gap_ok = F.when(mx == 0, F.lit(True)) \
               .otherwise(F.round(F.abs(la - lb) / mx, 6) <= max_ratio)
-    result = (
+    staged = (
         candidates.join(ta, "id_a").join(tb, "id_b")
         .filter(gap_ok)
         .select("id_a", "id_b", F.round(ratio, 6).alias("edit_ratio"))
-        .filter(F.col("edit_ratio") <= max_ratio)
     )
     if materialize:
+        # checkpoint BEFORE the threshold filter: the filter otherwise
+        # pushes below the projection — and into the text-join
+        # CONDITION — re-evaluating the DP per row (gap-surviving
+        # candidates are a few-MB (id, id, ratio) relation, so
+        # materializing pre-filter costs nothing); the filter then runs
+        # over the checkpointed RDD where no pushdown can duplicate work
         try:
-            result = result.localCheckpoint(eager=True)
+            staged = staged.localCheckpoint(eager=True)
         finally:
+            candidates.unpersist()
             sigs.unpersist()
-    return result
+    return staged.filter(F.col("edit_ratio") <= max_ratio)

@@ -325,16 +325,53 @@ def centroids_df(spark, centroids: np.ndarray) -> DataFrame:
 
 
 def centroid_dots(unit_df: DataFrame, cdf: DataFrame, id_col: str,
-                  unit_col: str = "_u") -> DataFrame:
+                  unit_col: str = "_u",
+                  centroids: np.ndarray | None = None) -> DataFrame:
     """(id, cell_id, cdot): 1e-9-quantized dot of every vector against
-    every centroid — broadcast nested-loop expansion x k, collapsed
-    map-side by the callers' aggregations. The fold order of the dot
-    (left-to-right F.aggregate) matches the oracle's explicit `+` chain
-    exactly."""
+    every centroid. The fold order of the dot matches the oracle's
+    explicit `+` chain exactly.
+
+    With ``centroids`` given (every in-repo caller), one Arrow kernel
+    emits all k dots per row — column-folded in Spark's exact left-fold
+    order (see ``_fold_dot_rows``), so values are bitwise identical to
+    the old broadcast-nested-loop x k expansion whose per-(row, centroid)
+    interpreted-HOF dot dominated the IVF queries — and ``posexplode``
+    recovers the (id, cell_id) layout with the 1e-9 quantization still
+    applied JVM-side. Without it, the original join formulation runs.
+    """
+    if centroids is None:
+        return (
+            unit_df.select(id_col, unit_col).join(F.broadcast(cdf))
+            .select(id_col, "cell_id",
+                    F.round(_dot(F.col(unit_col), F.col("cvec")), 9)
+                    .alias("cdot"))
+        )
+    from ..session import ship_package
+
+    ship_package(unit_df.sparkSession)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _cdots(units: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(units), index=units.index, dtype=object)
+        ln = units.map(lambda v: -1 if v is None else len(v))
+        ok = ln == C.shape[1]
+        idx = units.index[ok]
+        if len(idx):
+            A = np.vstack(units.loc[idx].to_numpy()) \
+                .astype(np.float64, copy=False)
+            dots = np.empty((len(idx), C.shape[0]))
+            for i in range(C.shape[0]):
+                dots[:, i] = _fold_dot_rows(A, np.broadcast_to(C[i], A.shape))
+            out.loc[idx] = list(dots)
+        return out
+
+    _cdots = _cdots.asNondeterministic()
     return (
-        unit_df.select(id_col, unit_col).join(F.broadcast(cdf))
-        .select(id_col, "cell_id",
-                F.round(_dot(F.col(unit_col), F.col("cvec")), 9).alias("cdot"))
+        unit_df.select(id_col, _cdots(F.col(unit_col)).alias("_ds"))
+        .select(id_col, F.posexplode("_ds").alias("cell_id", "_d"))
+        .select(id_col, F.col("cell_id").cast("int").alias("cell_id"),
+                F.round(F.col("_d"), 9).alias("cdot"))
     )
 
 
@@ -354,7 +391,7 @@ def with_ivf_cell(df: DataFrame, centroids: np.ndarray,
     # max of struct(cdot, -cell_id): highest dot, lowest cell on ties
     # (no negated double — avoids -0.0 comparison subtleties)
     best = (
-        centroid_dots(unit_df, cdf, id_col)
+        centroid_dots(unit_df, cdf, id_col, centroids=centroids)
         .groupBy(id_col)
         .agg(F.max(F.struct(F.col("cdot").alias("d"),
                             (-F.col("cell_id")).alias("nc"))).alias("b"))
@@ -372,7 +409,7 @@ def probe_cells(qs: DataFrame, centroids: np.ndarray, n_probe: int,
     dot ties the HIGHER cell id probes first — so the oracle's
     list_reverse(list_sort(...)) replay still matches."""
     cdf = centroids_df(qs.sparkSession, centroids)
-    d = centroid_dots(qs, cdf, id_col, unit_col="_u")
+    d = centroid_dots(qs, cdf, id_col, unit_col="_u", centroids=centroids)
     w = Window.partitionBy(id_col).orderBy(F.desc("cdot"), F.desc("cell_id"))
     top = (d.withColumn("_r", F.row_number().over(w))
            .filter(F.col("_r") <= n_probe)

@@ -86,12 +86,26 @@ def duplicated_positions(df: DataFrame, gram_len: int = 20,
     strategy is left to AQE (the duplicated-gram set can be tiny or
     corpus-sized depending on the corpus — no forced broadcast)."""
     grams = gram_positions(df, gram_len, text_col, id_col)
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gram")
-    )
+    if min_docs <= 2:
+        # countDistinct >= 2 == (min id != max id): a single-phase
+        # min/max agg whose map-side partials collapse to one row per
+        # gram, vs the distinct agg's (gram, id)-keyed partial pass —
+        # same qualifying gram set, one less aggregation level and a
+        # gram-distinct (not id-pair-distinct) shuffle
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi") if min_docs == 2
+                    else F.lit(True))
+            .select("gram")
+        )
+    else:
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("gram")
+        )
     return grams.join(dup, "gram", "left_semi").select(id_col, "pos")
 
 

@@ -188,7 +188,8 @@ def gopher_flags(col: Column, min_words: int = 50, max_words: int = 100_000,
 
 
 def tfidf_topk(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id", k: int = 5) -> DataFrame:
+               id_col: str = "doc_id", k: int = 5,
+               materialize: bool = True) -> DataFrame:
     """Top-k TF-IDF keywords per document: tf = in-doc token count,
     idf = ln(n_docs / doc_freq), rank by 1e-9-quantized score desc then
     word asc (the repo-wide tie-break convention — ln() may differ by
@@ -203,7 +204,13 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     (id, word, rank, tfidf) — docs with no tokens emit no rows.
     """
     toks = doc_tokens(df, text_col, id_col)
-    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the (doc, word) tf relation: it feeds THREE consumers
+    # (doc-freq, the n_docs count, the scored join) and each lazy
+    # evaluation re-ran the full corpus tokenize+explode+agg (exchange
+    # reuse does not reliably dedupe multi-consumer subtrees — the
+    # class_keywords finding). Release follows the minhash recipe below.
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")) \
+        .persist()
     docfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(id_col).distinct().agg(
         F.count(F.lit(1)).alias("n_docs"))
@@ -217,11 +224,17 @@ def tfidf_topk(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy(
         F.round(F.col("tfidf"), 9).desc(), F.col("word").asc())
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "word", "rank", F.round("tfidf", 6).alias("tfidf"))
     )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            tf.unpersist()
+    return result
 
 
 def doc_tokens(df: DataFrame, text_col: str = "text",
@@ -269,7 +282,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 def ccnet_buckets(spark, df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", lang_col: str = "lang",
                   q_head: float = 0.67, q_tail: float = 0.33,
-                  bin_width: float = 0.125) -> DataFrame:
+                  bin_width: float = 0.125,
+                  materialize: bool = True) -> DataFrame:
     """CCNet head/middle/tail buckets (Wenzek et al. 2020): per
     LANGUAGE, split documents into perplexity terciles — head = most
     LM-like (highest mean logprob), tail = noisiest. The defining op of
@@ -290,11 +304,15 @@ def ccnet_buckets(spark, df: DataFrame, text_col: str = "text",
     from .stats import grouped_quantile_estimates
 
     lp = unigram_logprob(df, text_col, id_col)
+    # persist the doc-sized scored relation: it feeds BOTH the threshold
+    # estimate and the final bucket join; each lazy evaluation re-ran
+    # unigram_logprob's two full tokenize passes (the class_keywords
+    # multi-consumer finding). Released via the minhash recipe below.
     scored = (
         df.select(id_col, lang_col)
         .join(lp.select(id_col, F.round("avg_logprob", 6).alias("lp_r")),
               id_col)
-    )
+    ).persist()
     th = grouped_quantile_estimates(
         spark, scored, "lp_r", lang_col, [q_tail, q_head], bin_width)
     thw = th.groupBy(lang_col).agg(
@@ -306,10 +324,16 @@ def ccnet_buckets(spark, df: DataFrame, text_col: str = "text",
         .when(F.col("lp_r") >= F.col("t_tail"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
+    result = (
         scored.join(F.broadcast(thw), lang_col)
         .select(id_col, lang_col, "lp_r", bucket.alias("bucket"))
     )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            scored.unpersist()
+    return result
 
 
 def doc_word_pairs(df: DataFrame, text_col: str = "text",
