@@ -1729,7 +1729,8 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 5 vectors; ordering on
     round(cosine, 6) + vec_id so float last-bits can't flip ranks."""
-    from .operators.similarity import nonzero_unit_vectors, _dot
+    from .operators.similarity import (nonzero_unit_vectors, _dot,
+                                       dot_kernel_udf)
 
     # NULL and zero-norm embeddings are skipped on BOTH sides (DuckDB's
     # list_cosine_similarity hard-errors on NULL elements and yields NaN
@@ -1751,7 +1752,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (
@@ -1770,7 +1771,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the re-score exactly — a value-level gate on the ANN path, not
     just a recall comparison. Ordering on round(cosine, 6) + vec_id;
     the bucket sign quantizes its dot to 1e-9 (see with_lsh_bucket)."""
-    from .operators.similarity import (_dot, hyperplane_codes,
+    from .operators.similarity import (dot_kernel_udf, hyperplane_codes,
                                        with_lsh_bucket, nonzero_unit_vectors)
 
     planes = hyperplane_codes(spark, dim=64, n_planes=6, seed=42)
@@ -1786,7 +1787,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (
@@ -1810,7 +1811,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe list (dot desc, cell desc — both engines reverse an ascending
     struct sort), and the re-score exactly. Ordering on
     round(cosine, 6) + vec_id."""
-    from .operators.similarity import (_dot, ivf_centroids,
+    from .operators.similarity import (dot_kernel_udf, ivf_centroids,
                                        nonzero_unit_vectors, probe_cells,
                                        with_ivf_cell)
 
@@ -1829,7 +1830,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(F.broadcast(qs), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (
@@ -1863,7 +1864,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup at 0.4 (exact baseline; the LSH variant is
     the scale path, validated against this in tests)."""
-    from .operators.similarity import nonzero_unit_vectors, _dot
+    from .operators.similarity import (nonzero_unit_vectors, _dot,
+                                       dot_kernel_udf)
 
     # NULL-unit rows can never pass cosine >= 0.4 (NULL comparison), so
     # dropping them up front via nonzero_unit_vectors is result-identical

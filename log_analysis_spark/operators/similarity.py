@@ -156,22 +156,48 @@ def hyperplane_codes(spark, dim: int, n_planes: int = 16, seed: int = 42):
 
 def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
                     vec_col: str = "embedding", out_col: str = "bucket") -> DataFrame:
-    """Sign-bit bucket code per vector, computed JVM-side: bucket =
-    sum(2^i * (v . h_i > 0)). Planes ship as array literals (tiny).
+    """Sign-bit bucket code per vector: bucket = sum(2^i * (v . h_i > 0)).
 
     The sign test quantizes the plane dot to a 1e-9 grid first: the
     bucket code is replayed by the DuckDB oracle (embedding_topk_lsh),
     and two engines' float folds can disagree in the last ulp around an
     exact zero — rounding makes the sign decision identical everywhere
-    (the same cross-engine convention as the matcher's score
-    tie-break)."""
+    (the same cross-engine convention as the matcher's score tie-break).
+
+    The n_planes dots come out of ONE Arrow kernel per row (fold-order-
+    exact — see ``_fold_dot_rows`` — so bitwise equal to the old
+    per-plane interpreted-HOF literal-array expressions, which cost
+    ~n_planes x 0.5 ms/row with no codegen); the rounding, sign test
+    and bit-sum stay JVM-side on the returned array."""
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    P = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _pdots(vecs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(vecs), index=vecs.index, dtype=object)
+        ln = vecs.map(lambda v: -1 if v is None else len(v))
+        ok = ln == P.shape[1]
+        idx = vecs.index[ok]
+        if len(idx):
+            A = np.vstack(vecs.loc[idx].to_numpy()) \
+                .astype(np.float64, copy=False)
+            dots = np.empty((len(idx), P.shape[0]))
+            for i in range(P.shape[0]):
+                dots[:, i] = _fold_dot_rows(A, np.broadcast_to(P[i], A.shape))
+            out.loc[idx] = list(dots)
+        return out
+
+    _pdots = _pdots.asNondeterministic()
+    with_d = df.withColumn("_pd", _pdots(
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))))
     code = F.lit(0).cast("long")
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    for i, h in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in h])
-        code = code + F.when(F.round(_dot(v, plane), 9) > 0,
-                             F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.withColumn(out_col, code)
+    for i in range(len(planes)):
+        code = code + F.when(
+            F.round(F.element_at(F.col("_pd"), i + 1), 9) > 0,
+            F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return with_d.withColumn(out_col, code).drop("_pd")
 
 
 def lsh_topk(
@@ -196,7 +222,8 @@ def lsh_topk(
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
+        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
+            F.col("unit"), F.col("_qunit")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -250,7 +277,8 @@ def cosine_neardup_pairs(
     result = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-        .withColumn("cosine", _dot(F.col("x.unit"), F.col("y.unit")))
+        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
+            F.col("x.unit"), F.col("y.unit")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
     )
@@ -442,7 +470,8 @@ def ivf_topk(
     scored = (
         corpus.join(F.broadcast(qs), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
+        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
+            F.col("unit"), F.col("_qunit")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -361,7 +361,8 @@ def doc_word_pairs(df: DataFrame, text_col: str = "text",
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", lam_bigram: float = 0.7,
-                   lam_unigram: float = 0.3) -> DataFrame:
+                   lam_unigram: float = 0.3,
+                   materialize: bool = True) -> DataFrame:
     """Interpolated bigram LM quality signal (the distributed 2-gram
     analog of CCNet's KenLM perplexity filter): per doc, the mean
     ln(λ₂·P_mle(w|prev) + λ₁·P_uni(w)) over its adjacent token pairs,
@@ -377,8 +378,16 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     (the bigram tail is corpus-sized at 100 TB — AQE decides). Output:
     (id, n_bigrams, avg_logprob); docs with <2 tokens emit no row."""
     pairs = doc_word_pairs(df, text_col, id_col)
+    # persist the vocab-scale unigram dim: it feeds THREE consumers (the
+    # 1-row total and both marginal joins) and each lazy evaluation
+    # re-ran the full corpus tokenize+explode+agg (class_keywords
+    # multi-consumer finding). Vocab-sized, CacheManager-registered,
+    # released lazily when the session cache is cleared; the corpus-
+    # sized pair relation is deliberately NOT persisted (its two
+    # evaluations — counts build and probe side — are the operator's
+    # inherent two-pass shape at 100 TB).
     uni = (doc_tokens(df, text_col, id_col)
-           .groupBy("word").agg(F.count(F.lit(1)).alias("cw")))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("cw"))).persist()
     total = uni.agg(F.sum("cw").alias("t"))
     bg = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
     dim = (
@@ -391,17 +400,25 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                       + F.lit(float(lam_unigram)) * (F.col("cw") / F.col("t")))
                 .alias("logp"))
     )
-    return (
+    result = (
         pairs.join(dim, ["prev", "word"])
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              F.avg("logp").alias("avg_logprob"))
     )
+    if materialize:
+        # minhash cache discipline: eager-checkpoint the doc-sized
+        # result, release the vocab cache — including on failure
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            uni.unpersist()
+    return result
 
 
 def pmi_collocations(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", min_count: int = 5,
-                     k: int = 20) -> DataFrame:
+                     k: int = 20, materialize: bool = True) -> DataFrame:
     """Top-k collocations by pointwise mutual information over adjacent
     token pairs: PMI = ln( (c_xy/N) / ((c_x/Nw)·(c_y/Nw)) ), the classic
     corpus-linguistics statistic for multiword expressions ("new york",
@@ -415,10 +432,15 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     (prev, word) asc — the repo-wide convention. Output:
     (prev, word, pair_count, pmi)."""
     pairs = doc_word_pairs(df, text_col, id_col)
+    # persist both vocab-scale dims: uni feeds three consumers (nw + two
+    # marginal joins), bg_all two (nb + the scored join) — without the
+    # caches each consumer re-ran a full corpus tokenize- or pair-
+    # explode pass (class_keywords multi-consumer finding)
     uni = (doc_tokens(df, text_col, id_col)
-           .groupBy("word").agg(F.count(F.lit(1)).alias("cw")))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("cw"))).persist()
     nw = uni.agg(F.sum("cw").alias("nw"))
-    bg_all = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("cb"))
+    bg_all = pairs.groupBy("prev", "word") \
+        .agg(F.count(F.lit(1)).alias("cb")).persist()
     nb = bg_all.agg(F.sum("cb").alias("nb"))
     scored = (
         bg_all.filter(F.col("cb") >= min_count)
@@ -432,11 +454,18 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
                       / ((F.col("cp") / F.col("nw"))
                          * (F.col("cw") / F.col("nw")))).alias("pmi"))
     )
-    return (
+    result = (
         scored.orderBy(F.round(F.col("pmi"), 9).desc(), "prev", "word")
         .limit(k)
         .select("prev", "word", "pair_count", F.round("pmi", 6).alias("pmi"))
     )
+    if materialize:
+        try:
+            result = result.localCheckpoint(eager=True)
+        finally:
+            bg_all.unpersist()
+            uni.unpersist()
+    return result
 
 
 def vocab_stats(df: DataFrame, text_col: str = "text",
@@ -456,8 +485,12 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
     is ~1e-12 against the 1e-6 gate quantum."""
     from pyspark.sql import Window
 
+    # persist the vocab dim: it feeds the scalar tallies AND the
+    # top-rank regression — two full tokenize passes without the cache
+    # (class_keywords multi-consumer finding); released via the final
+    # checkpoint below
     uni = (doc_tokens(df, text_col, id_col)
-           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c"))).persist()
     base = uni.agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
@@ -477,7 +510,7 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
                (F.col("mxy") - F.col("mx") * F.col("my"))
                / (F.col("mxx") - F.col("mx") * F.col("mx")))
         .alias("zipf_slope"))
-    return base.crossJoin(F.broadcast(slope)).select(
+    result = base.crossJoin(F.broadcast(slope)).select(
         "n_tokens", "n_types",
         F.round(F.when(F.col("n_tokens") > 0,
                        F.col("n_types") / F.col("n_tokens")), 6)
@@ -487,6 +520,11 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
                        F.col("hapax_count") / F.col("n_types")), 6)
         .alias("hapax_fraction"),
         F.round("zipf_slope", 6).alias("zipf_slope"))
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
+    return result
 
 
 def token_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
