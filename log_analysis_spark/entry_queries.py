@@ -818,17 +818,18 @@ def q_variable_value_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit this error template?"). Deterministic (count DESC, value ASC)
     tie-break; the window runs over the (template, value)-distinct
     relation, never the line stream."""
-    from .matcher import variables_udf, with_template_id
+    from .matcher import match_first_var_udf
     from .operators.aggregates import top_values_per_group
 
     m = entry_matcher()
     ev = _t(spark, sf_dir, "events")
     lines = ev.select("event_id", F.expr(_LINE_SQL.format(S="STRING")).alias("line"))
-    matched = with_template_id(lines, spark, m, text_col="line") \
-        .filter(F.col("template_id").isNotNull())
-    vars_col = variables_udf(spark, m)(F.col("line"), F.col("template_id"))
-    v = matched.select("template_id",
-                       F.try_element_at(vars_col, F.lit(1)).alias("value"))
+    # ONE Arrow pass for match + first capture (match_first_var_udf):
+    # the two-kernel form shipped every line into Python twice
+    mv = lines.select(match_first_var_udf(spark, m)(F.col("line")).alias("mv"))
+    v = (mv.select(F.col("mv.template_id").alias("template_id"),
+                   F.col("mv.value").alias("value"))
+         .filter(F.col("template_id").isNotNull()))
     return (
         top_values_per_group(v, "template_id", "value", k=3)
         .transform(_present_sorted, "template_id", "rank")
@@ -990,12 +991,15 @@ def q_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11/F14: variable masking -> signature clustering counts
     (src/smart_template_generator.rs:64-117, src/token_classifier.rs:205-212)."""
-    ev = _t(spark, sf_dir, "events")
-    from .functions.masks import mask_col
+    # bulk scan -> the Arrow/RE2 mask kernel (identical chain; see
+    # mask_udf — java.util.regex was the entire cost of this query);
+    # _tk so the kernel runs at full width on a single-file scan
+    ev = _tk(spark, sf_dir, "events")
+    from .functions.masks import mask_udf
 
     line = F.expr(_LINE_SQL.format(S="STRING"))
     return (
-        ev.select(mask_col(line).alias("signature"))
+        ev.select(mask_udf(spark)(line).alias("signature"))
         .groupBy("signature").agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.desc("n_rows"), F.asc("signature"))
     )

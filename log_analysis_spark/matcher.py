@@ -115,6 +115,45 @@ def variables_udf(spark: SparkSession, matcher: CompiledMatcher):
     return _extract.asNondeterministic()
 
 
+def match_first_var_udf(spark: SparkSession, matcher: CompiledMatcher):
+    """pandas UDF text -> struct(template_id long, value string): one
+    Arrow pass computing the match AND the first capture group.
+
+    The drill-down query (variable_value_topk) used to ship every line
+    into Python twice — once for ``match_udf``, once for
+    ``variables_udf`` over the matched rows. This kernel runs the same
+    ``match_series`` and the same per-template ``str.extract`` (first
+    column) in a single pass; ``value`` equals
+    ``try_element_at(variables, 1)`` exactly (a row whose groups are all
+    NaN yielded a NULL array there, and NULL element here — both NULL).
+    """
+    ship_package(spark)
+    bc = spark.sparkContext.broadcast(matcher)
+    schema = T.StructType([
+        T.StructField("template_id", T.LongType()),
+        T.StructField("value", T.StringType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _mfv(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        tids = m.match_series(texts)
+        value = pd.Series([None] * len(texts), index=texts.index,
+                          dtype=object)
+        valid = tids.notna()
+        for tid, idx in texts.index[valid].groupby(
+                tids[valid].astype("int64")).items():
+            rx = m.regex_for(int(tid))
+            if rx is None or rx.groups == 0:
+                continue
+            first = texts.loc[idx].str.extract(rx, expand=True).iloc[:, 0]
+            value.loc[idx] = first.where(first.notna(), None)
+        return pd.DataFrame({"template_id": tids, "value": value})
+
+    # single-evaluation guard — see match_udf
+    return _mfv.asNondeterministic()
+
+
 def with_variables(
     df: DataFrame,
     spark: SparkSession,
