@@ -70,7 +70,9 @@ def main() -> None:
         args.remove(tag)
     names = [a for a in args if not a.startswith("--")]
     if "--all" in args:
-        names = list(BENCH_QUERY_NAMES)
+        names = list(BENCH_QUERY_NAMES) + [
+            "embedding_neardup_lsh", "minhash_lsh_pairs",
+            "incremental_dedup", "semantic_dedup_bench"]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -1756,7 +1756,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (
@@ -1775,7 +1775,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the re-score exactly — a value-level gate on the ANN path, not
     just a recall comparison. Ordering on round(cosine, 6) + vec_id;
     the bucket sign quantizes its dot to 1e-9 (see with_lsh_bucket)."""
-    from .operators.similarity import (dot_kernel_udf, hyperplane_codes,
+    from .operators.similarity import (_dot, hyperplane_codes,
                                        with_lsh_bucket, nonzero_unit_vectors)
 
     planes = hyperplane_codes(spark, dim=64, n_planes=6, seed=42)
@@ -1791,7 +1791,7 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (
@@ -1815,7 +1815,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe list (dot desc, cell desc — both engines reverse an ascending
     struct sort), and the re-score exactly. Ordering on
     round(cosine, 6) + vec_id."""
-    from .operators.similarity import (dot_kernel_udf, ivf_centroids,
+    from .operators.similarity import (_dot, ivf_centroids,
                                        nonzero_unit_vectors, probe_cells,
                                        with_ivf_cell)
 
@@ -1834,7 +1834,7 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         corpus.join(F.broadcast(qs), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine_r", F.round(dot_kernel_udf(spark)(F.col("unit"), F.col("qunit")), 6))
+        .withColumn("cosine_r", F.round(_dot(F.col("unit"), F.col("qunit")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
     return (

@@ -123,6 +123,22 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     return df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow scan up to the session's default parallelism.
+
+    A single small parquet file (exactly what the bench/test fixtures
+    are) scans as ONE split, pinning every downstream Python/Arrow
+    kernel to one core — measured ~10x on the LSH signature kernel. The
+    guard makes this a no-op on production inputs, which split
+    naturally; row-preserving, so every value-hash gate is unaffected
+    (the `_tk` recipe, applied at the operator boundary so the
+    operator-call bench paths get kernel width too)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 _cap_drop_warned = threading.Event()
 
 
@@ -388,6 +404,7 @@ def minhash_lsh_pairs(
     # id projections + the final join) — without persist each consumer
     # re-executes the upstream UDF pass. Both relations are tiny
     # (k longs per doc; ~near-dup-rate x N pair rows).
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(df, k, n, text_col, id_col).persist()
     band_cols = [
         F.struct(
@@ -560,9 +577,10 @@ def incremental_minhash_dedup(
     against the persisted template pool (src/ingestion_service.rs) — new
     data is judged against durable state, not a recomputed corpus.
     """
+    batch_df = ensure_parallelism(batch_df)
     if history_index is None:
         history_index = build_minhash_index(
-            history_df, k, bands, n, text_col, id_col)
+            ensure_parallelism(history_df), k, bands, n, text_col, id_col)
     batch_sigs = minhash_signatures(batch_df, k, n, text_col, id_col)
     batch_buckets = minhash_band_buckets(batch_sigs, k, bands, id_col)
     candidates = (
@@ -962,7 +980,8 @@ def simhash_neardup_pairs(
     exact popcount verification. Join fan-out is bounded by band-bucket
     sizes, never all-pairs.
     """
-    sh = df.select(F.col(id_col), simhash_udf(spark)(F.col(text_col)).alias("simhash"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), simhash_udf(spark)(F.col(text_col)).alias("simhash"))
     bands = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -1019,6 +1038,7 @@ def edit_distance_pairs(
     exact on ASCII corpora (the test tables are — verified) and the
     operator itself needs no such caveat.
     """
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(df, k, n, text_col, id_col).persist()
     if materialize:
         # settle the signature cache BEFORE the bucket self-join: its two

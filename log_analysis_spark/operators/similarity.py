@@ -222,8 +222,7 @@ def lsh_topk(
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
-            F.col("unit"), F.col("_qunit")))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -266,8 +265,11 @@ def cosine_neardup_pairs(
     # persist unconditionally (CacheManager-registered, so clearCache()
     # reaches it even on the materialize=False path — the minhash
     # convention); materialize only controls eager checkpoint + release
+    from .dedup import ensure_parallelism
+
     b = (
-        with_lsh_bucket(nonzero_unit_vectors(df, vec_col), planes, "unit", "bucket")
+        with_lsh_bucket(nonzero_unit_vectors(ensure_parallelism(df), vec_col),
+                        planes, "unit", "bucket")
         .select(id_col, "unit", "bucket")
         .repartition(F.col("bucket"))
         .persist()
@@ -470,8 +472,7 @@ def ivf_topk(
     scored = (
         corpus.join(F.broadcast(qs), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
-            F.col("unit"), F.col("_qunit")))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("_qunit")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -537,9 +538,11 @@ def semantic_dedup(
 
     spark = df.sparkSession
     ship_package(spark)
+    from .dedup import ensure_parallelism
+
     cdf = centroids_df(spark, centroids)
     corpus = (
-        nonzero_unit_vectors(df, vec_col)
+        nonzero_unit_vectors(ensure_parallelism(df), vec_col)
         .withColumn("_u", F.col("unit"))
     )
     corpus = with_ivf_cell(corpus, centroids, vec_col=vec_col,

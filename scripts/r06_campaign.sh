@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-6 after-measurement campaign: N full bench_extra sweeps at sf1.0
+# in separate sessions; per-query minimum across sweeps is the
+# calm-window estimate (this box's co-tenant drift is 2-4x at minute
+# scale, so single sweeps are unreliable — BENCH/BASELINE.md).
+set -u
+N=${1:-3}
+OUT=${2:-/tmp/r06_campaign}
+mkdir -p "$OUT"
+for i in $(seq 1 "$N"); do
+    echo "=== sweep $i/$N $(date +%H:%M:%S) loadavg $(cut -d' ' -f1-3 /proc/loadavg)"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 \
+        python bench_extra.py --all \
+        > "$OUT/sweep_$i.json" 2> "$OUT/sweep_$i.log"
+    echo "    rc=$? $(date +%H:%M:%S)"
+done
+python - "$OUT" <<'EOF'
+import json, sys, glob, os
+out = sys.argv[1]
+mins: dict = {}
+for f in sorted(glob.glob(os.path.join(out, "sweep_*.json"))):
+    try:
+        d = json.load(open(f))
+    except Exception:
+        continue
+    for k, v in d["queries"].items():
+        mins[k] = min(mins.get(k, 1e9), v)
+json.dump({"metric": "r06_campaign_min", "sf": "1.0", "queries": mins,
+           "total": round(sum(mins.values()), 3)},
+          open(os.path.join(out, "mins.json"), "w"), indent=1)
+print(json.dumps(mins, indent=0, sort_keys=True))
+EOF
