@@ -178,7 +178,8 @@ def _observe_cap_drops(freq: DataFrame, max_doc_freq: int) -> DataFrame:
 
 def _jaccard_from_shingles(sh: DataFrame, threshold: float,
                            id_col: str = "doc_id",
-                           max_doc_freq: int | None = None) -> DataFrame:
+                           max_doc_freq: int | None = None,
+                           sizes: DataFrame | None = None) -> DataFrame:
     """Jaccard pairs (a < b) from an (id, shingle) relation via self-join.
 
     ``max_doc_freq``: drop *stop-shingles* appearing in more than F docs
@@ -186,8 +187,15 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float,
     rows and distinguishes nothing). Sizes still count every shingle, so
     dropped shingles can only lower the reported jaccard — the cap never
     creates false positives, it prunes fan-out.
+
+    ``sizes``: optional precomputed (id_col, _size) relation. A caller
+    whose shingles come from a per-row array (winnowing) can derive it
+    ROW-LOCALLY as ``F.size(arr)`` — identical by construction (the
+    arrays are distinct per doc) — which removes one full aggregation
+    pass over the corpus-scale exploded relation.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     joinable = sh
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

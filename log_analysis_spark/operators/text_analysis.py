@@ -943,7 +943,12 @@ def winnowing_neardup_pairs(
         # embed it.
         arr = arr.localCheckpoint(eager=True)
     fps = arr.select(id_col, F.explode("_fps").alias("shingle"))
-    result = _jaccard_from_shingles(fps, threshold, id_col, max_doc_freq)
+    # per-doc set sizes derive row-locally from the (distinct-element)
+    # fingerprint array — no aggregation pass over the exploded relation
+    sizes = arr.select(id_col, F.size("_fps").cast("long").alias("_size")) \
+        .filter(F.col("_size") > 0)
+    result = _jaccard_from_shingles(fps, threshold, id_col, max_doc_freq,
+                                    sizes=sizes)
     # ``threshold_r``: the gate discipline — filter on the 1e-6-ROUNDED
     # jaccard (a float ulp at the boundary cannot flip membership across
     # engines).
