@@ -72,6 +72,27 @@ def _tk(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _input_bytes(df: DataFrame) -> int:
+    """Driver-side input size (sum of scan file bytes, no job) — the
+    estimate_write_partitions discipline, reused to pick between two
+    result-identical execution strategies by scale. Non-file-backed
+    frames report "big" so the at-scale path is the default."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 60
+    if not files:
+        return 1 << 60
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
 # Log-line construction shared by the matcher queries: a deterministic
 # expression over the events table, valid in both Spark SQL and DuckDB
 # (`{S}` is the string type name: STRING for Spark, VARCHAR for DuckDB).
@@ -991,15 +1012,30 @@ def q_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mask_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11/F14: variable masking -> signature clustering counts
     (src/smart_template_generator.rs:64-117, src/token_classifier.rs:205-212)."""
-    # bulk scan -> the Arrow/RE2 mask kernel (identical chain; see
-    # mask_udf — java.util.regex was the entire cost of this query);
-    # _tk so the kernel runs at full width on a single-file scan
-    ev = _tk(spark, sf_dir, "events")
-    from .functions.masks import mask_udf
+    # Mask engine by input size (identical values either way — mask_udf
+    # is A/B-verified zero-diff vs mask_col on the full line sets, and
+    # the oracle hash-matches both): the Arrow/RE2 kernel wins ~2x on
+    # bulk scans (6M rows: 3.4 -> 2.0s) but its fixed Arrow-boundary
+    # cost loses to the codegen'd JVM chain on small scans (600k rows:
+    # 0.54 vs 0.38s warm) — driver-side file-byte crossover ~8 MB,
+    # same estimate discipline as estimate_write_partitions.
+    ev = _t(spark, sf_dir, "events")
+    from .functions.masks import mask_col, mask_udf
 
     line = F.expr(_LINE_SQL.format(S="STRING"))
+    if _input_bytes(ev) >= int(float(os.environ.get(
+            "LOG_ANALYSIS_MASK_KERNEL_MIN_MB", "8")) * 1024 * 1024):
+        masker = mask_udf(spark)
+        # kernel width needs the rebalance; the JVM chain does not (the
+        # _tk docstring's JVM-expression rule — the Exchange would cost
+        # more than the single-split scan)
+        target = spark.sparkContext.defaultParallelism
+        if ev.rdd.getNumPartitions() < target:
+            ev = ev.repartition(target)
+    else:
+        masker = mask_col
     return (
-        ev.select(mask_udf(spark)(line).alias("signature"))
+        ev.select(masker(line).alias("signature"))
         .groupBy("signature").agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.desc("n_rows"), F.asc("signature"))
     )
