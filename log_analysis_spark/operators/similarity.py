@@ -76,6 +76,29 @@ def dot_kernel_udf(spark):
     return _dot_k.asNondeterministic()
 
 
+def _scan_bytes(df: DataFrame) -> int:
+    """Driver-side input size (sum of scan file bytes, no job) — used to
+    pick between two result-identical execution strategies by scale.
+    Non-file-backed frames report "big" so the at-scale path is the
+    default (the estimate_write_partitions discipline)."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 60
+    if not files:
+        return 1 << 60
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += _os.path.getsize(p)
+        except OSError:
+            pass
+    return total
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -164,11 +187,30 @@ def with_lsh_bucket(df: DataFrame, planes: np.ndarray,
     exact zero — rounding makes the sign decision identical everywhere
     (the same cross-engine convention as the matcher's score tie-break).
 
-    The n_planes dots come out of ONE Arrow kernel per row (fold-order-
-    exact — see ``_fold_dot_rows`` — so bitwise equal to the old
-    per-plane interpreted-HOF literal-array expressions, which cost
-    ~n_planes x 0.5 ms/row with no codegen); the rounding, sign test
-    and bit-sum stay JVM-side on the returned array."""
+    Engine by input size (bitwise-identical codes either way): on bulk
+    inputs the n_planes dots come out of ONE Arrow kernel per row
+    (fold-order-exact — see ``_fold_dot_rows`` — so bitwise equal to
+    the per-plane interpreted-HOF literal-array expressions, which cost
+    ~n_planes x 0.5 ms/row with no codegen; measured 3.9 -> 1.3s on the
+    200k-vector corpus); on small inputs the kernel's fixed
+    Python-boundary cost exceeds the interpreted work it saves
+    (measured +0.3s on the 20k-vector corpus), so the HOF expressions
+    run instead — the same crossover discipline as the mask engine,
+    driver-side file bytes, ``LOG_ANALYSIS_LSH_KERNEL_MIN_MB``
+    (default 2). The rounding, sign test and bit-sum stay JVM-side on
+    both branches."""
+    import os as _os
+
+    if _scan_bytes(df) < int(float(_os.environ.get(
+            "LOG_ANALYSIS_LSH_KERNEL_MIN_MB", "2")) * 1024 * 1024):
+        code = F.lit(0).cast("long")
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        for i, h in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in h])
+            code = code + F.when(F.round(_dot(v, plane), 9) > 0,
+                                 F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        return df.withColumn(out_col, code)
+
     from ..session import ship_package
 
     ship_package(df.sparkSession)
