@@ -318,11 +318,24 @@ def cosine_neardup_pairs(
     )
     x = b.alias("x")
     y = b.alias("y")
+    # pair-dot engine by input size (the with_lsh_bucket crossover,
+    # same knob): fold-order-exact kernel on bulk corpora (its win was
+    # measured on the 200k-vector corpus), interpreted-HOF _dot on
+    # small ones where the kernel's fixed Python-boundary cost showed
+    # up as +0.23s on the 20k-vector bench shape — values bitwise
+    # identical (the _fold_dot_rows argument)
+    import os as _os
+
+    if _scan_bytes(df) < int(float(_os.environ.get(
+            "LOG_ANALYSIS_LSH_KERNEL_MIN_MB", "2")) * 1024 * 1024):
+        pair_cos = _dot(F.col("x.unit"), F.col("y.unit"))
+    else:
+        pair_cos = dot_kernel_udf(df.sparkSession)(
+            F.col("x.unit"), F.col("y.unit"))
     result = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-        .withColumn("cosine", dot_kernel_udf(df.sparkSession)(
-            F.col("x.unit"), F.col("y.unit")))
+        .withColumn("cosine", pair_cos)
         .filter(F.col("cosine") >= threshold)
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"), "cosine")
     )
