@@ -204,7 +204,14 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float,
         # the shingle relation — that matters at 100 TB), and a one-time
         # warning fires only when the cap actually dropped shingles
         freq = _observe_cap_drops(freq, max_doc_freq)
-        joinable = sh.join(freq.filter(F.col("_df") <= max_doc_freq)
+        # _df == 1 shingles can never produce a pair (the a.id < b.id
+        # condition excludes self-pairs), so dropping them from the join
+        # sides is free here — the freq relation exists anyway — and
+        # result-identical by construction; on winnowed corpora (median
+        # doc-freq 1) it removes over half the self-join input. Sizes
+        # still count every shingle.
+        joinable = sh.join(freq.filter((F.col("_df") <= max_doc_freq)
+                                       & (F.col("_df") >= 2))
                            .select("shingle"), "shingle")
     a = joinable.alias("a")
     b = joinable.alias("b")
